@@ -1,0 +1,267 @@
+"""Interaction network (Battaglia et al. 2016) as a functional TPU op.
+
+Reference behavior (ref: neural_lam/interaction_net.py:10-131):
+  messages   = EdgeMLP(concat(edge_rep, send_rep[senders], rec_rep[receivers]))
+  aggregated = scatter-{sum,mean}(messages -> receivers)
+  rec_out    = rec_rep + AggrMLP(concat(rec_rep, aggregated))
+  edge_out   = edge_rep + messages            (if update_edges)
+
+TPU-first redesign:
+
+* Edge sets are static, receiver-sorted int32 index arrays in *local* index
+  spaces (the reference re-bases sender and receiver indices independently by
+  subtracting their per-row minima, ref: interaction_net.py:55-62 — we apply
+  the same rule once at graph-load time, see `EdgeSet.from_global`).
+
+* The first EdgeMLP layer over the 3-way concat is algebraically decomposed:
+      concat(e, x_j, x_i) @ W  ==  e @ W_e + x_j @ W_j + x_i @ W_i
+  and the node-dependent terms are computed per-*node* then gathered per-edge,
+  cutting that matmul's FLOPs from 3·M·d² to (M + N_send + N_rec)·d²
+  (M ≈ 8·N for the mesh). Gathers of (N, d) rows are cheap on TPU; scatters
+  are not, so aggregation uses either sorted segment_sum or the padded
+  gather-table (see ops/segment.py).
+
+* Parameters keep the exact pytree layout of `init_mlp`, with the EdgeMLP
+  first-layer weight stored as the full (3d, h) matrix so torch checkpoints
+  import unchanged; the decomposition slices it under jit (free).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mlp import apply_mlp, init_mlp, layer_norm
+from .segment import build_gather_table, gather_sum, segment_sum
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeSet:
+    """A static directed edge set between a sender and a receiver node array.
+
+    senders/receivers: (M,) int32 local indices, sorted by receiver.
+    features: (M, d_edge_f) static (normalized) edge features.
+    gather_table: (num_rec, max_deg) int32 padded incoming-edge-id table.
+    num_send / num_rec: static sizes of the endpoint node arrays.
+    """
+
+    senders: jax.Array
+    receivers: jax.Array
+    features: jax.Array
+    gather_table: jax.Array
+    num_send: int = dataclasses.field(metadata={"static": True})
+    num_rec: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def num_edges(self) -> int:
+        return self.features.shape[0]
+
+    @staticmethod
+    def from_local(senders: np.ndarray, receivers: np.ndarray,
+                   features: np.ndarray, num_send: int, num_rec: int,
+                   sort: bool = True):
+        """Build an EdgeSet from already-local index arrays.
+
+        sort=False keeps the given edge order (required for chunk-ordered
+        fused edge sets, where chunk boundaries must stay contiguous); the
+        gather table handles unsorted receivers.
+        """
+        senders = np.asarray(senders)
+        receivers = np.asarray(receivers)
+        features = np.asarray(features, dtype=np.float32)
+        if sort:
+            order = np.argsort(receivers, kind="stable")
+            senders, receivers = senders[order], receivers[order]
+            features = features[order]
+        table, _ = build_gather_table(receivers, num_rec)
+        return EdgeSet(
+            senders=jnp.asarray(senders.astype(np.int32)),
+            receivers=jnp.asarray(receivers.astype(np.int32)),
+            features=jnp.asarray(features),
+            gather_table=jnp.asarray(table),
+            num_send=int(num_send),
+            num_rec=int(num_rec),
+        )
+
+    @staticmethod
+    def from_global(edge_index: np.ndarray, features: np.ndarray,
+                    num_send: int | None = None, num_rec: int | None = None):
+        """Build an EdgeSet from a global-index (2, M) edge array.
+
+        Applies the reference's re-basing rule: sender and receiver index
+        spaces are independently shifted so each starts at 0
+        (ref: neural_lam/interaction_net.py:55-58). Edges are then sorted by
+        receiver (stable, so same-receiver message order is preserved) and
+        the padded gather table is precomputed.
+        """
+        edge_index = np.asarray(edge_index)
+        senders = edge_index[0] - edge_index[0].min()
+        receivers = edge_index[1] - edge_index[1].min()
+        if num_send is None:
+            num_send = int(senders.max()) + 1
+        if num_rec is None:
+            num_rec = int(receivers.max()) + 1
+        return EdgeSet.from_local(
+            senders, receivers, features, num_send, num_rec, sort=True
+        )
+
+
+def init_interaction_net(key, input_dim: int, *, hidden_layers: int = 1,
+                         hidden_dim: int | None = None, dtype=jnp.float32) -> dict:
+    """Parameters for one interaction net: edge MLP (3d in) + aggr MLP (2d in).
+
+    Recipes per ref: neural_lam/interaction_net.py:65-66.
+    """
+    if hidden_dim is None:
+        hidden_dim = input_dim
+    k1, k2 = jax.random.split(key)
+    edge_recipe = [3 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    aggr_recipe = [2 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    return {
+        "edge_mlp": init_mlp(k1, edge_recipe, layer_norm=True, dtype=dtype),
+        "aggr_mlp": init_mlp(k2, aggr_recipe, layer_norm=True, dtype=dtype),
+    }
+
+
+def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
+                         edge_rep, *, compute_dtype=None):
+    """EdgeMLP with the first layer decomposed into per-node transforms."""
+    layers = params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    d = edge_rep.shape[-1]
+    w_e, w_j, w_i = w0[:d], w0[d : 2 * d], w0[2 * d :]
+
+    def mm(x, w):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    send_t = mm(send_rep, w_j)  # (..., N_send, h)
+    rec_t = mm(rec_rep, w_i)  # (..., N_rec, h)
+    x = (
+        mm(edge_rep, w_e)
+        + jnp.take(send_t, edges.senders, axis=-2)
+        + jnp.take(rec_t, edges.receivers, axis=-2)
+        + b0.astype(jnp.float32)
+    )  # (..., M, h)
+    n = len(layers)
+    for i in range(1, n):
+        x = jax.nn.silu(x)
+        x = mm(x, layers[i]["w"]) + layers[i]["b"].astype(jnp.float32)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    if params["ln"] is not None:
+        x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    return x
+
+
+def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
+                          edge_rep, *, update_edges: bool = True,
+                          aggr: str = "sum", use_gather_table: bool = True,
+                          compute_dtype=None):
+    """One interaction-net round; see module docstring for the math.
+
+    send_rep: (..., N_send, d)   rec_rep: (..., N_rec, d)
+    edge_rep: (..., M, d)
+    Returns rec_out (and edge_out when update_edges).
+    """
+    assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
+    messages = _edge_mlp_decomposed(
+        params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
+        compute_dtype=compute_dtype,
+    )  # (..., M, d)
+
+    if use_gather_table:
+        aggregated = gather_sum(messages, edges.gather_table)
+    else:
+        aggregated = segment_sum(
+            messages, edges.receivers, edges.num_rec, sorted_ids=True
+        )
+    if aggr == "mean":
+        counts = jnp.maximum(
+            (edges.gather_table < edges.num_edges).sum(axis=-1), 1
+        ).astype(messages.dtype)
+        aggregated = aggregated / counts[..., :, None]
+
+    rec_diff = apply_mlp(
+        params["aggr_mlp"],
+        jnp.concatenate([rec_rep, aggregated], axis=-1),
+        compute_dtype=compute_dtype,
+    )
+    rec_out = rec_rep + rec_diff
+    if update_edges:
+        return rec_out, edge_rep + messages
+    return rec_out
+
+
+def init_interaction_net_chunked(key, input_dim: int, n_edge_chunks: int,
+                                 n_node_chunks: int, *, hidden_layers: int = 1,
+                                 hidden_dim: int | None = None,
+                                 dtype=jnp.float32) -> dict:
+    """Parameters for a chunked interaction net: one MLP per chunk."""
+    if hidden_dim is None:
+        hidden_dim = input_dim
+    edge_recipe = [3 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    aggr_recipe = [2 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    keys = jax.random.split(key, n_edge_chunks + n_node_chunks)
+    return {
+        "edge_mlps": [
+            init_mlp(keys[i], edge_recipe, layer_norm=True, dtype=dtype)
+            for i in range(n_edge_chunks)
+        ],
+        "aggr_mlps": [
+            init_mlp(keys[n_edge_chunks + i], aggr_recipe, layer_norm=True, dtype=dtype)
+            for i in range(n_node_chunks)
+        ],
+    }
+
+
+def apply_interaction_net_chunked(params: dict, chunk_meta: dict,
+                                  edges: EdgeSet, node_rep, edge_rep, *,
+                                  compute_dtype=None):
+    """Interaction net with per-chunk MLPs (the HiLAMParallel fusion trick).
+
+    The reference's SplitMLPs feeds contiguous chunks of the edge axis
+    (per original edge set) and of the node axis (per mesh level) through
+    separate MLPs (ref: neural_lam/interaction_net.py:134-163,
+    neural_lam/models/hi_lam_parallel.py:37-46). Here send and receiver
+    arrays are the same concatenated mesh-node array.
+
+    params: {"edge_mlps": [...per edge chunk], "aggr_mlps": [...per node chunk]}
+    chunk_meta: {"edge_sizes": [...], "node_sizes": [...]}
+    """
+    edge_sizes = chunk_meta["edge_sizes"]
+    node_sizes = chunk_meta["node_sizes"]
+
+    # Per-edge-chunk messages: plain gather-concat (chunks have distinct
+    # weights so the per-node decomposition would redo node transforms per
+    # chunk; with L chunks the concat form is cheaper).
+    x_j = jnp.take(node_rep, edges.senders, axis=-2)
+    x_i = jnp.take(node_rep, edges.receivers, axis=-2)
+    edge_in = jnp.concatenate([edge_rep, x_j, x_i], axis=-1)
+
+    msgs = []
+    start = 0
+    for sz, p in zip(edge_sizes, params["edge_mlps"]):
+        chunk = jax.lax.slice_in_dim(edge_in, start, start + sz, axis=-2)
+        msgs.append(apply_mlp(p, chunk, compute_dtype=compute_dtype))
+        start += sz
+    messages = jnp.concatenate(msgs, axis=-2)  # (..., M, d)
+
+    aggregated = gather_sum(messages, edges.gather_table)
+
+    aggr_in = jnp.concatenate([node_rep, aggregated], axis=-1)
+    outs = []
+    start = 0
+    for sz, p in zip(node_sizes, params["aggr_mlps"]):
+        chunk = jax.lax.slice_in_dim(aggr_in, start, start + sz, axis=-2)
+        outs.append(apply_mlp(p, chunk, compute_dtype=compute_dtype))
+        start += sz
+    rec_diff = jnp.concatenate(outs, axis=-2)
+
+    return node_rep + rec_diff, edge_rep + messages

@@ -1,0 +1,98 @@
+"""Segment reductions for message aggregation, TPU-first.
+
+The reference aggregates per-edge messages to receiver nodes with PyG's
+scatter ops (ref: neural_lam/interaction_net.py:124-131). On TPU,
+scatter-add is the weak spot of the hardware; two native formulations are
+provided:
+
+1. ``segment_sum``/``segment_mean`` — `jax.ops.segment_sum` over
+   receiver-sorted edges (`indices_are_sorted=True` lets XLA use the sorted
+   lowering).
+2. A *padded gather table*: at graph-load time we precompute, for each
+   receiver, the ids of its incoming edges padded to the max in-degree
+   (`build_gather_table`). Aggregation then becomes a dense gather + sum over
+   the degree axis — all reads, no data-dependent writes — which maps far
+   better onto TPU vector memory. Padding rows point at a zero sentinel row.
+
+Both give bit-identical sums for fp32 when edges are receiver-sorted (same
+addition order within a segment).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def segment_sum(data, segment_ids, num_segments: int, *, sorted_ids: bool = True):
+    """Sum `data` rows into `num_segments` buckets given by `segment_ids`.
+
+    data: (..., M, d) — batch dims allowed ahead of the edge axis.
+    segment_ids: (M,) int32.
+    """
+    def _seg(x):
+        return jax.ops.segment_sum(
+            x, segment_ids, num_segments=num_segments,
+            indices_are_sorted=sorted_ids,
+        )
+
+    if data.ndim == 2:
+        return _seg(data)
+    # vmap over leading batch dims
+    flat = data.reshape((-1,) + data.shape[-2:])
+    out = jax.vmap(_seg)(flat)
+    return out.reshape(data.shape[:-2] + (num_segments, data.shape[-1]))
+
+
+def segment_mean(data, segment_ids, num_segments: int, *, sorted_ids: bool = True):
+    """Mean-aggregate: segment_sum divided by per-segment counts (min 1)."""
+    sums = segment_sum(data, segment_ids, num_segments, sorted_ids=sorted_ids)
+    counts = jax.ops.segment_sum(
+        jnp.ones(segment_ids.shape, jnp.float32),
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=sorted_ids,
+    )
+    return sums / jnp.maximum(counts, 1.0)[..., :, None]
+
+
+def build_gather_table(receivers: np.ndarray, num_receivers: int):
+    """Precompute the padded (num_receivers, max_deg) edge-id table.
+
+    Entry [r, k] is the id of the k-th edge whose receiver is r, or
+    ``num_edges`` (a sentinel one-past-the-end row) for padding. Use with
+    ``gather_sum`` by appending a zero row to the message array.
+
+    Returns (table int32 (N, max_deg), max_deg).
+    """
+    receivers = np.asarray(receivers)
+    m = receivers.shape[0]
+    counts = np.bincount(receivers, minlength=num_receivers) if m else np.zeros(
+        num_receivers, dtype=np.int64
+    )
+    max_deg = int(counts.max()) if m else 1
+    table = np.full((num_receivers, max(max_deg, 1)), m, dtype=np.int32)
+    if m:
+        # works for unsorted receivers too (chunk-ordered fused edge sets):
+        # stable-sort edge ids by receiver, then place each id at its
+        # within-segment position.
+        order = np.argsort(receivers, kind="stable").astype(np.int32)
+        sorted_recv = receivers[order]
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(m) - starts[sorted_recv]
+        table[sorted_recv, within] = order
+    return table, max_deg
+
+
+def gather_sum(messages, table):
+    """Aggregate messages (..., M, d) via a padded gather table (N, K).
+
+    A zero row is appended at index M so padded slots contribute nothing.
+    This is the scatter-free TPU formulation of segment_sum.
+    """
+    d = messages.shape[-1]
+    zero = jnp.zeros(messages.shape[:-2] + (1, d), messages.dtype)
+    padded = jnp.concatenate([messages, zero], axis=-2)  # (..., M+1, d)
+    gathered = jnp.take(padded, table, axis=-2)  # (..., N, K, d)
+    return gathered.sum(axis=-2)
