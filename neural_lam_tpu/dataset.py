@@ -1,0 +1,350 @@
+"""Weather dataset: time slicing, forcing windowing, standardization, batching.
+
+Re-implements the sampling semantics of the reference's WeatherDataset
+(ref: neural_lam/weather_dataset.py:16-496) on numpy + FieldArray (no torch
+DataLoader): a sample at index `idx` is
+
+    init_states   (2, N_grid, d_state)          — X_{t-1}, X_t
+    target_states (ar_steps, N_grid, d_state)   — X_{t+1} ...
+    forcing       (ar_steps, N_grid, d_forcing * (past + future + 1))
+    target_times  (ar_steps,) int64 epoch-ns
+
+with forcing windowed around each target step and flattened feature-major
+(feature outer, window inner — xarray stack(("forcing_feature", "window")),
+ref: weather_dataset.py:416-421). Handles analysis data (single `time` dim)
+and forecast data (`analysis_time` × `elapsed_forecast_duration`, one sample
+per analysis time, first ensemble member only).
+
+Batching for TPU: `WeatherDataLoader` collates fixed-shape numpy batches
+(drop_last) with optional shuffling and a background prefetch thread — the
+host-side input pipeline that replaces torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import warnings
+
+import numpy as np
+
+from .datastore.base import BaseDatastore, FieldArray
+
+
+class WeatherDataset:
+    """Dataset over a datastore split (ref: weather_dataset.py:16-117)."""
+
+    def __init__(self, datastore: BaseDatastore, split="train", ar_steps=3,
+                 num_past_forcing_steps=1, num_future_forcing_steps=1,
+                 standardize=True):
+        self.split = split
+        self.ar_steps = ar_steps
+        self.datastore = datastore
+        self.num_past_forcing_steps = num_past_forcing_steps
+        self.num_future_forcing_steps = num_future_forcing_steps
+
+        self.da_state = datastore.get_dataarray(category="state", split=split)
+        self.da_forcing = datastore.get_dataarray(category="forcing", split=split)
+
+        if len(self) <= 0:
+            raise ValueError(
+                "The provided datastore only provides "
+                f"{self._n_time_total()} total time steps, which is too few "
+                "to create a single sample for the WeatherDataset "
+                f"configuration used in the `{split}` split. You could try "
+                "either reducing the number of autoregressive steps "
+                "(`ar_steps`) and/or the forcing window size "
+                "(`num_past_forcing_steps` and `num_future_forcing_steps`)"
+            )
+
+        # dim-order contract check (ref: weather_dataset.py:80-95)
+        parts = {"state": self.da_state}
+        if self.da_forcing is not None:
+            parts["forcing"] = self.da_forcing
+        for part, da in parts.items():
+            expected = datastore.expected_dim_order(category=part)
+            if da.dims != expected:
+                raise ValueError(
+                    f"The dimension order of the `{part}` data ({da.dims}) "
+                    f"does not match the expected dimension order ({expected})."
+                )
+
+        self.standardize = standardize
+        if standardize:
+            stats = datastore.get_standardization_dataarray(category="state")
+            self.da_state_mean = np.asarray(stats["state_mean"], np.float32)
+            self.da_state_std = np.asarray(stats["state_std"], np.float32)
+            if self.da_forcing is not None:
+                fstats = datastore.get_standardization_dataarray(category="forcing")
+                self.da_forcing_mean = np.asarray(fstats["forcing_mean"], np.float32)
+                self.da_forcing_std = np.asarray(fstats["forcing_std"], np.float32)
+
+    # --- length (ref: weather_dataset.py:117-161) ---
+
+    def _n_time_total(self):
+        if self.datastore.is_forecast:
+            return self.da_state.sizes()["elapsed_forecast_duration"]
+        return self.da_state.sizes()["time"]
+
+    def __len__(self):
+        if self.datastore.is_forecast:
+            if self.datastore.is_ensemble:
+                warnings.warn(
+                    "only using first ensemble member, so dataset size is "
+                    "effectively reduced by the number of ensemble members "
+                    f"({self.da_state.sizes().get('ensemble_member')})",
+                    UserWarning,
+                )
+            n_forecast_steps = self.da_state.sizes()["elapsed_forecast_duration"]
+            if n_forecast_steps < 2 + self.ar_steps:
+                raise ValueError(
+                    f"The number of forecast steps available ({n_forecast_steps})"
+                    f" is less than the required 2+ar_steps "
+                    f"(2+{self.ar_steps}={2 + self.ar_steps}) for creating a "
+                    "sample with initial and target states."
+                )
+            return self.da_state.sizes()["analysis_time"]
+        return (
+            self.da_state.sizes()["time"]
+            - self.ar_steps
+            - max(2, self.num_past_forcing_steps)
+            - self.num_future_forcing_steps
+        )
+
+    # --- slicing (ref: weather_dataset.py:163-331) ---
+
+    def _state_slice(self, idx):
+        """(2 + ar_steps, N, d) standardize-ready state window + its times."""
+        init_steps = 2
+        n_steps = self.ar_steps
+        past = self.num_past_forcing_steps
+        if self.datastore.is_forecast:
+            start = max(0, past - init_steps)
+            end = max(init_steps, past) + n_steps
+            da = self.da_state.isel(analysis_time=idx)
+            if self.datastore.is_ensemble:
+                da = da.isel(ensemble_member=0)
+            vals = da.values[start:end]
+            atime = np.asarray(self.da_state.coords["analysis_time"])[idx]
+            efd = np.asarray(
+                self.da_state.coords["elapsed_forecast_duration"]
+            )[start:end]
+            times = atime + efd
+        else:
+            start = idx + max(0, past - init_steps)
+            end = idx + max(init_steps, past) + n_steps
+            vals = self.da_state.isel(time=slice(start, end)).values
+            times = np.asarray(self.da_state.coords["time"])[start:end]
+        return np.asarray(vals, np.float32), times
+
+    def _forcing_windows(self, idx):
+        """(ar_steps, N, d_f * W) windowed + flattened forcing, feature-major."""
+        init_steps = 2
+        past = self.num_past_forcing_steps
+        future = self.num_future_forcing_steps
+        n_steps = self.ar_steps
+        W = past + future + 1
+
+        if self.datastore.is_forecast:
+            offset = max(init_steps, past)
+            da = self.da_forcing.isel(analysis_time=idx)
+            # whole needed range along elapsed_forecast_duration
+            lo = offset - past
+            hi = offset + (n_steps - 1) + future + 1
+            buf = np.asarray(da.values[lo:hi], np.float32)
+        else:
+            offset = idx + max(init_steps, past)
+            lo = offset - past
+            hi = offset + (n_steps - 1) + future + 1
+            buf = np.asarray(
+                self.da_forcing.isel(time=slice(lo, hi)).values, np.float32
+            )
+
+        if self.standardize:
+            buf = (buf - self.da_forcing_mean) / self.da_forcing_std
+
+        # sliding windows over time: (n_steps, N, d_f, W)
+        win = np.lib.stride_tricks.sliding_window_view(buf, W, axis=0)
+        n_grid, d_f = buf.shape[1], buf.shape[2]
+        # flatten feature-major: index = f * W + w
+        return win.reshape(n_steps, n_grid, d_f * W)
+
+    def __getitem__(self, idx):
+        """Sample tuple (init_states, target_states, forcing, target_times)
+        (ref: weather_dataset.py:443-496)."""
+        if idx < 0:
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        state, times = self._state_slice(idx)
+        if self.standardize:
+            state = (state - self.da_state_mean) / self.da_state_std
+        init_states = state[:2]
+        target_states = state[2:]
+        target_times = times[2:].astype("datetime64[ns]").astype(np.int64)
+
+        if self.da_forcing is not None:
+            forcing = self._forcing_windows(idx)
+        else:
+            forcing = np.empty(
+                (self.ar_steps, state.shape[1], 0), dtype=np.float32
+            )
+        return (
+            np.ascontiguousarray(init_states),
+            np.ascontiguousarray(target_states),
+            np.ascontiguousarray(forcing),
+            target_times,
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def create_dataarray_from_tensor(self, tensor, time, category: str) -> FieldArray:
+        """Inverse of __getitem__: array -> FieldArray with datastore coords
+        (ref: weather_dataset.py:509-600)."""
+        tensor = np.asarray(tensor)
+        da_ref = getattr(self, f"da_{category}")
+        feat = f"{category}_feature"
+        feat_coord = da_ref.coords.get(feat)
+        if tensor.ndim == 2:
+            if np.ndim(time) != 0:
+                raise ValueError("Expected a single time for a 2D tensor")
+            dims = ("grid_index", feat)
+            coords = {feat: feat_coord, "time": np.asarray(time)}
+        elif tensor.ndim == 3:
+            time = np.asarray(time)
+            if time.ndim == 0:
+                raise ValueError("Expected a list of times for a 3D tensor")
+            dims = ("time", "grid_index", feat)
+            coords = {"time": time, feat: feat_coord}
+        else:
+            raise ValueError(
+                f"Expected tensor to have 2 or 3 dimensions, got {tensor.ndim}"
+            )
+        coords = {k: v for k, v in coords.items() if v is not None}
+        return FieldArray(tensor, dims, coords)
+
+
+def collate(samples):
+    """Stack samples into fixed-shape numpy batch arrays."""
+    return tuple(np.stack(parts, axis=0) for parts in zip(*samples))
+
+
+class WeatherDataLoader:
+    """Shuffling, fixed-shape, background-prefetching batch iterator.
+
+    Replaces torch DataLoader (ref: weather_dataset.py:665-696). drop_last
+    is always on so every batch has a static shape (jit-friendly); with
+    `shard` = (num_shards, shard_id) each shard reads a disjoint strided
+    subset of batches (multi-host data parallelism).
+    """
+
+    def __init__(self, dataset: WeatherDataset, batch_size=4, shuffle=False,
+                 seed=0, prefetch=2, shard=(1, 0)):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.num_shards, self.shard_id = shard
+        self.epoch = 0
+
+    def __len__(self):
+        per_host = len(self.dataset) // self.batch_size
+        return per_host // self.num_shards
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        n_batches = n // self.batch_size
+        batches = order[: n_batches * self.batch_size].reshape(
+            n_batches, self.batch_size
+        )
+        return batches[self.shard_id :: self.num_shards][: len(self)]
+
+    def __iter__(self):
+        batches = self._batch_indices()
+        if self.prefetch <= 0:
+            for b in batches:
+                yield collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(collate([self.dataset[int(i)] for i in b]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class WeatherDataModule:
+    """Bundles train/val/test datasets + loaders
+    (ref: weather_dataset.py:603-696)."""
+
+    def __init__(self, datastore: BaseDatastore, ar_steps_train=3,
+                 ar_steps_eval=25, standardize=True, num_past_forcing_steps=1,
+                 num_future_forcing_steps=1, batch_size=4, shard=(1, 0)):
+        self._datastore = datastore
+        self.ar_steps_train = ar_steps_train
+        self.ar_steps_eval = ar_steps_eval
+        self.standardize = standardize
+        self.num_past_forcing_steps = num_past_forcing_steps
+        self.num_future_forcing_steps = num_future_forcing_steps
+        self.batch_size = batch_size
+        self.shard = shard
+        self.train_dataset = None
+        self.val_dataset = None
+        self.test_dataset = None
+
+    def setup(self, stage=None):
+        common = dict(
+            datastore=self._datastore,
+            standardize=self.standardize,
+            num_past_forcing_steps=self.num_past_forcing_steps,
+            num_future_forcing_steps=self.num_future_forcing_steps,
+        )
+        if stage in ("fit", None):
+            self.train_dataset = WeatherDataset(
+                split="train", ar_steps=self.ar_steps_train, **common
+            )
+            self.val_dataset = WeatherDataset(
+                split="val", ar_steps=self.ar_steps_eval, **common
+            )
+        if stage in ("test", None):
+            self.test_dataset = WeatherDataset(
+                split="test", ar_steps=self.ar_steps_eval, **common
+            )
+
+    def train_dataloader(self, seed=0):
+        return WeatherDataLoader(
+            self.train_dataset, batch_size=self.batch_size, shuffle=True,
+            seed=seed, shard=self.shard,
+        )
+
+    def val_dataloader(self):
+        return WeatherDataLoader(
+            self.val_dataset, batch_size=self.batch_size, shard=self.shard
+        )
+
+    def test_dataloader(self):
+        return WeatherDataLoader(
+            self.test_dataset, batch_size=self.batch_size, shard=self.shard
+        )

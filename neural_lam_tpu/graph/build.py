@@ -22,9 +22,9 @@ so node orderings and edge sets are fully determined by index math:
   (ref: create_graph.py:81-102); mesh static feature = pos / max|grid xy|
   (ref: create_graph.py:410-415).
 
-Grid-node ordering: grid_index g = i*Nx + j with position xy[j, i]
-(ref: create_graph.py:437-456 — grid_2d_graph(Ny, Nx) + sorted tuples),
-matching BaseRegularGridDatastore's stacking convention.
+Grid-node ordering: grid_index g = ix*Ny + iy with position xy[ix, iy] —
+the datastores' stack("x", "y") convention (x-major). See the note in
+`create_graph` about the reference's own (transposed) builder ordering.
 """
 
 from __future__ import annotations
@@ -94,6 +94,11 @@ def create_graph(graph_dir_path: str, xy: np.ndarray,
     if n_max_levels:
         mesh_levels = min(mesh_levels, n_max_levels)
     assert mesh_levels >= 1, "Grid too small to build a mesh graph"
+    if hierarchical and mesh_levels < 2:
+        raise ValueError(
+            "Hierarchical graphs need >= 2 mesh levels; grid of size "
+            f"{Nx}x{Ny} only supports {mesh_levels} (need >= 27 points/side)"
+        )
 
     level_n = [nleaf // (refine**lev) for lev in range(1, mesh_levels + 1)]
     level_pos = [_lattice_positions(xy, n) for n in level_n]
@@ -110,8 +115,14 @@ def create_graph(graph_dir_path: str, xy: np.ndarray,
     # mesh spacing: distance between bottom nodes (1,0) and (0,0)
     dm = np.linalg.norm(bottom_pos[1 * n0 + 0] - bottom_pos[0])
 
-    # grid node positions in grid_index order: g = i*Nx + j -> xy[j, i]
-    grid_pos = xy.transpose(1, 0, 2).reshape(Nx * Ny, 2)
+    # Grid node positions in grid_index order. We use the datastore's
+    # stacking convention grid_index = ix*Ny + iy (x-major, stack("x","y")).
+    # NOTE: the reference's builder orders grid nodes y-major
+    # (ref: create_graph.py:437-465 — networkx tuple sort gives i*Nx + j with
+    # i the y index) which *disagrees* with its own datastores' x-major
+    # grid_index; its graphs are effectively built on the transposed grid.
+    # We deliberately use the consistent convention instead.
+    grid_pos = xy.reshape(Nx * Ny, 2)
 
     kdt_g = scipy.spatial.KDTree(grid_pos)
     g2m_src, g2m_dst = [], []

@@ -1,0 +1,149 @@
+"""Encode-process-decode skeleton over a loaded graph.
+
+ref: neural_lam/models/base_graph_model.py:12-177 — grid/g2m/m2g embedders,
+g2m encoder GNN with residual grid MLP, abstract processor, m2g decoder GNN,
+output MLP (no LayerNorm), delta-prediction with diff-stat rescale and
+residual over prev_state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.storage import LoadedGraph
+from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.mlp import apply_mlp, init_mlp, mlp_blueprint
+from .ar_model import ARModelBase, ModelArgs
+
+
+def expand_to_batch(x, batch_size):
+    """(N, d) -> (B, N, d) broadcast (ref: ar_model.py:204-209)."""
+    return jnp.broadcast_to(x[None], (batch_size,) + x.shape)
+
+
+class BaseGraphModel(ARModelBase):
+    def __init__(self, args: ModelArgs, config, datastore,
+                 graph: LoadedGraph | None = None):
+        super().__init__(args, config, datastore)
+        if graph is None:
+            # load from <datastore root>/graph/<name>
+            # (ref: base_graph_model.py:24-33)
+            from ..graph.storage import load_graph
+
+            _, graph = load_graph(
+                str(datastore.root_path / "graph" / args.graph)
+            )
+        self.graph = graph
+        assert graph.num_grid_nodes == self.num_grid_nodes, (
+            f"graph has {graph.num_grid_nodes} grid nodes but datastore has "
+            f"{self.num_grid_nodes}"
+        )
+        self.hierarchical = graph.hierarchical
+        # [hidden_dim] * (hidden_layers + 1)
+        # (ref: base_graph_model.py:48)
+        self.mlp_blueprint_end = [args.hidden_dim] * (args.hidden_layers + 1)
+        self.num_mesh_nodes, _ = self.get_num_mesh()
+
+    # --- abstract over mesh structure (ref: base_graph_model.py:82-104) ---
+
+    def get_num_mesh(self):
+        raise NotImplementedError
+
+    def embedd_mesh_nodes(self, params):
+        raise NotImplementedError
+
+    def process_step(self, params, mesh_rep, batch_size):
+        raise NotImplementedError
+
+    def init_extra_params(self, key) -> dict:
+        """Subclass parameters (mesh embedders + processor)."""
+        raise NotImplementedError
+
+    # --- parameters ---
+
+    def init_params(self, key) -> dict:
+        g2m_dim = self.graph.g2m.features.shape[1]
+        m2g_dim = self.graph.m2g.features.shape[1]
+        keys = jax.random.split(key, 8)
+        h = self.args.hidden_dim
+        hl = self.args.hidden_layers
+        params = {
+            "grid_embedder": init_mlp(
+                keys[0], [self.grid_dim] + self.mlp_blueprint_end
+            ),
+            "g2m_embedder": init_mlp(keys[1], [g2m_dim] + self.mlp_blueprint_end),
+            "m2g_embedder": init_mlp(keys[2], [m2g_dim] + self.mlp_blueprint_end),
+            "g2m_gnn": init_interaction_net(keys[3], h, hidden_layers=hl),
+            "encoding_grid_mlp": init_mlp(
+                keys[4], [h] + self.mlp_blueprint_end
+            ),
+            "m2g_gnn": init_interaction_net(keys[5], h, hidden_layers=hl),
+            "output_map": init_mlp(
+                keys[6],
+                [h] * (hl + 1) + [self.grid_output_dim],
+                layer_norm=False,  # no output LN (ref: base_graph_model.py:76-80)
+            ),
+        }
+        params.update(self.init_extra_params(keys[7]))
+        return params
+
+    # --- forward (ref: base_graph_model.py:106-177) ---
+
+    def predict_step(self, params, prev_state, prev_prev_state, forcing):
+        batch_size = prev_state.shape[0]
+        cd = self.compute_dtype
+
+        grid_features = jnp.concatenate(
+            (
+                prev_state,
+                prev_prev_state,
+                forcing,
+                expand_to_batch(self.statics.grid_static_features, batch_size),
+            ),
+            axis=-1,
+        )
+
+        grid_emb = apply_mlp(params["grid_embedder"], grid_features,
+                             compute_dtype=cd)  # (B, N_grid, d_h)
+        g2m_emb = apply_mlp(params["g2m_embedder"], self.graph.g2m.features,
+                            compute_dtype=cd)
+        m2g_emb = apply_mlp(params["m2g_embedder"], self.graph.m2g.features,
+                            compute_dtype=cd)
+        mesh_emb = self.embedd_mesh_nodes(params)
+
+        mesh_rep = apply_interaction_net(
+            params["g2m_gnn"], self.graph.g2m,
+            send_rep=grid_emb,
+            rec_rep=expand_to_batch(mesh_emb, batch_size),
+            edge_rep=expand_to_batch(g2m_emb, batch_size),
+            update_edges=False, compute_dtype=cd,
+        )  # (B, N_mesh, d_h)
+        grid_rep = grid_emb + apply_mlp(
+            params["encoding_grid_mlp"], grid_emb, compute_dtype=cd
+        )
+
+        mesh_rep = self.process_step(params, mesh_rep, batch_size)
+
+        grid_rep = apply_interaction_net(
+            params["m2g_gnn"], self.graph.m2g,
+            send_rep=mesh_rep,
+            rec_rep=grid_rep,
+            edge_rep=expand_to_batch(m2g_emb, batch_size),
+            update_edges=False, compute_dtype=cd,
+        )  # (B, N_grid, d_h)
+
+        net_output = apply_mlp(params["output_map"], grid_rep,
+                               compute_dtype=cd)  # (B, N_grid, d_out)
+
+        if self.output_std:
+            pred_delta_mean, pred_std_raw = jnp.split(net_output, 2, axis=-1)
+            pred_std = jax.nn.softplus(pred_std_raw)
+        else:
+            pred_delta_mean = net_output
+            pred_std = None
+
+        rescaled_delta_mean = (
+            pred_delta_mean * self.statics.diff_std + self.statics.diff_mean
+        )
+        return prev_state + rescaled_delta_mean, pred_std

@@ -1,0 +1,144 @@
+"""Hierarchical graph model base: per-level embedders, init/read-out sweeps.
+
+ref: neural_lam/models/base_hi_graph_model.py:12-235 — mesh-init GNN sweep
+bottom→top over up-edges, abstract processor, read-out sweep top→bottom over
+down-edges (no edge update), only bottom level enters encode/decode.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.mlp import apply_mlp, init_mlp
+from .base_graph_model import BaseGraphModel, expand_to_batch
+
+
+class BaseHiGraphModel(BaseGraphModel):
+    def __init__(self, args, config, datastore, graph):
+        super().__init__(args, config, datastore, graph)
+        assert self.hierarchical, "hierarchical model needs hierarchical graph"
+        self.num_levels = len(graph.mesh_static_features)
+        self.level_mesh_sizes = list(graph.level_sizes)
+
+    def get_num_mesh(self):
+        """All mesh nodes; all but bottom level are ignored in encode/decode
+        (ref: base_hi_graph_model.py:102-113)."""
+        num_mesh_nodes = sum(self.graph.level_sizes)
+        num_ignore = num_mesh_nodes - self.graph.level_sizes[0]
+        return num_mesh_nodes, num_ignore
+
+    def init_extra_params(self, key) -> dict:
+        g = self.graph
+        h, hl = self.args.hidden_dim, self.args.hidden_layers
+        mesh_dim = g.mesh_static_features[0].shape[1]
+        same_dim = g.m2m[0].features.shape[1]
+        up_dim = g.up[0].features.shape[1]
+        down_dim = g.down[0].features.shape[1]
+        L = self.num_levels
+        keys = iter(jax.random.split(key, 4 * L + 2 * (L - 1) + 16))
+        params = {
+            "mesh_embedders": [
+                init_mlp(next(keys), [mesh_dim] + self.mlp_blueprint_end)
+                for _ in range(L)
+            ],
+            "mesh_same_embedders": [
+                init_mlp(next(keys), [same_dim] + self.mlp_blueprint_end)
+                for _ in range(L)
+            ],
+            "mesh_up_embedders": [
+                init_mlp(next(keys), [up_dim] + self.mlp_blueprint_end)
+                for _ in range(L - 1)
+            ],
+            "mesh_down_embedders": [
+                init_mlp(next(keys), [down_dim] + self.mlp_blueprint_end)
+                for _ in range(L - 1)
+            ],
+            "mesh_init_gnns": [
+                init_interaction_net(next(keys), h, hidden_layers=hl)
+                for _ in range(L - 1)
+            ],
+            "mesh_read_gnns": [
+                init_interaction_net(next(keys), h, hidden_layers=hl)
+                for _ in range(L - 1)
+            ],
+        }
+        params.update(self.init_hi_processor_params(next(keys)))
+        return params
+
+    def init_hi_processor_params(self, key) -> dict:
+        raise NotImplementedError
+
+    def embedd_mesh_nodes(self, params):
+        """Bottom level only (ref: base_hi_graph_model.py:115-122)."""
+        return apply_mlp(
+            params["mesh_embedders"][0], self.graph.mesh_static_features[0],
+            compute_dtype=self.compute_dtype,
+        )
+
+    def process_step(self, params, mesh_rep, batch_size):
+        """(ref: base_hi_graph_model.py:124-217)"""
+        g = self.graph
+        cd = self.compute_dtype
+
+        # embed levels >= 1
+        mesh_rep_levels = [mesh_rep] + [
+            expand_to_batch(
+                apply_mlp(emb, feat, compute_dtype=cd), batch_size
+            )
+            for emb, feat in zip(
+                params["mesh_embedders"][1:], g.mesh_static_features[1:]
+            )
+        ]
+        # embed all edge sets, expand with batch dim
+        mesh_same_rep = [
+            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
+                            batch_size)
+            for emb, es in zip(params["mesh_same_embedders"], g.m2m)
+        ]
+        mesh_up_rep = [
+            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
+                            batch_size)
+            for emb, es in zip(params["mesh_up_embedders"], g.up)
+        ]
+        mesh_down_rep = [
+            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
+                            batch_size)
+            for emb, es in zip(params["mesh_down_embedders"], g.down)
+        ]
+
+        # MESH INIT: sweep bottom -> top over up edges (update edges)
+        for level_l, gnn_p in enumerate(params["mesh_init_gnns"], start=1):
+            new_node_rep, new_edge_rep = apply_interaction_net(
+                gnn_p, g.up[level_l - 1],
+                send_rep=mesh_rep_levels[level_l - 1],
+                rec_rep=mesh_rep_levels[level_l],
+                edge_rep=mesh_up_rep[level_l - 1],
+                update_edges=True, compute_dtype=cd,
+            )
+            mesh_rep_levels[level_l] = new_node_rep
+            mesh_up_rep[level_l - 1] = new_edge_rep
+
+        # PROCESSOR
+        mesh_rep_levels, _, _, mesh_down_rep = self.hi_processor_step(
+            params, mesh_rep_levels, mesh_same_rep, mesh_up_rep, mesh_down_rep
+        )
+
+        # READ OUT: sweep top -> bottom over down edges (no edge update)
+        for level_l, gnn_p in zip(
+            range(self.num_levels - 2, -1, -1),
+            reversed(params["mesh_read_gnns"]),
+        ):
+            mesh_rep_levels[level_l] = apply_interaction_net(
+                gnn_p, g.down[level_l],
+                send_rep=mesh_rep_levels[level_l + 1],
+                rec_rep=mesh_rep_levels[level_l],
+                edge_rep=mesh_down_rep[level_l],
+                update_edges=False, compute_dtype=cd,
+            )
+
+        return mesh_rep_levels[0]
+
+    def hi_processor_step(self, params, mesh_rep_levels, mesh_same_rep,
+                          mesh_up_rep, mesh_down_rep):
+        raise NotImplementedError

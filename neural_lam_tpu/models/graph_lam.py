@@ -1,0 +1,59 @@
+"""Flat (non-hierarchical) GraphCast/Keisler-style model.
+
+ref: neural_lam/models/graph_lam.py:12-91 — mesh & m2m embedders, processor
+stack of interaction nets over the single merged multiscale m2m edge set.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.mlp import apply_mlp, init_mlp
+from .base_graph_model import BaseGraphModel, expand_to_batch
+
+
+class GraphLAM(BaseGraphModel):
+    def __init__(self, args, config, datastore, graph):
+        super().__init__(args, config, datastore, graph)
+        assert not self.hierarchical, (
+            "GraphLAM does not use a hierarchical mesh graph"
+        )
+        self.m2m = graph.m2m[0]
+        self.mesh_static = graph.mesh_static_features[0]
+
+    def get_num_mesh(self):
+        return self.graph.level_sizes[0], 0
+
+    def init_extra_params(self, key) -> dict:
+        mesh_dim = self.mesh_static.shape[1]
+        m2m_dim = self.m2m.features.shape[1]
+        h, hl = self.args.hidden_dim, self.args.hidden_layers
+        keys = jax.random.split(key, self.args.processor_layers + 2)
+        return {
+            "mesh_embedder": init_mlp(
+                keys[0], [mesh_dim] + self.mlp_blueprint_end
+            ),
+            "m2m_embedder": init_mlp(keys[1], [m2m_dim] + self.mlp_blueprint_end),
+            "processor": [
+                init_interaction_net(k, h, hidden_layers=hl)
+                for k in keys[2:]
+            ],
+        }
+
+    def embedd_mesh_nodes(self, params):
+        return apply_mlp(params["mesh_embedder"], self.mesh_static,
+                         compute_dtype=self.compute_dtype)
+
+    def process_step(self, params, mesh_rep, batch_size):
+        """Processor stack sharing the single m2m edge set
+        (ref: graph_lam.py:73-91)."""
+        m2m_emb = apply_mlp(params["m2m_embedder"], self.m2m.features,
+                            compute_dtype=self.compute_dtype)
+        edge_rep = expand_to_batch(m2m_emb, batch_size)
+        for p in params["processor"]:
+            mesh_rep, edge_rep = apply_interaction_net(
+                p, self.m2m, mesh_rep, mesh_rep, edge_rep,
+                aggr=self.args.mesh_aggr, compute_dtype=self.compute_dtype,
+            )
+        return mesh_rep

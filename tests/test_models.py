@@ -1,0 +1,129 @@
+"""End-to-end model tests: graph build + forward + rollout + grad for all
+three model families on the dummy datastore (mirrors the reference's cheap
+model-correctness test, ref: tests/test_datasets.py:161-222)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_lam_tpu.config import (
+    DatastoreSelection,
+    NeuralLAMConfig,
+    TrainingConfig,
+)
+from neural_lam_tpu.dataset import WeatherDataLoader, WeatherDataset, collate
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.graph.build import create_graph
+from neural_lam_tpu.graph.storage import graph_from_bundle
+from neural_lam_tpu.models import MODELS
+from neural_lam_tpu.models.ar_model import ModelArgs
+
+
+@pytest.fixture(scope="module")
+def datastore():
+    return DummyDatastore(n_points_1d=30, n_timesteps=40)
+
+
+@pytest.fixture(scope="module")
+def nl_config():
+    return NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+
+
+def _graph(datastore, tmp_path, hierarchical):
+    xy = datastore.get_xy("state", stacked=False)
+    bundle = create_graph(
+        str(tmp_path / ("hier" if hierarchical else "flat")),
+        xy, n_max_levels=2 if hierarchical else None,
+        hierarchical=hierarchical,
+    )
+    return graph_from_bundle(bundle)
+
+
+@pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam", "hi_lam_parallel"])
+def test_model_forward_rollout_grad(model_name, datastore, nl_config, tmp_path):
+    hierarchical = model_name != "graph_lam"
+    graph = _graph(datastore, tmp_path, hierarchical)
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    model = MODELS[model_name](args, nl_config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ds = WeatherDataset(datastore, split="train", ar_steps=3)
+    batch = collate([ds[0], ds[1]])
+    batch = tuple(jnp.asarray(b) for b in batch)
+    init_states, target_states, forcing, times = batch
+    B, T, N, d = target_states.shape
+    assert init_states.shape == (B, 2, N, d)
+
+    # single predict step
+    new_state, pred_std = model.predict_step(
+        params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+    )
+    assert new_state.shape == (B, N, d)
+    assert pred_std is None
+    assert np.all(np.isfinite(np.asarray(new_state)))
+
+    # full rollout under jit
+    @jax.jit
+    def loss(p, batch):
+        return model.training_loss(p, batch)
+
+    val = loss(params, batch)
+    assert np.isfinite(float(val))
+
+    g = jax.grad(loss)(params, batch)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_output_std_head(datastore, nl_config, tmp_path):
+    graph = _graph(datastore, tmp_path, hierarchical=False)
+    args = ModelArgs(hidden_dim=8, processor_layers=1, output_std=True,
+                     loss="nll")
+    model = MODELS["graph_lam"](args, nl_config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0]]))
+    prediction, target, pred_std, _ = model.common_step(params, batch)
+    assert pred_std.shape == prediction.shape
+    assert np.all(np.asarray(pred_std) > 0)
+    val = model.training_loss(params, batch)
+    assert np.isfinite(float(val))
+
+
+def test_eval_step_metrics(datastore, nl_config, tmp_path):
+    graph = _graph(datastore, tmp_path, hierarchical=False)
+    args = ModelArgs(hidden_dim=8, processor_layers=1)
+    model = MODELS["graph_lam"](args, nl_config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = WeatherDataset(datastore, split="val", ar_steps=3)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0]]))
+    out = jax.jit(model.eval_step_metrics)(params, batch)
+    T, d = 3, datastore.get_num_data_vars("state")
+    N = datastore.num_grid_points
+    assert out["time_step_loss"].shape == (T,)
+    assert out["mse"].shape == (1, T, d)
+    assert out["spatial_loss"].shape == (1, T, N)
+
+
+def test_dataloader_shapes(datastore):
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    dl = WeatherDataLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 2
+    for init_states, target_states, forcing, times in batches:
+        assert init_states.shape[0] == 2
+        assert target_states.shape[1] == 2
+    # sharded loaders partition batches disjointly
+    dl0 = WeatherDataLoader(ds, batch_size=2, shard=(2, 0))
+    dl1 = WeatherDataLoader(ds, batch_size=2, shard=(2, 1))
+    assert len(dl0) == len(dl) // 2
+    b0 = [b[3].tolist() for b in dl0]
+    b1 = [b[3].tolist() for b in dl1]
+    assert b0 != b1
