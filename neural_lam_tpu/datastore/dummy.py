@@ -26,8 +26,13 @@ class DummyDatastore(BaseRegularGridDatastore):
     N_FEATURES = {"state": 5, "forcing": 2, "static": 1}
 
     def __init__(self, config_path=None, n_grid_points=None, n_points_1d=10,
-                 n_timesteps=15, boundary_width=1, seed=916):
-        """config_path may point at a YAML overriding the keyword defaults."""
+                 n_timesteps=15, boundary_width=1, seed=916, grid_shape=None,
+                 n_features=None):
+        """config_path may point at a YAML overriding the keyword defaults.
+
+        grid_shape: optional (nx, ny) for rectangular grids; n_features:
+        optional {category: n} override (e.g. MEPS-shaped benches).
+        """
         if config_path is not None and Path(config_path).exists():
             with open(config_path) as f:
                 cfg = yaml.safe_load(f) or {}
@@ -35,9 +40,15 @@ class DummyDatastore(BaseRegularGridDatastore):
             n_timesteps = cfg.get("n_timesteps", n_timesteps)
             boundary_width = cfg.get("boundary_width", boundary_width)
             seed = cfg.get("seed", seed)
+            grid_shape = cfg.get("grid_shape", grid_shape)
+            n_features = cfg.get("n_features", n_features)
         if n_grid_points is not None:
             n_points_1d = int(round(n_grid_points**0.5))
             assert n_points_1d**2 == n_grid_points, "n_grid_points must be square"
+        if grid_shape is None:
+            grid_shape = (n_points_1d, n_points_1d)
+        if n_features is not None:
+            self.N_FEATURES = {**self.N_FEATURES, **n_features}
 
         self._config = {
             "n_points_1d": n_points_1d,
@@ -45,14 +56,14 @@ class DummyDatastore(BaseRegularGridDatastore):
             "boundary_width": boundary_width,
             "seed": seed,
         }
-        self._n = n_points_1d
+        self._nx, self._ny = grid_shape
         self._n_timesteps = n_timesteps
         rng = np.random.default_rng(seed)
 
-        nx = ny = n_points_1d
+        nx, ny = grid_shape
         # x-major grid_index convention: g = ix*Ny + iy
-        x = np.linspace(0.0, 2000e3, nx)
-        y = np.linspace(0.0, 2000e3, ny)
+        x = np.linspace(0.0, 10e3 * nx, nx)
+        y = np.linspace(0.0, 10e3 * ny, ny)
         self._xy = np.stack(np.meshgrid(x, y, indexing="ij"), axis=-1)  # (nx, ny, 2)
 
         n_grid = nx * ny
@@ -149,7 +160,7 @@ class DummyDatastore(BaseRegularGridDatastore):
 
     @property
     def grid_shape_state(self) -> CartesianGridShape:
-        return CartesianGridShape(x=self._n, y=self._n)
+        return CartesianGridShape(x=self._nx, y=self._ny)
 
     def get_xy(self, category: str, stacked: bool = True) -> np.ndarray:
         if stacked:

@@ -1,0 +1,440 @@
+"""Training / evaluation runtime + CLI.
+
+Replaces the reference's Lightning Trainer + `python -m neural_lam.train_model`
+entry point (ref: neural_lam/train_model.py:27-300) with an explicit jitted
+train loop:
+
+  train_step = jit(grads + AdamW update), batch sharded over the mesh 'data'
+  axis, params replicated — XLA inserts the gradient all-reduce that DDP/NCCL
+  performed in the reference.
+
+Optimizer: AdamW(lr, betas=(0.9, 0.95)) with torch's default weight decay
+0.01 applied to all parameters (ref: ar_model.py:191-195); no LR scheduler.
+Checkpoints: `min_val_loss` (monitoring val_mean_loss) + `last`
+(ref: train_model.py:264-270). Metrics go to stdout and
+<run_dir>/metrics.jsonl; test artifacts (error-map csv/pdf, spatial loss
+maps, example predictions) go to <run_dir>/ (reference drops these into
+wandb.run.dir, ref: ar_model.py:456-696).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import random
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import load_config_and_datastore
+from .dataset import WeatherDataModule
+from .models import MODELS
+from .models.ar_model import ModelArgs
+from .parallel.mesh import make_mesh, replicate, shard_batch
+
+
+@dataclasses.dataclass
+class TrainFlags:
+    """Runtime flags (the non-model part of ref: train_model.py:29-209)."""
+
+    epochs: int = 200
+    batch_size: int = 4
+    ar_steps_train: int = 1
+    ar_steps_eval: int = 10
+    val_interval: int = 1
+    seed: int = 42
+    num_nodes: int = 1
+    devices: str = "auto"
+    precision: str = "32"
+    load: str | None = None
+    restore_opt: bool = False
+    eval: str | None = None  # None | "val" | "test"
+    logger: str = "jsonl"
+    run_name: str = "run"
+    save_dir: str = "saved_models"
+
+
+class MetricsLogger:
+    """stdout + JSONL metrics sink (reference: W&B, ref: train_model.py:271-275)."""
+
+    def __init__(self, run_dir: Path):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.run_dir / "metrics.jsonl", "a")
+
+    def log(self, metrics: dict, step: int | None = None):
+        rec = {"_time": time.time()}
+        if step is not None:
+            rec["step"] = step
+        rec.update(
+            {k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
+             for k, v in metrics.items()}
+        )
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        shown = {k: v for k, v in rec.items() if not k.startswith("_")}
+        print(json.dumps(shown), flush=True)
+
+
+class Trainer:
+    """Explicit training loop over a model + datamodule."""
+
+    def __init__(self, model, flags: TrainFlags, run_dir=None, mesh=None):
+        self.model = model
+        self.flags = flags
+        self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = MetricsLogger(self.run_dir)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.optimizer = optax.adamw(
+            model.args.lr, b1=0.9, b2=0.95, weight_decay=0.01
+        )
+        self.global_step = 0
+        self.best_val_loss = float("inf")
+
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self.model.eval_step_metrics)
+
+    # --- jitted steps ---
+
+    def _train_step_fn(self, params, opt_state, batch):
+        loss, grads = jax.value_and_grad(self.model.training_loss)(params, batch)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # --- setup ---
+
+    def init_state(self, seed=None):
+        seed = self.flags.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        params = self.model.init_params(key)
+        opt_state = self.optimizer.init(params)
+        if self.flags.load:
+            tmpl_opt = opt_state if self.flags.restore_opt else None
+            params, restored_opt, meta = load_checkpoint(
+                self.flags.load, params, tmpl_opt
+            )
+            if self.flags.restore_opt and restored_opt is not None:
+                opt_state = restored_opt
+            self.global_step = int(meta.get("step", 0))
+            self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+            print(f"Restored checkpoint from {self.flags.load} "
+                  f"(step {self.global_step})")
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        return params, opt_state
+
+    # --- loops ---
+
+    def fit(self, datamodule: WeatherDataModule, params=None, opt_state=None):
+        datamodule.setup("fit")
+        if params is None:
+            params, opt_state = self.init_state()
+        flags = self.flags
+        val_steps_to_log = self.model.args.val_steps_to_log
+
+        for epoch in range(flags.epochs):
+            loader = datamodule.train_dataloader(seed=flags.seed)
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            n_batches = 0
+            loss_sum = 0.0
+            for batch in loader:
+                batch = shard_batch(tuple(jnp.asarray(b) for b in batch),
+                                    self.mesh)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, batch
+                )
+                self.global_step += 1
+                n_batches += 1
+                loss_sum += float(loss)
+            dt = time.time() - t0
+            train_loss = loss_sum / max(n_batches, 1)
+            self.logger.log(
+                {"epoch": epoch, "train_loss": train_loss,
+                 "epoch_s": dt,
+                 "batches_per_s": n_batches / dt if dt > 0 else 0.0},
+                step=self.global_step,
+            )
+
+            if (epoch + 1) % flags.val_interval == 0:
+                val_metrics = self.validate(datamodule, params)
+                val_loss = val_metrics["val_mean_loss"]
+                log = {"epoch": epoch, "val_mean_loss": val_loss}
+                tsl = val_metrics["time_step_loss"]
+                for step in val_steps_to_log:
+                    if step <= len(tsl):
+                        log[f"val_loss_unroll{step}"] = tsl[step - 1]
+                self.logger.log(log, step=self.global_step)
+
+                meta = {"step": self.global_step, "epoch": epoch,
+                        "val_mean_loss": val_loss,
+                        "best_val_loss": min(self.best_val_loss, val_loss)}
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    save_checkpoint(self.run_dir, "min_val_loss", params,
+                                    opt_state, meta)
+                save_checkpoint(self.run_dir, "last", params, opt_state, meta)
+        return params, opt_state
+
+    def validate(self, datamodule, params):
+        """Mean loss per unroll step + error-map stats over the val split
+        (ref: ar_model.py:324-373)."""
+        loader = datamodule.val_dataloader()
+        agg = _EvalAggregator()
+        for batch in loader:
+            batch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
+            agg.add(self._eval_step(params, batch))
+        return agg.summarize()
+
+    def test(self, datamodule, params, make_plots=True):
+        """Test epoch: losses, rmse/mae error maps (rescaled to physical
+        units), mean spatial loss maps, csv + figure artifacts
+        (ref: ar_model.py:375-454,610-696)."""
+        datamodule.setup("test")
+        loader = datamodule.test_dataloader()
+        agg = _EvalAggregator(keep_spatial=True)
+        example_batch = None
+        for batch in loader:
+            if example_batch is None:
+                example_batch = batch
+            jbatch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
+            agg.add(self._eval_step(params, jbatch))
+        summary = agg.summarize()
+
+        model = self.model
+        datastore = model.datastore
+        state_std = np.asarray(model.statics.state_std)
+        log = {"test_mean_loss": summary["val_mean_loss"]}
+        for step in model.args.val_steps_to_log:
+            if step <= len(summary["time_step_loss"]):
+                log[f"test_loss_unroll{step}"] = summary["time_step_loss"][step - 1]
+        self.logger.log(log)
+
+        artifacts = {}
+        for name in ("mse", "mae"):
+            arr = summary[name]  # (T, d) mean over samples
+            if "mse" in name:
+                arr = np.sqrt(arr)
+                out_name = name.replace("mse", "rmse")
+            else:
+                out_name = name
+            rescaled = arr * state_std  # (T, d)
+            artifacts[f"test_{out_name}"] = rescaled
+            np.savetxt(self.run_dir / f"test_{out_name}.csv", rescaled,
+                       delimiter=",")
+
+        spatial = summary.get("mean_spatial_loss")
+        if spatial is not None:
+            np.save(self.run_dir / "mean_spatial_loss.npy", spatial)
+
+        if make_plots:
+            from . import vis
+
+            for name, arr in artifacts.items():
+                fig = vis.plot_error_map(arr, datastore)
+                fig.savefig(self.run_dir / f"{name}.pdf")
+            if spatial is not None:
+                steps = [
+                    s for s in model.args.val_steps_to_log
+                    if s <= spatial.shape[0] + len(model.args.val_steps_to_log)
+                ]
+                for t_i, loss_map in zip(model.args.val_steps_to_log, spatial):
+                    fig = vis.plot_spatial_error(
+                        loss_map, datastore,
+                        title=f"Test loss, t={t_i} "
+                              f"({datastore.step_length * t_i} h)",
+                    )
+                    fig.savefig(self.run_dir / f"spatial_loss_t{t_i}.pdf")
+            if example_batch is not None:
+                self.plot_examples(example_batch, params, n_examples=min(
+                    model.args.n_example_pred, example_batch[0].shape[0]
+                ))
+        return {**log, **{k: v.tolist() for k, v in artifacts.items()}}
+
+    def plot_examples(self, batch, params, n_examples=1, split="test"):
+        """Per-variable per-step prediction/target figures
+        (ref: ar_model.py:456-566)."""
+        from . import vis
+
+        model = self.model
+        datastore = model.datastore
+        jbatch = tuple(jnp.asarray(b) for b in batch)
+        prediction, target, _, _ = model.common_step(params, jbatch)
+        state_mean = np.asarray(model.statics.state_mean)
+        state_std = np.asarray(model.statics.state_std)
+        pred = np.asarray(prediction) * state_std + state_mean
+        tgt = np.asarray(target) * state_std + state_mean
+        var_names = datastore.get_vars_names("state")
+        var_units = datastore.get_vars_units("state")
+        for ex in range(n_examples):
+            np.save(self.run_dir / f"example_pred_{ex + 1}.npy", pred[ex])
+            np.save(self.run_dir / f"example_target_{ex + 1}.npy", tgt[ex])
+            for t_i in range(pred.shape[1]):
+                for var_i, (vn, vu) in enumerate(zip(var_names, var_units)):
+                    fig = vis.plot_prediction(
+                        pred[ex, t_i, :, var_i], tgt[ex, t_i, :, var_i],
+                        datastore,
+                        title=f"{vn} ({vu}), t={t_i + 1} "
+                              f"({datastore.step_length * (t_i + 1)} h)",
+                    )
+                    fig.savefig(
+                        self.run_dir
+                        / f"example_{ex + 1}_{vn}_t{t_i + 1}.png"
+                    )
+                    import matplotlib.pyplot as plt
+
+                    plt.close("all")
+
+
+class _EvalAggregator:
+    """Accumulates eval_step_metrics outputs across batches
+    (ref: ar_model.py:610-644 — gather, mean over samples)."""
+
+    def __init__(self, keep_spatial=False):
+        self.keep_spatial = keep_spatial
+        self.n = 0
+        self.tsl_sum = None
+        self.mse_list = []
+        self.mae_list = []
+        self.spatial_sum = None
+        self.spatial_n = 0
+
+    def add(self, out):
+        tsl = np.asarray(out["time_step_loss"])
+        self.tsl_sum = tsl if self.tsl_sum is None else self.tsl_sum + tsl
+        self.n += 1
+        self.mse_list.append(np.asarray(out["mse"]))
+        self.mae_list.append(np.asarray(out["mae"]))
+        if self.keep_spatial:
+            sp = np.asarray(out["spatial_loss"]).sum(axis=0)
+            self.spatial_n += out["spatial_loss"].shape[0]
+            self.spatial_sum = sp if self.spatial_sum is None else (
+                self.spatial_sum + sp
+            )
+
+    def summarize(self):
+        tsl = self.tsl_sum / max(self.n, 1)
+        out = {
+            "time_step_loss": tsl,
+            "val_mean_loss": float(tsl.mean()),
+            "mse": np.concatenate(self.mse_list, axis=0).mean(axis=0),
+            "mae": np.concatenate(self.mae_list, axis=0).mean(axis=0),
+        }
+        if self.keep_spatial and self.spatial_sum is not None:
+            out["mean_spatial_loss"] = self.spatial_sum / max(self.spatial_n, 1)
+        return out
+
+
+def main(input_args=None):
+    """CLI mirroring `python -m neural_lam.train_model`
+    (ref: train_model.py:27-300)."""
+    parser = ArgumentParser(description="Train or evaluate NeuralLAM-TPU models")
+    parser.add_argument("--config_path", type=str,
+                        help="Path to the configuration for neural-lam")
+    parser.add_argument("--model", type=str, default="graph_lam",
+                        choices=sorted(MODELS.keys()))
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--load", type=str, help="checkpoint path to load")
+    parser.add_argument("--restore_opt", action="store_true")
+    parser.add_argument("--precision", type=str, default="32",
+                        choices=["32", "bf16", "bf16-mixed"])
+    # model architecture (ref: train_model.py:87-134)
+    parser.add_argument("--graph", type=str, default="multiscale")
+    parser.add_argument("--hidden_dim", type=int, default=64)
+    parser.add_argument("--hidden_layers", type=int, default=1)
+    parser.add_argument("--processor_layers", type=int, default=4)
+    parser.add_argument("--mesh_aggr", type=str, default="sum",
+                        choices=["sum", "mean"])
+    parser.add_argument("--output_std", action="store_true")
+    # training hyper-params (ref: train_model.py:135-166)
+    parser.add_argument("--ar_steps_train", type=int, default=1)
+    parser.add_argument("--ar_steps_eval", type=int, default=10)
+    parser.add_argument("--loss", type=str, default="wmse")
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--val_interval", type=int, default=1)
+    parser.add_argument("--num_past_forcing_steps", type=int, default=1)
+    parser.add_argument("--num_future_forcing_steps", type=int, default=1)
+    # evaluation (ref: train_model.py:167-208)
+    parser.add_argument("--eval", type=str, choices=["val", "test"])
+    parser.add_argument("--n_example_pred", type=int, default=1)
+    parser.add_argument("--val_steps_to_log", nargs="+", type=int,
+                        default=[1, 2, 3, 5, 10, 15, 19])
+    parser.add_argument("--run_name", type=str, default=None)
+    parser.add_argument("--save_dir", type=str, default="saved_models")
+    args = parser.parse_args(input_args)
+    assert args.config_path is not None, "Specify your config with --config_path"
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    config, datastore = load_config_and_datastore(config_path=args.config_path)
+
+    model_args = ModelArgs(
+        graph=args.graph,
+        hidden_dim=args.hidden_dim,
+        hidden_layers=args.hidden_layers,
+        processor_layers=args.processor_layers,
+        mesh_aggr=args.mesh_aggr,
+        output_std=args.output_std,
+        loss=args.loss,
+        lr=args.lr,
+        num_past_forcing_steps=args.num_past_forcing_steps,
+        num_future_forcing_steps=args.num_future_forcing_steps,
+        val_steps_to_log=tuple(args.val_steps_to_log),
+        restore_opt=args.restore_opt,
+        n_example_pred=args.n_example_pred,
+        compute_dtype="bfloat16" if args.precision.startswith("bf16") else None,
+    )
+    flags = TrainFlags(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        ar_steps_train=args.ar_steps_train,
+        ar_steps_eval=args.ar_steps_eval,
+        val_interval=args.val_interval,
+        seed=args.seed,
+        load=args.load,
+        restore_opt=args.restore_opt,
+        eval=args.eval,
+        precision=args.precision,
+        run_name=args.run_name
+        or f"{args.model}-{args.processor_layers}x{args.hidden_dim}-"
+           f"{time.strftime('%m_%d_%H_%M')}",
+        save_dir=args.save_dir,
+    )
+
+    datamodule = WeatherDataModule(
+        datastore,
+        ar_steps_train=args.ar_steps_train,
+        ar_steps_eval=args.ar_steps_eval,
+        standardize=True,
+        num_past_forcing_steps=args.num_past_forcing_steps,
+        num_future_forcing_steps=args.num_future_forcing_steps,
+        batch_size=args.batch_size,
+    )
+
+    model = MODELS[args.model](model_args, config, datastore)
+    trainer = Trainer(model, flags)
+
+    if args.eval:
+        params, opt_state = trainer.init_state()
+        if args.eval == "val":
+            datamodule.setup("fit")
+            print(trainer.validate(datamodule, params))
+        else:
+            print(trainer.test(datamodule, params))
+    else:
+        trainer.fit(datamodule)
+
+
+if __name__ == "__main__":
+    main()
