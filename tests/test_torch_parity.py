@@ -1,0 +1,117 @@
+"""Cross-framework parity: multi-step rollout must match a torch re-
+implementation of the reference math after importing its state dict.
+
+This is the BASELINE.json correctness target ("allclose rollout vs
+reference graph_lam & hi_lam torch checkpoints") exercised on the dummy
+datastore (the MEPS dataset requires network access unavailable here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from neural_lam_tpu.config import (
+    DatastoreSelection,
+    NeuralLAMConfig,
+    TrainingConfig,
+)
+from neural_lam_tpu.dataset import WeatherDataset, collate
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.graph.build import create_graph
+from neural_lam_tpu.graph.storage import graph_from_bundle
+from neural_lam_tpu.models import MODELS
+from neural_lam_tpu.models.ar_model import ModelArgs
+from neural_lam_tpu.torch_compat import (
+    export_state_dict,
+    import_state_dict,
+    migrate_legacy_keys,
+)
+
+from .torch_reference import TorchGraphLAM, TorchHiLAM
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    datastore = DummyDatastore(grid_shape=(30, 28), n_timesteps=40)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    gd = tmp_path_factory.mktemp("graphs")
+    flat = graph_from_bundle(create_graph(
+        str(gd / "flat"), datastore.get_xy("state", stacked=False),
+        n_max_levels=None, hierarchical=False,
+    ))
+    hier = graph_from_bundle(create_graph(
+        str(gd / "hier"), datastore.get_xy("state", stacked=False),
+        n_max_levels=2, hierarchical=True,
+    ))
+    return datastore, config, flat, hier
+
+
+def _rollout_batch(datastore, ar_steps=4):
+    ds = WeatherDataset(datastore, split="train", ar_steps=ar_steps)
+    return collate([ds[0], ds[3]])
+
+
+@pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam"])
+def test_rollout_parity(model_name, env):
+    datastore, config, flat, hier = env
+    graph = flat if model_name == "graph_lam" else hier
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    model = MODELS[model_name](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    torch.manual_seed(0)
+    cls = TorchGraphLAM if model_name == "graph_lam" else TorchHiLAM
+    tmodel = cls(
+        graph, model.statics, model.grid_dim, model.grid_output_dim,
+        hidden_dim=8, hidden_layers=1, n_proc=2,
+    )
+    state_dict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = import_state_dict(params, state_dict, strict=True)
+
+    init_states, target_states, forcing, _ = _rollout_batch(datastore)
+
+    with torch.no_grad():
+        pred_t = tmodel.unroll_prediction(
+            torch.tensor(init_states), torch.tensor(forcing),
+            torch.tensor(target_states),
+        ).numpy()
+
+    batch = tuple(jnp.asarray(b) for b in
+                  (init_states, target_states, forcing, np.zeros(1)))
+    pred_j, _ = model.unroll_prediction(
+        params, jnp.asarray(init_states), jnp.asarray(forcing),
+        jnp.asarray(target_states),
+    )
+    pred_j = np.asarray(pred_j)
+
+    assert pred_t.shape == pred_j.shape
+    # 4-step AR rollout amplifies fp noise; 1e-4 is well below signal scale
+    np.testing.assert_allclose(pred_t, pred_j, atol=1e-4, rtol=1e-3)
+
+
+def test_export_roundtrip(env):
+    datastore, config, flat, _ = env
+    args = ModelArgs(hidden_dim=8, processor_layers=2)
+    model = MODELS["graph_lam"](args, config, datastore, flat)
+    params = model.init_params(jax.random.PRNGKey(1))
+    sd = export_state_dict(params)
+    params2 = import_state_dict(
+        jax.tree_util.tree_map(lambda x: np.zeros_like(x), params), sd,
+        strict=True,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_key_migration():
+    sd = {"g2m_gnn.grid_mlp.0.weight": np.zeros((2, 2)),
+          "other.key": np.ones(3)}
+    out = migrate_legacy_keys(sd)
+    assert "encoding_grid_mlp.0.weight" in out
+    assert "g2m_gnn.grid_mlp.0.weight" not in out
+    assert "other.key" in out
