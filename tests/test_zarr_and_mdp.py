@@ -1,0 +1,157 @@
+"""Native zarr reader roundtrips + MDP datastore over a synthetic zarr."""
+
+import numpy as np
+import pytest
+
+from neural_lam_tpu.dataset import WeatherDataset
+from neural_lam_tpu.datastore.mdp import MDPDatastore
+from neural_lam_tpu.datastore.zarr_reader import (
+    ZarrGroup,
+    consolidate_metadata,
+    decode_cf_time,
+    write_zarr_array,
+)
+
+from .mdp_fixture import NX, NY, N_T, N_STATE, make_mdp_dataset
+
+
+@pytest.mark.parametrize("compressor", [
+    None,
+    {"id": "zlib", "level": 5},
+    {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2},
+])
+def test_zarr_roundtrip(tmp_path, compressor):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(11, 7, 3)).astype(np.float32)
+    write_zarr_array(tmp_path, "a", arr, dims=["t", "g", "f"],
+                     chunks=[4, 7, 3], compressor=compressor)
+    consolidate_metadata(tmp_path)
+    g = ZarrGroup(tmp_path)
+    out = g["a"].read_full()
+    np.testing.assert_array_equal(out, arr)
+    assert g["a"].dims == ("t", "g", "f")
+    # partial leading-axis reads touch only relevant chunks
+    np.testing.assert_array_equal(g["a"].read_slice0(3, 9), arr[3:9])
+    np.testing.assert_array_equal(g["a"][5], arr[5])
+    np.testing.assert_array_equal(g["a"][2:5], arr[2:5])
+
+
+def test_zarr_string_and_datetime_roundtrip(tmp_path):
+    names = np.array(["alpha", "beta", "gamma"], dtype=object)
+    write_zarr_array(tmp_path, "names", names, dims=["f"], compressor=None)
+    times = np.datetime64("2021-06-01T03", "ns") + np.arange(
+        5
+    ) * np.timedelta64(1, "h")
+    write_zarr_array(tmp_path, "time", times, dims=["time"])
+    consolidate_metadata(tmp_path)
+    g = ZarrGroup(tmp_path)
+    assert [str(s) for s in g["names"].read_full()] == ["alpha", "beta", "gamma"]
+    t = decode_cf_time(g["time"].read_full(), g["time"].attrs["units"])
+    np.testing.assert_array_equal(t, times)
+
+
+@pytest.fixture(scope="module")
+def mdp(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mdp")
+    config_path = make_mdp_dataset(root)
+    return MDPDatastore(config_path=config_path, n_boundary_points=2)
+
+
+def test_mdp_metadata(mdp):
+    assert mdp.get_vars_names("state") == [f"state_var_{i}" for i in range(3)]
+    assert mdp.get_num_data_vars("forcing") == 2
+    assert mdp.step_length == 3
+    assert mdp.grid_shape_state.x == NX
+    assert mdp.grid_shape_state.y == NY
+    assert mdp.num_grid_points == NX * NY
+    assert mdp.coords_projection["name"] == "LambertConformal"
+
+
+def test_mdp_dataarrays_and_splits(mdp):
+    da = mdp.get_dataarray("state", "train")
+    assert da.dims == ("time", "grid_index", "state_feature")
+    assert da.shape == (18, NX * NY, N_STATE)
+    da_val = mdp.get_dataarray("state", "val")
+    assert da_val.shape[0] == 6
+    da_test = mdp.get_dataarray("state", "test")
+    assert da_test.shape[0] == 6
+    static = mdp.get_dataarray("static", None)
+    assert static.dims == ("grid_index", "static_feature")
+    # lazy slicing matches full read
+    full = np.asarray(da.data[:])
+    np.testing.assert_array_equal(da.isel(time=slice(2, 9)).values, full[2:9])
+
+
+def test_mdp_boundary_and_stats(mdp):
+    mask = mdp.boundary_mask.values
+    assert mask.shape == (NX * NY,)
+    m2 = mask.reshape(NX, NY)
+    assert np.all(m2[:2, :] == 1) and np.all(m2[-2:, :] == 1)
+    assert np.all(m2[2:-2, 2:-2] == 0)
+    stats = mdp.get_standardization_dataarray("state")
+    for k in ("state_mean", "state_std", "state_diff_mean", "state_diff_std"):
+        assert stats[k].shape == (N_STATE,)
+    fstats = mdp.get_standardization_dataarray("forcing")
+    assert fstats["forcing_mean"].shape == (2,)
+
+
+def test_mdp_weather_dataset_and_model(mdp, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_lam_tpu.config import (
+        DatastoreSelection, NeuralLAMConfig, TrainingConfig,
+    )
+    from neural_lam_tpu.dataset import collate
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    ds = WeatherDataset(mdp, split="train", ar_steps=3)
+    init_states, target_states, forcing, times = ds[0]
+    assert init_states.shape == (2, NX * NY, N_STATE)
+    assert forcing.shape == (3, NX * NY, 2 * 3)
+
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path / "g"), mdp.get_xy("state", stacked=False),
+        n_max_levels=1, hierarchical=False,
+    ))
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="mdp", config_path=""),
+        training=TrainingConfig(),
+    )
+    model = MODELS["graph_lam"](
+        ModelArgs(hidden_dim=4, processor_layers=1), config, mdp, graph
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0]]))
+    assert np.isfinite(float(model.training_loss(params, batch)))
+
+
+def test_registry_and_config_loading(tmp_path):
+    """init_datastore + load_config_and_datastore end-to-end (mdp kind)."""
+    import yaml
+
+    from neural_lam_tpu.config import load_config_and_datastore
+
+    config_path = make_mdp_dataset(tmp_path / "store")
+    nl_config = {
+        "datastore": {"kind": "mdp", "config_path": str(config_path)},
+        "training": {
+            "state_feature_weighting": {
+                "__config_class__": "ManualStateFeatureWeighting",
+                "weights": {f"state_var_{i}": 1.0 for i in range(3)},
+            }
+        },
+    }
+    nl_path = tmp_path / "config.yaml"
+    with open(nl_path, "w") as f:
+        yaml.safe_dump(nl_config, f)
+    config, datastore = load_config_and_datastore(nl_path)
+    assert datastore.SHORT_NAME == "mdp"
+    from neural_lam_tpu.loss_weighting import get_state_feature_weighting
+
+    w = get_state_feature_weighting(config, datastore)
+    assert w == [1.0, 1.0, 1.0]
