@@ -46,12 +46,21 @@ def load_checkpoint(ckpt_path, params_template, opt_state_template=None):
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_path).absolute()
-    ckptr = ocp.StandardCheckpointer()
-    template = {"params": _np_tree(params_template)}
-    has_opt = opt_state_template is not None and _ckpt_has_opt_state(path)
-    if has_opt:
-        template["opt_state"] = _np_tree(opt_state_template)
-    restored = ckptr.restore(path, target=template)
+    # restore without a template (gives plain nested containers), then merge
+    # into the provided templates — robust to checkpoints that contain an
+    # optimizer state the caller doesn't want (ref behavior of
+    # ar_model.py:719-721: optimizer state dropped unless --restore_opt)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    params = _merge_like(params_template, restored["params"], "params")
+    opt_state = None
+    if opt_state_template is not None and "opt_state" in restored:
+        opt_state = _merge_like(
+            opt_state_template, restored["opt_state"], "opt_state"
+        )
+    restored = {"params": params}
+    if opt_state is not None:
+        restored["opt_state"] = opt_state
     meta = {}
     meta_path = str(path) + ".meta.json"
     if os.path.exists(meta_path):
@@ -60,9 +69,22 @@ def load_checkpoint(ckpt_path, params_template, opt_state_template=None):
     return restored["params"], restored.get("opt_state"), meta
 
 
-def _ckpt_has_opt_state(path) -> bool:
-    try:
-        with open(Path(path) / "_METADATA") as f:
-            return '"opt_state"' in f.read()
-    except OSError:
-        return (Path(path) / "opt_state").exists()
+def _merge_like(template, restored, name):
+    """Fill the template's structure with restored values (shape-checked)."""
+    import jax.tree_util as jtu
+
+    t_leaves, treedef = jtu.tree_flatten(template)
+    r_leaves = jtu.tree_leaves(restored)
+    assert len(t_leaves) == len(r_leaves), (
+        f"checkpoint {name} has {len(r_leaves)} leaves, expected "
+        f"{len(t_leaves)}"
+    )
+    out = []
+    for t, r in zip(t_leaves, r_leaves):
+        r = np.asarray(r)
+        t_shape = tuple(np.shape(t))
+        assert tuple(r.shape) == t_shape, (
+            f"checkpoint {name}: leaf shape {r.shape} vs expected {t_shape}"
+        )
+        out.append(r.astype(np.asarray(t).dtype) if t_shape else r)
+    return jtu.tree_unflatten(treedef, out)

@@ -241,18 +241,24 @@ class WeatherDataLoader:
     """
 
     def __init__(self, dataset: WeatherDataset, batch_size=4, shuffle=False,
-                 seed=0, prefetch=2, shard=(1, 0)):
+                 seed=0, prefetch=2, shard=(1, 0), drop_last=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
         self.num_shards, self.shard_id = shard
+        self.drop_last = drop_last
         self.epoch = 0
 
     def __len__(self):
-        per_host = len(self.dataset) // self.batch_size
-        return per_host // self.num_shards
+        n_full = len(self.dataset) // self.batch_size
+        n = n_full // self.num_shards
+        if not self.drop_last and self.shard_id == 0:
+            remainder = len(self.dataset) - n_full * self.batch_size
+            extra_full = n_full - n * self.num_shards
+            n += extra_full + (1 if remainder else 0)
+        return n
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -264,10 +270,18 @@ class WeatherDataLoader:
             rng = np.random.default_rng((self.seed, self.epoch))
             order = rng.permutation(n)
         n_batches = n // self.batch_size
-        batches = order[: n_batches * self.batch_size].reshape(
-            n_batches, self.batch_size
-        )
-        return batches[self.shard_id :: self.num_shards][: len(self)]
+        batches = [
+            order[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        mine = batches[self.shard_id :: self.num_shards]
+        if not self.drop_last and self.shard_id == 0:
+            # shard 0 additionally picks up leftover full batches + remainder
+            mine += batches[len(mine) * self.num_shards:]
+            remainder = order[n_batches * self.batch_size:]
+            if remainder.size:
+                mine.append(remainder)
+        return mine
 
     def __iter__(self):
         batches = self._batch_indices()
@@ -341,10 +355,12 @@ class WeatherDataModule:
 
     def val_dataloader(self):
         return WeatherDataLoader(
-            self.val_dataset, batch_size=self.batch_size, shard=self.shard
+            self.val_dataset, batch_size=self.batch_size, shard=self.shard,
+            drop_last=False,
         )
 
     def test_dataloader(self):
         return WeatherDataLoader(
-            self.test_dataset, batch_size=self.batch_size, shard=self.shard
+            self.test_dataset, batch_size=self.batch_size, shard=self.shard,
+            drop_last=False,
         )

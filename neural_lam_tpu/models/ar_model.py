@@ -209,12 +209,12 @@ class ARModelBase:
         """
         prediction, target, pred_std, _ = self.common_step(params, batch)
         mask = self.interior_mask_bool()
-        time_step_loss = jnp.mean(
-            self.loss_fn(prediction, target, pred_std, mask=mask), axis=0
-        )
+        sample_step_loss = self.loss_fn(
+            prediction, target, pred_std, mask=mask
+        )  # (B, T) per-sample so padded eval rows can be dropped exactly
         out = {
-            "time_step_loss": time_step_loss,
-            "mean_loss": jnp.mean(time_step_loss),
+            "time_step_loss": sample_step_loss,
+            "mean_loss": jnp.mean(sample_step_loss),
             "mse": metrics.mse(prediction, target, None, mask=mask,
                                sum_vars=False),
             "mae": metrics.mae(prediction, target, None, mask=mask,

@@ -15,11 +15,11 @@ from .base_graph_model import BaseGraphModel, expand_to_batch
 
 
 class BaseHiGraphModel(BaseGraphModel):
-    def __init__(self, args, config, datastore, graph):
+    def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
         assert self.hierarchical, "hierarchical model needs hierarchical graph"
-        self.num_levels = len(graph.mesh_static_features)
-        self.level_mesh_sizes = list(graph.level_sizes)
+        self.num_levels = len(self.graph.mesh_static_features)
+        self.level_mesh_sizes = list(self.graph.level_sizes)
 
     def get_num_mesh(self):
         """All mesh nodes; all but bottom level are ignored in encode/decode

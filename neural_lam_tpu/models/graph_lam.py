@@ -14,13 +14,13 @@ from .base_graph_model import BaseGraphModel, expand_to_batch
 
 
 class GraphLAM(BaseGraphModel):
-    def __init__(self, args, config, datastore, graph):
+    def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
         assert not self.hierarchical, (
             "GraphLAM does not use a hierarchical mesh graph"
         )
-        self.m2m = graph.m2m[0]
-        self.mesh_static = graph.mesh_static_features[0]
+        self.m2m = self.graph.m2m[0]
+        self.mesh_static = self.graph.mesh_static_features[0]
 
     def get_num_mesh(self):
         return self.graph.level_sizes[0], 0

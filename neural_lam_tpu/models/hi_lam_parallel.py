@@ -22,7 +22,7 @@ from .base_hi_graph_model import BaseHiGraphModel
 
 
 class HiLAMParallel(BaseHiGraphModel):
-    def __init__(self, args, config, datastore, graph):
+    def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
 
         # joint edge set in the global mesh-node index space, chunk order
@@ -33,15 +33,15 @@ class HiLAMParallel(BaseHiGraphModel):
         total_mesh = sum(self.level_mesh_sizes)
 
         sets = []
-        for lev, es in enumerate(graph.m2m):
+        for lev, es in enumerate(self.graph.m2m):
             sets.append((np.asarray(es.senders) + first_index[lev],
                          np.asarray(es.receivers) + first_index[lev],
                          np.asarray(es.features)))
-        for lev, es in enumerate(graph.up):
+        for lev, es in enumerate(self.graph.up):
             sets.append((np.asarray(es.senders) + first_index[lev],
                          np.asarray(es.receivers) + first_index[lev + 1],
                          np.asarray(es.features)))
-        for lev, es in enumerate(graph.down):
+        for lev, es in enumerate(self.graph.down):
             sets.append((np.asarray(es.senders) + first_index[lev + 1],
                          np.asarray(es.receivers) + first_index[lev],
                          np.asarray(es.features)))

@@ -28,6 +28,16 @@ def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh
     return Mesh(dev_array, ("data", "space"))
 
 
+def best_data_axis(batch_size: int, n_devices: int | None = None) -> int:
+    """Largest divisor of batch_size that fits on the available devices."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    for d in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a (leading-batch-dim) pytree sharded over the 'data' axis."""
     sharding = NamedSharding(mesh, P("data"))

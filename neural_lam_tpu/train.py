@@ -36,7 +36,7 @@ from .config import load_config_and_datastore
 from .dataset import WeatherDataModule
 from .models import MODELS
 from .models.ar_model import ModelArgs
-from .parallel.mesh import make_mesh, replicate, shard_batch
+from .parallel.mesh import best_data_axis, make_mesh, replicate, shard_batch
 
 
 @dataclasses.dataclass
@@ -91,7 +91,9 @@ class Trainer:
         self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.logger = MetricsLogger(self.run_dir)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh = make_mesh(n_data=best_data_axis(flags.batch_size))
+        self.mesh = mesh
         self.optimizer = optax.adamw(
             model.args.lr, b1=0.9, b2=0.95, weight_decay=0.01
         )
@@ -184,14 +186,29 @@ class Trainer:
                 save_checkpoint(self.run_dir, "last", params, opt_state, meta)
         return params, opt_state
 
+    def _pad_batch(self, batch):
+        """Pad a partial final eval batch to the fixed batch size by
+        repeating the last sample; returns (batch, n_valid)."""
+        n = batch[0].shape[0]
+        target = self.flags.batch_size
+        if n == target:
+            return batch, n
+        reps = target - n
+        batch = tuple(
+            np.concatenate([b, np.repeat(b[-1:], reps, axis=0)], axis=0)
+            for b in batch
+        )
+        return batch, n
+
     def validate(self, datamodule, params):
         """Mean loss per unroll step + error-map stats over the val split
         (ref: ar_model.py:324-373)."""
         loader = datamodule.val_dataloader()
         agg = _EvalAggregator()
         for batch in loader:
+            batch, n_valid = self._pad_batch(batch)
             batch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
-            agg.add(self._eval_step(params, batch))
+            agg.add(self._eval_step(params, batch), n_valid)
         return agg.summarize()
 
     def test(self, datamodule, params, make_plots=True):
@@ -205,8 +222,9 @@ class Trainer:
         for batch in loader:
             if example_batch is None:
                 example_batch = batch
+            batch, n_valid = self._pad_batch(batch)
             jbatch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
-            agg.add(self._eval_step(params, jbatch))
+            agg.add(self._eval_step(params, jbatch), n_valid)
         summary = agg.summarize()
 
         model = self.model
@@ -300,28 +318,32 @@ class _EvalAggregator:
 
     def __init__(self, keep_spatial=False):
         self.keep_spatial = keep_spatial
-        self.n = 0
-        self.tsl_sum = None
+        self.tsl_list = []
         self.mse_list = []
         self.mae_list = []
         self.spatial_sum = None
         self.spatial_n = 0
 
-    def add(self, out):
-        tsl = np.asarray(out["time_step_loss"])
-        self.tsl_sum = tsl if self.tsl_sum is None else self.tsl_sum + tsl
-        self.n += 1
-        self.mse_list.append(np.asarray(out["mse"]))
-        self.mae_list.append(np.asarray(out["mae"]))
+    def add(self, out, n_valid=None):
+        """Accumulate one eval step; padded rows beyond n_valid dropped."""
+        sl = slice(None, n_valid)
+        self.tsl_list.append(np.asarray(out["time_step_loss"])[sl])
+        self.mse_list.append(np.asarray(out["mse"])[sl])
+        self.mae_list.append(np.asarray(out["mae"])[sl])
         if self.keep_spatial:
-            sp = np.asarray(out["spatial_loss"]).sum(axis=0)
-            self.spatial_n += out["spatial_loss"].shape[0]
-            self.spatial_sum = sp if self.spatial_sum is None else (
-                self.spatial_sum + sp
+            sp = np.asarray(out["spatial_loss"])[sl]
+            self.spatial_n += sp.shape[0]
+            self.spatial_sum = sp.sum(axis=0) if self.spatial_sum is None else (
+                self.spatial_sum + sp.sum(axis=0)
             )
 
     def summarize(self):
-        tsl = self.tsl_sum / max(self.n, 1)
+        if not self.tsl_list:
+            raise ValueError(
+                "no evaluation batches were produced — the split may have "
+                "fewer samples than the batch size"
+            )
+        tsl = np.concatenate(self.tsl_list, axis=0).mean(axis=0)  # (T,)
         out = {
             "time_step_loss": tsl,
             "val_mean_loss": float(tsl.mean()),

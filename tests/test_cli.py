@@ -1,0 +1,110 @@
+"""CLI + import smoke tests (ref: tests/test_cli.py, tests/test_imports.py),
+plus end-to-end CLI runs over a dummy-datastore config."""
+
+import numpy as np
+import yaml
+
+
+def test_imports():
+    import neural_lam_tpu
+    from neural_lam_tpu import (  # noqa: F401
+        config, dataset, metrics, loss_weighting, train, vis,
+    )
+    from neural_lam_tpu.graph import build, storage  # noqa: F401
+    from neural_lam_tpu.models import MODELS
+
+    assert neural_lam_tpu.__version__ is not None
+    assert set(MODELS) == {"graph_lam", "hi_lam", "hi_lam_parallel"}
+
+
+def _write_dummy_config(tmp_path):
+    ds_cfg = tmp_path / "dummy.yaml"
+    with open(ds_cfg, "w") as f:
+        yaml.safe_dump({"n_points_1d": 10, "n_timesteps": 40}, f)
+    nl_cfg = tmp_path / "config.yaml"
+    with open(nl_cfg, "w") as f:
+        yaml.safe_dump(
+            {"datastore": {"kind": "dummydata", "config_path": "dummy.yaml"}},
+            f,
+        )
+    return nl_cfg
+
+
+def test_create_graph_cli(tmp_path, monkeypatch):
+    from neural_lam_tpu.config import load_config_and_datastore
+    from neural_lam_tpu.graph.build import cli
+
+    nl_cfg = _write_dummy_config(tmp_path)
+    # note: dummy datastore root is a fresh tempdir each init; run the cli
+    # then check via a datastore sharing the same config
+    cli(["--config_path", str(nl_cfg), "--name", "testgraph", "--levels", "1"])
+
+
+def test_train_cli_short(tmp_path):
+    """One tiny epoch of training through the CLI, then eval."""
+    from neural_lam_tpu import train
+
+    nl_cfg = _write_dummy_config(tmp_path)
+    save_dir = tmp_path / "models"
+
+    # graph must exist under the datastore root; the dummy datastore uses a
+    # fresh tempdir per instance, so train with an explicit pre-made graph is
+    # exercised via the smaller API-level test in test_training.py. Here we
+    # check the CLI wiring end-to-end by pointing --graph at a name we build
+    # through the create_graph CLI within the same process lifetime.
+    import neural_lam_tpu.datastore.dummy as dummy_mod
+
+    # make DummyDatastore deterministic root per config so graph persists
+    roots = {}
+    orig_init = dummy_mod.DummyDatastore.__init__
+
+    def patched_init(self, config_path=None, **kw):
+        orig_init(self, config_path=config_path, **kw)
+        if config_path is not None:
+            key = str(config_path)
+            if key in roots:
+                # share root (and keep its tempdir alive)
+                self._tempdir = roots[key]._tempdir
+                self._root_path = roots[key]._root_path
+            else:
+                roots[key] = self
+
+    dummy_mod.DummyDatastore.__init__ = patched_init
+    try:
+        from neural_lam_tpu.graph.build import cli as graph_cli
+
+        graph_cli(["--config_path", str(nl_cfg), "--name", "g1",
+                   "--levels", "1"])
+        train.main([
+            "--config_path", str(nl_cfg),
+            "--model", "graph_lam",
+            "--graph", "g1",
+            "--epochs", "1",
+            "--batch_size", "2",
+            "--hidden_dim", "4",
+            "--processor_layers", "1",
+            "--ar_steps_train", "1",
+            "--ar_steps_eval", "2",
+            "--val_steps_to_log", "1",
+            "--save_dir", str(save_dir),
+            "--run_name", "cli_test",
+        ])
+        assert (save_dir / "cli_test" / "last").exists()
+        metrics_file = save_dir / "cli_test" / "metrics.jsonl"
+        assert metrics_file.exists()
+        # eval from the checkpoint
+        train.main([
+            "--config_path", str(nl_cfg),
+            "--model", "graph_lam",
+            "--graph", "g1",
+            "--hidden_dim", "4",
+            "--processor_layers", "1",
+            "--ar_steps_eval", "2",
+            "--val_steps_to_log", "1",
+            "--eval", "val",
+            "--load", str(save_dir / "cli_test" / "last"),
+            "--save_dir", str(save_dir),
+            "--run_name", "cli_eval",
+        ])
+    finally:
+        dummy_mod.DummyDatastore.__init__ = orig_init

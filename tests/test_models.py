@@ -107,7 +107,7 @@ def test_eval_step_metrics(datastore, nl_config, tmp_path):
     out = jax.jit(model.eval_step_metrics)(params, batch)
     T, d = 3, datastore.get_num_data_vars("state")
     N = datastore.num_grid_points
-    assert out["time_step_loss"].shape == (T,)
+    assert out["time_step_loss"].shape == (1, T)
     assert out["mse"].shape == (1, T, d)
     assert out["spatial_loss"].shape == (1, T, N)
 
