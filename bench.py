@@ -4,10 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Configuration mirrors the reference's headline setting (MEPS 268x238 grid,
 17 state / 6 forcing (x3 window) / 4 static features, hidden_dim 64,
-4 processor layers — see BASELINE.md). The metric is mesh-node updates/s/chip
-(N_mesh x processor_layers x predict-steps/s x batch); the reference
-publishes no numbers (BASELINE.md), so vs_baseline is relative to the
-recorded first measurement in bench_baseline.json (1.0 when absent).
+4 processor layers — see BASELINE.md). Metric: mesh-node updates/s/chip
+(N_mesh x processor_layers x predict-steps/s x batch).
+
+Timing methodology: `block_until_ready` does not reliably block on this
+TPU runtime, so each measurement jits K rollout steps inside one lax.scan
+returning a scalar sum (forcing full execution before host transfer), and
+per-step time is the K=K_BIG vs K=1 difference — immune to dispatch and
+transfer latency. vs_baseline is relative to bench_baseline.json (1.0 when
+first recorded).
 """
 
 import json
@@ -21,28 +26,56 @@ NX, NY = 268, 238
 HIDDEN = 64
 LAYERS = 4
 BATCH = 4
-N_WARMUP = 3
-N_ITERS = 20
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+K_BIG = 20
+N_TRIALS = 5
 BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
 )
 
 
-def main():
+def measure_steps_ms(model, params, prev, prevprev, forcing):
+    """Per-predict-step device ms via scan-K differencing."""
     import jax
+
+    arrays = model.arrays()
+
+    def make(K):
+        def many(arrays, params, a, b, c):
+            m = model.with_arrays(arrays)
+
+            def body(carry, _):
+                a, b = carry
+                out, _ = m.predict_step(params, a, b, c)
+                return (out, a), ()
+
+            (a, _), _ = jax.lax.scan(body, (a, b), None, length=K)
+            return a.sum()
+
+        return jax.jit(many)
+
+    results = {}
+    for K in (1, K_BIG):
+        f = make(K)
+        float(f(arrays, params, prev, prevprev, forcing))  # compile + warm
+        times = []
+        for _ in range(N_TRIALS):
+            t0 = time.time()
+            float(f(arrays, params, prev, prevprev, forcing))
+            times.append(time.time() - t0)
+        results[K] = float(np.median(times))
+    return (results[K_BIG] - results[1]) / (K_BIG - 1) * 1e3
+
+
+def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_model
 
-    graph_dir = os.path.join(CACHE, f"graph_{NX}x{NY}")
-    have_graph = os.path.exists(os.path.join(graph_dir, "graph.npz"))
     t0 = time.time()
     model, params, datastore = _build_model(
         nx=NX, ny=NY, hidden_dim=HIDDEN, processor_layers=LAYERS,
-        n_features={"state": 17, "forcing": 6, "static": 4},
-        graph_dir=None if not have_graph else None, n_timesteps=8,
+        n_features={"state": 17, "forcing": 6, "static": 4}, n_timesteps=8,
     )
     print(f"[bench] model+graph built in {time.time() - t0:.1f}s "
           f"(N_grid={datastore.num_grid_points}, "
@@ -52,35 +85,16 @@ def main():
     d = datastore.get_num_data_vars("state")
     d_f = datastore.get_num_data_vars("forcing") * 3
     rng = np.random.default_rng(0)
-    prev_state = jnp.asarray(rng.standard_normal((BATCH, n, d)), jnp.float32)
-    prev_prev = jnp.asarray(rng.standard_normal((BATCH, n, d)), jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((BATCH, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((BATCH, n, d)), jnp.float32)
     forcing = jnp.asarray(rng.standard_normal((BATCH, n, d_f)), jnp.float32)
 
-    @jax.jit
-    def step(params, prev_state, prev_prev, forcing):
-        new_state, _ = model.predict_step(params, prev_state, prev_prev, forcing)
-        return new_state
-
-    t0 = time.time()
-    out = step(params, prev_state, prev_prev, forcing)
-    jax.block_until_ready(out)
-    print(f"[bench] compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
-
-    for _ in range(N_WARMUP):
-        out = step(params, out, prev_state, forcing)
-    jax.block_until_ready(out)
-
-    t0 = time.time()
-    for _ in range(N_ITERS):
-        out = step(params, out, prev_state, forcing)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / N_ITERS
-
-    steps_per_s = 1.0 / dt
+    ms_per_step = measure_steps_ms(model, params, prev, prevprev, forcing)
+    steps_per_s = 1000.0 / ms_per_step
     mesh_updates_per_s = model.num_mesh_nodes * LAYERS * steps_per_s * BATCH
     print(
-        f"[bench] {dt * 1e3:.2f} ms/predict-step (batch {BATCH}), "
-        f"{steps_per_s * BATCH:.2f} rollout steps/s, "
+        f"[bench] {ms_per_step:.2f} ms/predict-step (batch {BATCH}), "
+        f"{steps_per_s * BATCH:.2f} rollout sample-steps/s, "
         f"{mesh_updates_per_s:.3e} mesh-node updates/s/chip",
         file=sys.stderr,
     )
@@ -92,7 +106,6 @@ def main():
         if base:
             vs_baseline = mesh_updates_per_s / base
     else:
-        os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
         with open(BASELINE_FILE, "w") as f:
             json.dump({"mesh_node_updates_per_s": mesh_updates_per_s,
                        "recorded": time.time()}, f)

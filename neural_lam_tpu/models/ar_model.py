@@ -103,7 +103,29 @@ def build_statics(config, datastore) -> ARStatics:
 
 
 class ARModelBase:
-    """Rollout + loss over an abstract predict_step."""
+    """Rollout + loss over an abstract predict_step.
+
+    IMPORTANT (TPU dispatch): model arrays (graph, statics) must enter jitted
+    programs as *arguments*, never as baked-in constants — programs carrying
+    large constants push this TPU runtime onto a slow dispatch path for the
+    whole process. `arrays()` / `with_arrays()` + `jit_model_method` handle
+    the threading; `_array_fields` lists the attributes involved.
+    """
+
+    _array_fields = ("statics",)
+
+    def arrays(self) -> dict:
+        """Pytree of all device arrays the model's methods reference."""
+        return {name: getattr(self, name) for name in self._array_fields}
+
+    def with_arrays(self, arrays: dict):
+        """Shallow copy with the given array pytree attached."""
+        import copy
+
+        m = copy.copy(self)
+        for name, value in arrays.items():
+            setattr(m, name, value)
+        return m
 
     def __init__(self, args: ModelArgs, config, datastore):
         self.args = args
@@ -229,3 +251,24 @@ class ARModelBase:
                 jnp.sum(pred_std * w[:, None], axis=-2) / jnp.sum(w)
             )
         return out
+
+
+def jit_model_method(model, method_name: str, **jit_kwargs):
+    """Jit a model method with the model's arrays passed as arguments.
+
+    Returns a callable with the method's signature (minus self). Keeping
+    graph/static arrays out of the compiled program's constants is essential
+    on this TPU runtime (see ARModelBase docstring).
+    """
+    import functools
+
+    arrays = model.arrays()
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def wrapped(arrays, *args):
+        return getattr(model.with_arrays(arrays), method_name)(*args)
+
+    def call(*args):
+        return wrapped(arrays, *args)
+
+    return call

@@ -23,6 +23,8 @@ def expand_to_batch(x, batch_size):
 
 
 class BaseGraphModel(ARModelBase):
+    _array_fields = ("statics", "graph")
+
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):
         super().__init__(args, config, datastore)

@@ -19,8 +19,15 @@ class GraphLAM(BaseGraphModel):
         assert not self.hierarchical, (
             "GraphLAM does not use a hierarchical mesh graph"
         )
-        self.m2m = self.graph.m2m[0]
-        self.mesh_static = self.graph.mesh_static_features[0]
+
+
+    @property
+    def m2m(self):
+        return self.graph.m2m[0]
+
+    @property
+    def mesh_static(self):
+        return self.graph.mesh_static_features[0]
 
     def get_num_mesh(self):
         return self.graph.level_sizes[0], 0

@@ -22,6 +22,8 @@ from .base_hi_graph_model import BaseHiGraphModel
 
 
 class HiLAMParallel(BaseHiGraphModel):
+    _array_fields = ("statics", "graph", "joint_edges")
+
     def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
 

@@ -87,8 +87,9 @@ class SpatialPartition:
     m2g_recv_local: jax.Array  # (S, Em)
     m2g_feat: jax.Array  # (S, Em, 3)
     m2g_table: jax.Array  # (S, block, Km)
-    # padded grid statics
+    # padded grid statics + bottom mesh static features (replicated)
     grid_static: jax.Array  # (Ng_pad, d_static)
+    mesh_static: jax.Array  # (N_mesh, 2)
     n_shards: int = dataclasses.field(metadata={"static": True})
     block: int = dataclasses.field(metadata={"static": True})
     num_grid: int = dataclasses.field(metadata={"static": True})
@@ -169,6 +170,9 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     grid_static = _pad_to(np.asarray(grid_static_features), ng_pad)
 
     return SpatialPartition(
+        mesh_static=jnp.asarray(
+            np.asarray(graph.mesh_static_features[0], np.float32)
+        ),
         g2m_send_local=jnp.asarray(g2m_send_local),
         g2m_recv=jnp.asarray(g2m_recv),
         g2m_feat=jnp.asarray(g2m_feat),
@@ -218,6 +222,8 @@ def _edge_messages(params, edge_emb, send_t_rows, rec_t_rows, cd):
 class SpatialGraphLAM(GraphLAM):
     """GraphLAM with predict_step sharded over a ('data','space') mesh."""
 
+    _array_fields = ("statics", "graph", "partition")
+
     def __init__(self, args, config, datastore, graph=None, mesh: Mesh = None):
         super().__init__(args, config, datastore, graph)
         assert mesh is not None and "space" in mesh.axis_names
@@ -231,7 +237,6 @@ class SpatialGraphLAM(GraphLAM):
     def _build_shard_step(self):
         part = self.partition
         cd = self.compute_dtype
-        mesh_static = self.graph.mesh_static_features[0]
         aggr = self.args.mesh_aggr
         assert aggr == "sum", "spatial sharding currently implements sum aggr"
         n_layers = self.args.processor_layers
@@ -251,7 +256,7 @@ class SpatialGraphLAM(GraphLAM):
             )
 
             # 2. mesh embedding (replicated compute; small)
-            mesh_emb = apply_mlp(params["mesh_embedder"], mesh_static,
+            mesh_emb = apply_mlp(params["mesh_embedder"], sp.mesh_static,
                                  compute_dtype=cd)  # (Nm, h)
             B = grid_feats.shape[0]
             mesh_rep = jnp.broadcast_to(
@@ -348,6 +353,7 @@ class SpatialGraphLAM(GraphLAM):
             return new_state, pred_std
 
         part_specs = SpatialPartition(
+            mesh_static=P(),
             g2m_send_local=P("space"), g2m_recv=P("space"),
             g2m_feat=P("space"), g2m_table=P("space"),
             m2m_send=P("space"), m2m_recv=P("space"),

@@ -20,6 +20,7 @@ wandb.run.dir, ref: ar_model.py:456-696).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import random
 import time
@@ -35,7 +36,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .config import load_config_and_datastore
 from .dataset import WeatherDataModule
 from .models import MODELS
-from .models.ar_model import ModelArgs
+from .models.ar_model import ModelArgs, jit_model_method
 from .parallel.mesh import best_data_axis, make_mesh, replicate, shard_batch
 
 
@@ -100,16 +101,21 @@ class Trainer:
         self.global_step = 0
         self.best_val_loss = float("inf")
 
-        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(self.model.eval_step_metrics)
+        # model arrays (graph/statics) are passed as jit ARGUMENTS — baking
+        # them in as constants hits a slow dispatch path on this TPU runtime
+        model_arrays = model.arrays()
+        optimizer = self.optimizer
 
-    # --- jitted steps ---
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def train_step(arrays, params, opt_state, batch):
+            m = model.with_arrays(arrays)
+            loss, grads = jax.value_and_grad(m.training_loss)(params, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
-    def _train_step_fn(self, params, opt_state, batch):
-        loss, grads = jax.value_and_grad(self.model.training_loss)(params, batch)
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        self._train_step = lambda p, o, b: train_step(model_arrays, p, o, b)
+        self._eval_step = jit_model_method(model, "eval_step_metrics")
 
     # --- setup ---
 
