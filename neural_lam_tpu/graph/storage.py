@@ -134,9 +134,13 @@ class LoadedGraph:
         return sum(self.level_sizes)
 
 
-def graph_from_bundle(bundle: GraphBundle) -> LoadedGraph:
+def graph_from_bundle(bundle: GraphBundle, dense: bool = True) -> LoadedGraph:
     """Convert a raw bundle to local-index EdgeSets with normalization
-    (ref: neural_lam/utils.py:36-188)."""
+    (ref: neural_lam/utils.py:36-188).
+
+    dense=True (default) builds constant-degree receiver-major edge layouts
+    (see EdgeSet.from_local) — the fast TPU path; dense=False keeps the
+    exact reference edge lists (used e.g. for torch parity fixtures)."""
     level_sizes = bundle.level_sizes
     first_index = np.concatenate(([0], np.cumsum(level_sizes[:-1]))).astype(np.int64)
     num_mesh_total = int(sum(level_sizes))
@@ -156,20 +160,20 @@ def graph_from_bundle(bundle: GraphBundle) -> LoadedGraph:
         senders=bundle.g2m_edge_index[0] - num_mesh_total,
         receivers=bundle.g2m_edge_index[1],  # bottom level starts at 0
         features=norm(bundle.g2m_features),
-        num_send=num_grid, num_rec=level_sizes[0],
+        num_send=num_grid, num_rec=level_sizes[0], dense=dense,
     )
     m2g = EdgeSet.from_local(
         senders=bundle.m2g_edge_index[0],
         receivers=bundle.m2g_edge_index[1] - num_mesh_total,
         features=norm(bundle.m2g_features),
-        num_send=level_sizes[0], num_rec=num_grid,
+        num_send=level_sizes[0], num_rec=num_grid, dense=dense,
     )
     m2m = tuple(
         EdgeSet.from_local(
             senders=e[0] - first_index[lev],
             receivers=e[1] - first_index[lev],
             features=norm(f),
-            num_send=level_sizes[lev], num_rec=level_sizes[lev],
+            num_send=level_sizes[lev], num_rec=level_sizes[lev], dense=dense,
         )
         for lev, (e, f) in enumerate(zip(bundle.m2m_edge_index, bundle.m2m_features))
     )
@@ -179,6 +183,7 @@ def graph_from_bundle(bundle: GraphBundle) -> LoadedGraph:
             receivers=e[1] - first_index[lev + 1],  # parent level lev+1
             features=norm(f),
             num_send=level_sizes[lev], num_rec=level_sizes[lev + 1],
+            dense=dense,
         )
         for lev, (e, f) in enumerate(
             zip(bundle.mesh_up_edge_index, bundle.mesh_up_features)
@@ -190,6 +195,7 @@ def graph_from_bundle(bundle: GraphBundle) -> LoadedGraph:
             receivers=e[1] - first_index[lev],      # child level lev
             features=norm(f),
             num_send=level_sizes[lev + 1], num_rec=level_sizes[lev],
+            dense=dense,
         )
         for lev, (e, f) in enumerate(
             zip(bundle.mesh_down_edge_index, bundle.mesh_down_features)
@@ -213,9 +219,9 @@ def graph_from_bundle(bundle: GraphBundle) -> LoadedGraph:
     )
 
 
-def load_graph(graph_dir_path: str) -> tuple[bool, LoadedGraph]:
+def load_graph(graph_dir_path: str, dense: bool = True) -> tuple[bool, LoadedGraph]:
     """Load a graph directory; returns (hierarchical, LoadedGraph)
     (API mirror of ref: neural_lam/utils.py:36)."""
     bundle = load_graph_bundle(graph_dir_path)
-    graph = graph_from_bundle(bundle)
+    graph = graph_from_bundle(bundle, dense=dense)
     return graph.hierarchical, graph

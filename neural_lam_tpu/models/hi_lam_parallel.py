@@ -38,23 +38,29 @@ class HiLAMParallel(BaseHiGraphModel):
         for lev, es in enumerate(self.graph.m2m):
             sets.append((np.asarray(es.senders) + first_index[lev],
                          np.asarray(es.receivers) + first_index[lev],
-                         np.asarray(es.features)))
+                         np.asarray(es.features), np.asarray(es.mask)))
         for lev, es in enumerate(self.graph.up):
             sets.append((np.asarray(es.senders) + first_index[lev],
                          np.asarray(es.receivers) + first_index[lev + 1],
-                         np.asarray(es.features)))
+                         np.asarray(es.features), np.asarray(es.mask)))
         for lev, es in enumerate(self.graph.down):
             sets.append((np.asarray(es.senders) + first_index[lev + 1],
                          np.asarray(es.receivers) + first_index[lev],
-                         np.asarray(es.features)))
+                         np.asarray(es.features), np.asarray(es.mask)))
 
         self.edge_split_sections = [s[0].shape[0] for s in sets]
-        self.joint_edges = EdgeSet.from_local(
+        joint = EdgeSet.from_local(
             senders=np.concatenate([s[0] for s in sets]),
             receivers=np.concatenate([s[1] for s in sets]),
             features=np.concatenate([s[2] for s in sets]),
             num_send=total_mesh, num_rec=total_mesh,
             sort=False,  # keep chunk order for SplitMLPs semantics
+        )
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        self.joint_edges = _dc.replace(
+            joint, mask=_jnp.asarray(np.concatenate([s[3] for s in sets]))
         )
         self.chunk_meta = {
             "edge_sizes": self.edge_split_sections,

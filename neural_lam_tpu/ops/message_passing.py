@@ -53,8 +53,14 @@ class EdgeSet:
     receivers: jax.Array
     features: jax.Array
     gather_table: jax.Array
+    mask: jax.Array  # (M, 1) 1.0 for real edges (all-ones when not dense)
+    # dense layout: virtual-row -> receiver map ((num_virt,) int32; high-degree
+    # receivers own several K-slot virtual rows); empty when not dense
+    virt_to_rec: jax.Array
     num_send: int = dataclasses.field(metadata={"static": True})
     num_rec: int = dataclasses.field(metadata={"static": True})
+    dense_k: int = dataclasses.field(default=0, metadata={"static": True})
+    num_virt: int = dataclasses.field(default=0, metadata={"static": True})
 
     @property
     def num_edges(self) -> int:
@@ -63,16 +69,62 @@ class EdgeSet:
     @staticmethod
     def from_local(senders: np.ndarray, receivers: np.ndarray,
                    features: np.ndarray, num_send: int, num_rec: int,
-                   sort: bool = True):
+                   sort: bool = True, dense: bool = False,
+                   dense_cap: int | None = None):
         """Build an EdgeSet from already-local index arrays.
 
         sort=False keeps the given edge order (required for chunk-ordered
         fused edge sets, where chunk boundaries must stay contiguous); the
         gather table handles unsorted receivers.
+
+        dense=True pads the edge list so every receiver owns contiguous
+        K-slot *virtual rows* (receiver-major layout). With the default cap
+        K=8, a receiver of degree d owns ceil(d/K) virtual rows; aggregation
+        becomes reshape + masked sum to virtual rows (no gather at all)
+        followed by a tiny sorted segment-sum over the virtual->receiver map.
+        Padding slots have sender 0, zero features and mask 0; wasted
+        edge-MLP work is bounded by K / mean_degree per row.
         """
         senders = np.asarray(senders)
         receivers = np.asarray(receivers)
         features = np.asarray(features, dtype=np.float32)
+        if dense:
+            K = dense_cap or 8
+            counts = np.bincount(receivers, minlength=num_rec)
+            K = min(K, max(int(counts.max()), 1))
+            n_virt_per_rec = np.maximum(-(-counts // K), 1)
+            virt_start = np.concatenate(([0], np.cumsum(n_virt_per_rec)))[:-1]
+            num_virt = int(n_virt_per_rec.sum())
+            order = np.argsort(receivers, kind="stable")
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            within = np.arange(len(receivers)) - starts[receivers[order]]
+            r_sorted = receivers[order]
+            slots = (virt_start[r_sorted] + within // K) * K + within % K
+            M_pad = num_virt * K
+            d_feat = features.shape[1]
+            send_p = np.zeros(M_pad, np.int32)
+            feat_p = np.zeros((M_pad, d_feat), np.float32)
+            mask = np.zeros((M_pad, 1), np.float32)
+            send_p[slots] = senders[order]
+            feat_p[slots] = features[order]
+            mask[slots] = 1.0
+            virt_to_rec = np.repeat(
+                np.arange(num_rec, dtype=np.int32), n_virt_per_rec
+            )
+            recv_p = np.repeat(virt_to_rec, K)
+            table, _ = build_gather_table(recv_p, num_rec)
+            return EdgeSet(
+                senders=jnp.asarray(send_p),
+                receivers=jnp.asarray(recv_p),
+                features=jnp.asarray(feat_p),
+                gather_table=jnp.asarray(table),
+                mask=jnp.asarray(mask),
+                virt_to_rec=jnp.asarray(virt_to_rec),
+                num_send=int(num_send),
+                num_rec=int(num_rec),
+                dense_k=K,
+                num_virt=num_virt,
+            )
         if sort:
             order = np.argsort(receivers, kind="stable")
             senders, receivers = senders[order], receivers[order]
@@ -83,6 +135,8 @@ class EdgeSet:
             receivers=jnp.asarray(receivers.astype(np.int32)),
             features=jnp.asarray(features),
             gather_table=jnp.asarray(table),
+            mask=jnp.asarray(np.ones((len(receivers), 1), np.float32)),
+            virt_to_rec=jnp.zeros((0,), jnp.int32),
             num_send=int(num_send),
             num_rec=int(num_rec),
         )
@@ -143,10 +197,17 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
 
     send_t = mm(send_rep, w_j)  # (..., N_send, h)
     rec_t = mm(rec_rep, w_i)  # (..., N_rec, h)
+    if edges.dense_k:
+        # receiver rows are consecutive K-blocks: gather the (small) virtual
+        # row set, then a free broadcast-repeat instead of a big gather
+        rec_rows = jnp.take(rec_t, edges.virt_to_rec, axis=-2)
+        rec_gathered = jnp.repeat(rec_rows, edges.dense_k, axis=-2)
+    else:
+        rec_gathered = jnp.take(rec_t, edges.receivers, axis=-2)
     x = (
         mm(edge_rep, w_e)
         + jnp.take(send_t, edges.senders, axis=-2)
-        + jnp.take(rec_t, edges.receivers, axis=-2)
+        + rec_gathered
         + b0.astype(jnp.float32)
     )  # (..., M, h)
     n = len(layers)
@@ -176,17 +237,40 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         compute_dtype=compute_dtype,
     )  # (..., M, d)
 
-    if use_gather_table:
-        aggregated = gather_sum(messages, edges.gather_table)
+    if edges.dense_k:
+        # constant-degree virtual rows: masked reshape + sum, then a tiny
+        # sorted segment-sum folding virtual rows into receivers
+        K, d = edges.dense_k, messages.shape[-1]
+        masked = messages * edges.mask
+        virt = masked.reshape(
+            messages.shape[:-2] + (edges.num_virt, K, d)
+        ).sum(axis=-2)  # (..., N_virt, d)
+        if edges.num_virt == edges.num_rec:
+            aggregated = virt  # identity map (no receiver has overflow rows)
+        else:
+            aggregated = segment_sum(
+                virt, edges.virt_to_rec, edges.num_rec, sorted_ids=True
+            )
+        if aggr == "mean":
+            counts = segment_sum(
+                edges.mask.reshape(edges.num_virt, K).sum(
+                    axis=-1, keepdims=True
+                ),
+                edges.virt_to_rec, edges.num_rec, sorted_ids=True,
+            )[..., 0]
+            aggregated = aggregated / jnp.maximum(counts, 1.0)[..., :, None]
     else:
-        aggregated = segment_sum(
-            messages, edges.receivers, edges.num_rec, sorted_ids=True
-        )
-    if aggr == "mean":
-        counts = jnp.maximum(
-            (edges.gather_table < edges.num_edges).sum(axis=-1), 1
-        ).astype(messages.dtype)
-        aggregated = aggregated / counts[..., :, None]
+        if use_gather_table:
+            aggregated = gather_sum(messages, edges.gather_table)
+        else:
+            aggregated = segment_sum(
+                messages, edges.receivers, edges.num_rec, sorted_ids=True
+            )
+        if aggr == "mean":
+            counts = jnp.maximum(
+                (edges.gather_table < edges.num_edges).sum(axis=-1), 1
+            ).astype(messages.dtype)
+            aggregated = aggregated / counts[..., :, None]
 
     rec_diff = apply_mlp(
         params["aggr_mlp"],
@@ -253,7 +337,7 @@ def apply_interaction_net_chunked(params: dict, chunk_meta: dict,
         start += sz
     messages = jnp.concatenate(msgs, axis=-2)  # (..., M, d)
 
-    aggregated = gather_sum(messages, edges.gather_table)
+    aggregated = gather_sum(messages * edges.mask, edges.gather_table)
 
     aggr_in = jnp.concatenate([node_rep, aggregated], axis=-1)
     outs = []

@@ -106,6 +106,16 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     assert not graph.hierarchical, "spatial partitioning of flat graphs only"
     ng = graph.num_grid_nodes
     nm = graph.level_sizes[0]
+
+    def real_edges(es):
+        """(senders, receivers, features) with dense padding slots removed."""
+        send = np.asarray(es.senders)
+        recv = np.asarray(es.receivers)
+        feat = np.asarray(es.features)
+        if es.dense_k:
+            keep = np.asarray(es.mask)[:, 0] > 0
+            return send[keep], recv[keep], feat[keep]
+        return send, recv, feat
     block = -(-ng // n_shards)
     ng_pad = block * n_shards
 
@@ -119,10 +129,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         return groups, e_max
 
     # --- g2m (partition by sender grid node) ---
-    g2m = graph.g2m
-    send = np.asarray(g2m.senders)
-    recv = np.asarray(g2m.receivers)
-    feat = np.asarray(g2m.features)
+    send, recv, feat = real_edges(graph.g2m)
     groups, eg = split_by_block(send, [send, recv, feat])
     g2m_send_local = np.stack([
         _pad_to(g[0] - s * block, eg) for s, g in enumerate(groups)
@@ -132,10 +139,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     g2m_table = _build_shard_tables([g[1] for g in groups], nm, eg)
 
     # --- m2m (contiguous balanced chunks) ---
-    m2m = graph.m2m[0]
-    send = np.asarray(m2m.senders)
-    recv = np.asarray(m2m.receivers)
-    feat = np.asarray(m2m.features)
+    send, recv, feat = real_edges(graph.m2m[0])
     E = send.shape[0]
     bounds = [E * s // n_shards for s in range(n_shards + 1)]
     emm = max(bounds[s + 1] - bounds[s] for s in range(n_shards))
@@ -153,10 +157,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     )
 
     # --- m2g (partition by receiver grid node) ---
-    m2g = graph.m2g
-    send = np.asarray(m2g.senders)
-    recv = np.asarray(m2g.receivers)
-    feat = np.asarray(m2g.features)
+    send, recv, feat = real_edges(graph.m2g)
     groups, em = split_by_block(recv, [send, recv, feat])
     m2g_send = np.stack([_pad_to(g[0], em) for g in groups]).astype(np.int32)
     m2g_recv_local = np.stack([

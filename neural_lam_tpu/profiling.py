@@ -1,0 +1,131 @@
+"""Device-time measurement utilities (the profiling story the reference
+lacks — SURVEY.md §5: "no profiler hooks ... anywhere").
+
+`block_until_ready` does not reliably block on every PJRT runtime (the
+tunneled TPU backend used here returns early), so naive wall-clock loops
+measure dispatch latency, not device time. `device_time_ms` instead jits K
+iterations of the op inside one `lax.scan` whose carry threads a scalar
+through every iteration (preventing loop-invariant hoisting), reduces the
+output to a scalar, and forces a host transfer; per-iteration time is the
+(K_big - K_small) difference — immune to dispatch/transfer latency.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _make_scanned(fn, args, K):
+    """Jitted program running fn K times with a data-dependence chain."""
+
+    def scalarize(out):
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        return sum(
+            jnp.sum(x).astype(jnp.float32) for x in leaves
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+
+    def perturb(args, c):
+        # every float leaf must depend on the carry, otherwise XLA hoists
+        # the subgraphs that don't out of the scan loop
+        def f(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x + c * 1e-30
+            return x
+
+        return jax.tree_util.tree_map(f, args)
+
+    @jax.jit
+    def many(args):
+        def body(c, _):
+            out = fn(*perturb(args, c))
+            return scalarize(out) * 1e-30, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return c
+
+    return many
+
+
+def device_time_ms(fn, *args, k_big: int = 10, trials: int = 5) -> float:
+    """True device milliseconds per invocation of fn(*args)."""
+    totals = {}
+    for K in (1, k_big):
+        many = _make_scanned(fn, args, K)
+        float(many(args))  # compile + warm
+        times = []
+        for _ in range(trials):
+            t0 = time.time()
+            float(many(args))
+            times.append(time.time() - t0)
+        totals[K] = float(np.median(times))
+    return max((totals[k_big] - totals[1]) / (k_big - 1) * 1e3, 0.0)
+
+
+def profile_model(model, params, batch_size=4, k_big=10, printer=print):
+    """Per-component device-time breakdown of a GraphLAM-family model."""
+    from .ops.mlp import apply_mlp
+    from .ops.message_passing import apply_interaction_net
+
+    rng = np.random.default_rng(0)
+    n = model.num_grid_nodes
+    d = model.num_state_vars
+    d_f = model.grid_dim - 2 * d - model.grid_static_dim
+    h = model.args.hidden_dim
+    B = batch_size
+    g = model.graph
+
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+    grid_emb = jnp.asarray(rng.standard_normal((B, n, h)), jnp.float32)
+    mesh_emb = jnp.asarray(
+        rng.standard_normal((B, model.num_mesh_nodes, h)), jnp.float32
+    )
+
+    rows = {}
+
+    def bench(name, fn, *args):
+        rows[name] = device_time_ms(fn, *args, k_big=k_big)
+        printer(f"{name:42s} {rows[name]:8.3f} ms")
+
+    arrays = model.arrays()
+    bench("full predict_step",
+          lambda arrays, p, a, b, c: model.with_arrays(arrays).predict_step(
+              p, a, b, c)[0],
+          arrays, params, prev, prevprev, forcing)
+    bench("grid_embedder",
+          lambda p, a, b, c: apply_mlp(p["grid_embedder"], jnp.concatenate(
+              [a, b, c], axis=-1)),
+          {"grid_embedder": params["grid_embedder"]}, prev, prevprev,
+          jnp.concatenate([forcing, jnp.broadcast_to(
+              model.statics.grid_static_features[None],
+              (B, n, model.grid_static_dim))], axis=-1))
+    bench("encoding_grid_mlp",
+          lambda p, x: apply_mlp(p, x), params["encoding_grid_mlp"], grid_emb)
+    if hasattr(model, "m2m"):  # flat model components
+        g2m_emb = jnp.asarray(
+            rng.standard_normal((B, g.g2m.num_edges, h)), jnp.float32)
+        bench("g2m interaction",
+              lambda p, es, a, b, c: apply_interaction_net(
+                  p, es, a, b, c, update_edges=False),
+              params["g2m_gnn"], g.g2m, grid_emb, mesh_emb, g2m_emb)
+        m2m_emb = jnp.asarray(
+            rng.standard_normal((B, model.m2m.num_edges, h)), jnp.float32)
+        bench("processor layer",
+              lambda p, es, a, b: apply_interaction_net(p, es, a, a, b),
+              params["processor"][0], model.m2m, mesh_emb, m2m_emb)
+        m2g_emb = jnp.asarray(
+            rng.standard_normal((B, g.m2g.num_edges, h)), jnp.float32)
+        bench("m2g interaction",
+              lambda p, es, a, b, c: apply_interaction_net(
+                  p, es, a, b, c, update_edges=False),
+              params["m2g_gnn"], g.m2g, mesh_emb, grid_emb, m2g_emb)
+    bench("output_map", lambda p, x: apply_mlp(p, x),
+          params["output_map"], grid_emb)
+    return rows

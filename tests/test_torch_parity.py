@@ -39,15 +39,19 @@ def env(tmp_path_factory):
         training=TrainingConfig(),
     )
     gd = tmp_path_factory.mktemp("graphs")
-    flat = graph_from_bundle(create_graph(
+    flat_bundle = create_graph(
         str(gd / "flat"), datastore.get_xy("state", stacked=False),
         n_max_levels=None, hierarchical=False,
-    ))
-    hier = graph_from_bundle(create_graph(
+    )
+    hier_bundle = create_graph(
         str(gd / "hier"), datastore.get_xy("state", stacked=False),
         n_max_levels=2, hierarchical=True,
-    ))
-    return datastore, config, flat, hier
+    )
+    # dense=False: torch reference consumes the exact edge lists
+    flat = graph_from_bundle(flat_bundle, dense=False)
+    hier = graph_from_bundle(hier_bundle, dense=False)
+    flat_dense = graph_from_bundle(flat_bundle, dense=True)
+    return datastore, config, flat, hier, flat_dense
 
 
 def _rollout_batch(datastore, ar_steps=4):
@@ -57,7 +61,7 @@ def _rollout_batch(datastore, ar_steps=4):
 
 @pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam"])
 def test_rollout_parity(model_name, env):
-    datastore, config, flat, hier = env
+    datastore, config, flat, hier, _ = env
     graph = flat if model_name == "graph_lam" else hier
     args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
     model = MODELS[model_name](args, config, datastore, graph)
@@ -94,7 +98,7 @@ def test_rollout_parity(model_name, env):
 
 
 def test_export_roundtrip(env):
-    datastore, config, flat, _ = env
+    datastore, config, flat, _, _ = env
     args = ModelArgs(hidden_dim=8, processor_layers=2)
     model = MODELS["graph_lam"](args, config, datastore, flat)
     params = model.init_params(jax.random.PRNGKey(1))
@@ -115,3 +119,27 @@ def test_legacy_key_migration():
     assert "encoding_grid_mlp.0.weight" in out
     assert "g2m_gnn.grid_mlp.0.weight" not in out
     assert "other.key" in out
+
+
+def test_dense_layout_equivalence(env):
+    """Dense (constant-degree padded) edge layout must match the exact
+    edge-list layout bit-nearly."""
+    import jax
+
+    from neural_lam_tpu.models import MODELS
+
+    datastore, config, flat, _, flat_dense = env
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    m_sparse = MODELS["graph_lam"](args, config, datastore, flat)
+    m_dense = MODELS["graph_lam"](args, config, datastore, flat_dense)
+    params = m_sparse.init_params(jax.random.PRNGKey(2))
+    init_states, target_states, forcing, _ = _rollout_batch(datastore, 3)
+    p_sparse, _ = m_sparse.unroll_prediction(
+        params, jnp.asarray(init_states), jnp.asarray(forcing),
+        jnp.asarray(target_states))
+    p_dense, _ = m_dense.unroll_prediction(
+        params, jnp.asarray(init_states), jnp.asarray(forcing),
+        jnp.asarray(target_states))
+    np.testing.assert_allclose(
+        np.asarray(p_sparse), np.asarray(p_dense), atol=5e-5, rtol=1e-4
+    )
