@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..graph.storage import LoadedGraph
 from ..ops.message_passing import apply_interaction_net, init_interaction_net
-from ..ops.mlp import apply_mlp, init_mlp, mlp_blueprint
+from ..ops.mlp import apply_mlp, apply_mlp_concat, init_mlp, mlp_blueprint
 from .ar_model import ARModelBase, ModelArgs
 
 
@@ -96,18 +96,12 @@ class BaseGraphModel(ARModelBase):
         batch_size = prev_state.shape[0]
         cd = self.compute_dtype
 
-        grid_features = jnp.concatenate(
-            (
-                prev_state,
-                prev_prev_state,
-                forcing,
-                expand_to_batch(self.statics.grid_static_features, batch_size),
-            ),
-            axis=-1,
-        )
-
-        grid_emb = apply_mlp(params["grid_embedder"], grid_features,
-                             compute_dtype=cd)  # (B, N_grid, d_h)
+        grid_emb = apply_mlp_concat(
+            params["grid_embedder"],
+            [prev_state, prev_prev_state, forcing,
+             expand_to_batch(self.statics.grid_static_features, batch_size)],
+            compute_dtype=cd,
+        )  # (B, N_grid, d_h)
         g2m_emb = apply_mlp(params["g2m_embedder"], self.graph.g2m.features,
                             compute_dtype=cd)
         m2g_emb = apply_mlp(params["m2g_embedder"], self.graph.m2g.features,

@@ -34,8 +34,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mlp import apply_mlp, init_mlp, layer_norm
+from .mlp import apply_mlp, apply_mlp_concat, init_mlp, layer_norm
 from .segment import build_gather_table, gather_sum, segment_sum
+
+# Pallas fused edge-tail kernel: enabled on non-CPU backends unless
+# NLT_NO_PALLAS is set; "interpret" runs the kernel interpreted (tests).
+_PALLAS_MODE = None
+
+
+def _pallas_mode():
+    global _PALLAS_MODE
+    if _PALLAS_MODE is None:
+        import os
+
+        if os.environ.get("NLT_NO_PALLAS"):
+            _PALLAS_MODE = "off"
+        elif os.environ.get("NLT_PALLAS_INTERPRET"):
+            _PALLAS_MODE = "interpret"
+        else:
+            _PALLAS_MODE = "on" if jax.default_backend() != "cpu" else "off"
+    return _PALLAS_MODE
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +79,11 @@ class EdgeSet:
     num_rec: int = dataclasses.field(metadata={"static": True})
     dense_k: int = dataclasses.field(default=0, metadata={"static": True})
     num_virt: int = dataclasses.field(default=0, metadata={"static": True})
+    # True when (pre-padding) every receiver had exactly one virtual row in
+    # order: aggregation is then virt[..., :num_rec, :]
+    virt_identity: bool = dataclasses.field(
+        default=False, metadata={"static": True}
+    )
 
     @property
     def num_edges(self) -> int:
@@ -95,12 +118,16 @@ class EdgeSet:
             n_virt_per_rec = np.maximum(-(-counts // K), 1)
             virt_start = np.concatenate(([0], np.cumsum(n_virt_per_rec)))[:-1]
             num_virt = int(n_virt_per_rec.sum())
+            virt_identity = num_virt == num_rec
+            # pad virtual rows (all-masked) so kernels get large even tiles
+            tile = 256 if num_virt >= 2048 else 8
+            num_virt_pad = -(-num_virt // tile) * tile
             order = np.argsort(receivers, kind="stable")
             starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
             within = np.arange(len(receivers)) - starts[receivers[order]]
             r_sorted = receivers[order]
             slots = (virt_start[r_sorted] + within // K) * K + within % K
-            M_pad = num_virt * K
+            M_pad = num_virt_pad * K
             d_feat = features.shape[1]
             send_p = np.zeros(M_pad, np.int32)
             feat_p = np.zeros((M_pad, d_feat), np.float32)
@@ -108,9 +135,10 @@ class EdgeSet:
             send_p[slots] = senders[order]
             feat_p[slots] = features[order]
             mask[slots] = 1.0
-            virt_to_rec = np.repeat(
-                np.arange(num_rec, dtype=np.int32), n_virt_per_rec
-            )
+            virt_to_rec = np.concatenate([
+                np.repeat(np.arange(num_rec, dtype=np.int32), n_virt_per_rec),
+                np.full(num_virt_pad - num_virt, num_rec - 1, np.int32),
+            ])
             recv_p = np.repeat(virt_to_rec, K)
             table, _ = build_gather_table(recv_p, num_rec)
             return EdgeSet(
@@ -123,7 +151,8 @@ class EdgeSet:
                 num_send=int(num_send),
                 num_rec=int(num_rec),
                 dense_k=K,
-                num_virt=num_virt,
+                num_virt=num_virt_pad,
+                virt_identity=virt_identity,
             )
         if sort:
             order = np.argsort(receivers, kind="stable")
@@ -162,6 +191,26 @@ class EdgeSet:
         return EdgeSet.from_local(
             senders, receivers, features, num_send, num_rec, sort=True
         )
+
+
+def _fold_virt(edges: EdgeSet, virt):
+    """(..., N_virt, d) virtual-row sums -> (..., N_rec, d) receiver sums."""
+    if edges.virt_identity:
+        return jax.lax.slice_in_dim(virt, 0, edges.num_rec, axis=-2)
+    return segment_sum(
+        virt, edges.virt_to_rec, edges.num_rec, sorted_ids=True
+    )
+
+
+def _virt_counts(edges: EdgeSet):
+    """Real in-degree per receiver (for mean aggregation), min 1."""
+    counts = _fold_virt(
+        edges,
+        edges.mask.reshape(edges.num_virt, edges.dense_k).sum(
+            axis=-1, keepdims=True
+        ),
+    )[..., 0]
+    return jnp.maximum(counts, 1.0)
 
 
 def init_interaction_net(key, input_dim: int, *, hidden_layers: int = 1,
@@ -232,6 +281,53 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     Returns rec_out (and edge_out when update_edges).
     """
     assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
+    mode = _pallas_mode()
+    use_fused = (
+        edges.dense_k
+        and mode != "off"
+        and compute_dtype is None
+        and len(params["edge_mlp"]["layers"]) == 2
+        and params["edge_mlp"]["ln"] is not None
+        and send_rep.ndim == 3
+    )
+    if use_fused:
+        from .pallas_edge import edge_tail
+
+        layers = params["edge_mlp"]["layers"]
+        w0, b0 = layers[0]["w"], layers[0]["b"]
+        d = edge_rep.shape[-1]
+        w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
+
+        def mm(x, w):
+            return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+        send_t = mm(send_rep, w_j)
+        rec_t = mm(rec_rep, w_i)
+        rec_rows = jnp.take(rec_t, edges.virt_to_rec, axis=-2)
+        x0 = (
+            mm(edge_rep, w_e)
+            + jnp.take(send_t, edges.senders, axis=-2)
+            + jnp.repeat(rec_rows, edges.dense_k, axis=-2)
+            + b0
+        )
+        messages, virt = edge_tail(
+            x0, layers[1]["w"], layers[1]["b"],
+            params["edge_mlp"]["ln"]["scale"],
+            params["edge_mlp"]["ln"]["bias"],
+            edges.mask, edges.dense_k, mode == "interpret",
+        )
+        aggregated = _fold_virt(edges, virt)
+        if aggr == "mean":
+            aggregated = aggregated / _virt_counts(edges)[..., :, None]
+        rec_diff = apply_mlp_concat(
+            params["aggr_mlp"], [rec_rep, aggregated],
+            compute_dtype=compute_dtype,
+        )
+        rec_out = rec_rep + rec_diff
+        if update_edges:
+            return rec_out, edge_rep + messages
+        return rec_out
+
     messages = _edge_mlp_decomposed(
         params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
         compute_dtype=compute_dtype,
@@ -245,20 +341,9 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         virt = masked.reshape(
             messages.shape[:-2] + (edges.num_virt, K, d)
         ).sum(axis=-2)  # (..., N_virt, d)
-        if edges.num_virt == edges.num_rec:
-            aggregated = virt  # identity map (no receiver has overflow rows)
-        else:
-            aggregated = segment_sum(
-                virt, edges.virt_to_rec, edges.num_rec, sorted_ids=True
-            )
+        aggregated = _fold_virt(edges, virt)
         if aggr == "mean":
-            counts = segment_sum(
-                edges.mask.reshape(edges.num_virt, K).sum(
-                    axis=-1, keepdims=True
-                ),
-                edges.virt_to_rec, edges.num_rec, sorted_ids=True,
-            )[..., 0]
-            aggregated = aggregated / jnp.maximum(counts, 1.0)[..., :, None]
+            aggregated = aggregated / _virt_counts(edges)[..., :, None]
     else:
         if use_gather_table:
             aggregated = gather_sum(messages, edges.gather_table)
@@ -272,9 +357,8 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             ).astype(messages.dtype)
             aggregated = aggregated / counts[..., :, None]
 
-    rec_diff = apply_mlp(
-        params["aggr_mlp"],
-        jnp.concatenate([rec_rep, aggregated], axis=-1),
+    rec_diff = apply_mlp_concat(
+        params["aggr_mlp"], [rec_rep, aggregated],
         compute_dtype=compute_dtype,
     )
     rec_out = rec_rep + rec_diff

@@ -69,6 +69,46 @@ def layer_norm(x, scale, bias, eps: float = LN_EPS):
     return (normed * scale + bias).astype(x.dtype)
 
 
+def apply_mlp_concat(params: dict, parts: list, *, compute_dtype=None):
+    """apply_mlp(params, concat(parts, -1)) without materializing the concat.
+
+    The first Linear over a concatenation decomposes into per-part matmuls
+    summed — avoids writing + re-reading the concatenated tensor (the aggr
+    MLP input is 2x hidden wide, ref: neural_lam/interaction_net.py:66).
+    """
+    w0 = params["layers"][0]["w"]
+    b0 = params["layers"][0]["b"]
+
+    def mm(x, w):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    off = 0
+    x = b0.astype(jnp.float32)
+    for part in parts:
+        d = part.shape[-1]
+        x = x + mm(part, w0[off:off + d])
+        off += d
+    assert off == w0.shape[0], (off, w0.shape)
+    n = len(params["layers"])
+    for i in range(1, n):
+        x = jax.nn.silu(x)
+        w, b = params["layers"][i]["w"], params["layers"][i]["b"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b.astype(
+            jnp.float32
+        )
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    if params["ln"] is not None:
+        x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    return x
+
+
 def apply_mlp(params: dict, x, *, compute_dtype=None):
     """Apply the MLP: Linear (+ SiLU between layers), optional output LayerNorm.
 

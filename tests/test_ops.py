@@ -203,3 +203,65 @@ def test_edgeset_from_global_rebase():
     # sorted by receiver
     assert np.asarray(es.receivers).tolist() == [0, 0, 3]
     assert np.asarray(es.senders).tolist() == [0, 7, 3]
+
+
+def test_pallas_edge_tail_interpret():
+    """Fused edge-tail kernel vs XLA reference (interpret mode on CPU)."""
+    from neural_lam_tpu.ops.pallas_edge import _tail_reference, edge_tail
+
+    rng = np.random.default_rng(7)
+    B, Nv, K, h = 2, 128, 8, 64
+    M = Nv * K
+    x0 = jnp.asarray(rng.standard_normal((B, M, h)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, h)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    ls = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    lb = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    mask = jnp.asarray((rng.random((M, 1)) > 0.3).astype(np.float32))
+
+    ref_msg, ref_virt = _tail_reference(x0, w2, b2, ls, lb, mask, K)
+    msg, virt = edge_tail(x0, w2, b2, ls, lb, mask, K, True)
+    np.testing.assert_allclose(np.asarray(msg), np.asarray(ref_msg), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(virt), np.asarray(ref_virt),
+                               atol=1e-4)
+
+    def loss(x0, w2):
+        m, v = edge_tail(x0, w2, b2, ls, lb, mask, K, True)
+        return (m**2).sum() + (v**2).sum()
+
+    def loss_ref(x0, w2):
+        m, v = _tail_reference(x0, w2, b2, ls, lb, mask, K)
+        return (m**2).sum() + (v**2).sum()
+
+    g1 = jax.grad(loss, argnums=(0, 1))(x0, w2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x0, w2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-4)
+
+
+def test_dense_interaction_net_with_pallas_interpret(monkeypatch):
+    """apply_interaction_net fused path (interpret) == plain dense path."""
+    import neural_lam_tpu.ops.message_passing as mp
+
+    rng = np.random.default_rng(9)
+    N_send, N_rec, M, d, B = 40, 30, 300, 64, 2
+    senders = rng.integers(0, N_send, M)
+    receivers = rng.integers(0, N_rec, M)
+    feats = rng.standard_normal((M, 3)).astype(np.float32)
+    es = EdgeSet.from_local(senders, receivers, feats, N_send, N_rec,
+                            dense=True)
+    params = init_interaction_net(jax.random.PRNGKey(2), d)
+    send = jnp.asarray(rng.standard_normal((B, N_send, d)), jnp.float32)
+    rec = jnp.asarray(rng.standard_normal((B, N_rec, d)), jnp.float32)
+    er = jnp.asarray(rng.standard_normal((B, es.num_edges, d)), jnp.float32)
+
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "off")
+    o_plain, e_plain = apply_interaction_net(params, es, send, rec, er)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    o_fused, e_fused = apply_interaction_net(params, es, send, rec, er)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", None)
+    np.testing.assert_allclose(np.asarray(o_plain), np.asarray(o_fused),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(e_plain), np.asarray(e_fused),
+                               atol=1e-4, rtol=1e-4)
