@@ -191,6 +191,50 @@ class ZarrArray:
         arr = np.frombuffer(buf, dtype=self.dtype)
         return arr.reshape(chunk_shape, order=self.order)
 
+    def _codec_id(self):
+        """Native decoder codec id for this array, or None if unsupported."""
+        from ..native import CODEC_BLOSC, CODEC_RAW, CODEC_ZLIB
+
+        if self.is_object:
+            return None
+        if self.compressor is None:
+            return CODEC_RAW
+        return {"blosc": CODEC_BLOSC, "zlib": CODEC_ZLIB,
+                "gzip": CODEC_ZLIB}.get(self.compressor["id"])
+
+    def _read_chunks_batch(self, idx_list) -> list:
+        """Read + decode many chunks, using the native parallel decoder
+        (neural_lam_tpu/native) when available."""
+        codec = self._codec_id()
+        chunk_shape = tuple(self.chunks)
+        nbytes = int(np.prod(chunk_shape)) * self.dtype.itemsize
+        if codec is not None and len(idx_list) >= 2:
+            from ..native import decode_chunks_parallel
+
+            buffers, codecs, present = [], [], []
+            for idx in idx_list:
+                key = self.sep.join(str(i) for i in idx) if idx else "0"
+                fp = self.path / key
+                if fp.exists():
+                    buffers.append(fp.read_bytes())
+                    codecs.append(codec)
+                    present.append(True)
+                else:
+                    present.append(False)
+            if buffers:
+                flat = decode_chunks_parallel(buffers, codecs, nbytes)
+                if flat is not None:
+                    decoded = iter(
+                        flat.reshape(len(buffers), nbytes).view(self.dtype)
+                    )
+                    return [
+                        next(decoded).reshape(chunk_shape, order=self.order)
+                        if ok
+                        else np.full(chunk_shape, self.fill_value, self.dtype)
+                        for ok in present
+                    ]
+        return [self._read_chunk(idx) for idx in idx_list]
+
     def read_full(self) -> np.ndarray:
         """Materialize the whole array."""
         if self.ndim == 0:
@@ -199,8 +243,8 @@ class ZarrArray:
             -(-s // c) for s, c in zip(self.shape, self.chunks)
         ]
         out = np.empty(self.shape, dtype=self.dtype)
-        for idx in np.ndindex(*n_chunks):
-            chunk = self._read_chunk(idx)
+        idx_list = list(np.ndindex(*n_chunks))
+        for idx, chunk in zip(idx_list, self._read_chunks_batch(idx_list)):
             slices = tuple(
                 slice(i * c, min((i + 1) * c, s))
                 for i, c, s in zip(idx, self.chunks, self.shape)

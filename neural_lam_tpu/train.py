@@ -23,6 +23,7 @@ import dataclasses
 import functools
 import json
 import random
+import signal
 import time
 from argparse import ArgumentParser
 from pathlib import Path
@@ -56,6 +57,7 @@ class TrainFlags:
     load: str | None = None
     restore_opt: bool = False
     eval: str | None = None  # None | "val" | "test"
+    ckpt_every_steps: int = 0  # extra periodic "last" checkpoints (0 = off)
     logger: str = "jsonl"
     run_name: str = "run"
     save_dir: str = "saved_models"
@@ -148,6 +150,20 @@ class Trainer:
         flags = self.flags
         val_steps_to_log = self.model.args.val_steps_to_log
 
+        # Preemption safety (the reference has none — SURVEY.md §5): on
+        # SIGTERM/SIGINT finish the current step, save "last", then exit.
+        stop_requested = {"flag": False}
+        prev_handlers = {}
+
+        def _request_stop(signum, frame):
+            stop_requested["flag"] = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:
+                pass  # not in main thread
+
         for epoch in range(flags.epochs):
             loader = datamodule.train_dataloader(seed=flags.seed)
             loader.set_epoch(epoch)
@@ -163,6 +179,15 @@ class Trainer:
                 self.global_step += 1
                 n_batches += 1
                 loss_sum += float(loss)
+                if (flags.ckpt_every_steps
+                        and self.global_step % flags.ckpt_every_steps == 0):
+                    save_checkpoint(
+                        self.run_dir, "last", params, opt_state,
+                        {"step": self.global_step, "epoch": epoch,
+                         "best_val_loss": self.best_val_loss},
+                    )
+                if stop_requested["flag"]:
+                    break
             dt = time.time() - t0
             train_loss = loss_sum / max(n_batches, 1)
             self.logger.log(
@@ -190,6 +215,18 @@ class Trainer:
                     save_checkpoint(self.run_dir, "min_val_loss", params,
                                     opt_state, meta)
                 save_checkpoint(self.run_dir, "last", params, opt_state, meta)
+            if stop_requested["flag"]:
+                print("Preemption signal received: saving last checkpoint "
+                      "and stopping.", flush=True)
+                save_checkpoint(
+                    self.run_dir, "last", params, opt_state,
+                    {"step": self.global_step, "epoch": epoch,
+                     "best_val_loss": self.best_val_loss,
+                     "preempted": True},
+                )
+                break
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
         return params, opt_state
 
     def _pad_batch(self, batch):
