@@ -315,6 +315,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             params["edge_mlp"]["ln"]["scale"],
             params["edge_mlp"]["ln"]["bias"],
             edges.mask, edges.dense_k, mode == "interpret",
+            update_edges,
         )
         aggregated = _fold_virt(edges, virt)
         if aggr == "mean":

@@ -42,8 +42,8 @@ def _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K):
     return msg, virt
 
 
-def _tail_kernel(K, x0_ref, w2_ref, b2_ref, ls_ref, lb_ref, mask_ref,
-                 msg_ref, virt_ref):
+def _tail_kernel(K, with_messages, x0_ref, w2_ref, b2_ref, ls_ref, lb_ref,
+                 mask_ref, *out_refs):
     x = jax.nn.silu(x0_ref[...])  # (TILE_E, h)
     x = (
         jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
@@ -52,24 +52,29 @@ def _tail_kernel(K, x0_ref, w2_ref, b2_ref, ls_ref, lb_ref, mask_ref,
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
-    msg_ref[...] = msg
+    if with_messages:
+        out_refs[0][...] = msg
+    virt_ref = out_refs[-1]
     masked = msg * mask_ref[...]
     tile_e, h = masked.shape
     virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def edge_tail(x0, w2, b2, ln_scale, ln_bias, mask, K: int,
-              interpret: bool = False):
+              interpret: bool = False, with_messages: bool = True):
     """Fused edge-MLP tail. x0: (B, M, h); mask: (M, 1); M = N_virt * K.
 
-    Returns (messages (B, M, h), virt (B, M//K, h)).
+    Returns (messages (B, M, h) or None, virt (B, M//K, h)). Pass
+    with_messages=False when the caller only needs the aggregation
+    (update_edges=False GNNs) — skips writing the big messages tensor.
     """
     return _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K,
-                               interpret)
+                               interpret, with_messages)
 
 
-def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret):
+def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret,
+                        with_messages):
     B, M, h = x0.shape
     n_virt = M // K
     assert n_virt * K == M
@@ -79,16 +84,21 @@ def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret):
         TILE_V //= 2
     if n_virt % TILE_V or TILE_V < 64:
         # not tileable with healthy tile sizes; fall back to XLA
-        return _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
+        msg, virt = _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
+        return (msg if with_messages else None), virt
     TILE_E = TILE_V * K
 
     grid = (B, n_virt // TILE_V)
-    out_shape = (
-        jax.ShapeDtypeStruct((B, M, h), jnp.float32),
-        jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32),
+    msg_shape = [jax.ShapeDtypeStruct((B, M, h), jnp.float32)]
+    msg_spec = [pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                             memory_space=pltpu.VMEM)]
+    if not with_messages:
+        msg_shape, msg_spec = [], []
+    out_shape = tuple(
+        msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32)]
     )
-    kernel = functools.partial(_tail_kernel, K)
-    msg, virt = pl.pallas_call(
+    kernel = functools.partial(_tail_kernel, K, with_messages)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -105,28 +115,31 @@ def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret):
             pl.BlockSpec((TILE_E, 1), lambda b, v: (v, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            msg_spec + [pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
+                                     memory_space=pltpu.VMEM)]
         ),
         out_shape=out_shape,
         interpret=interpret,
     )(x0, w2, b2.reshape(1, h), ln_scale.reshape(1, h),
       ln_bias.reshape(1, h), mask)
-    return msg, virt
+    if with_messages:
+        return outs[0], outs[1]
+    return None, outs[0]
 
 
-def _edge_tail_fwd(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret):
+def _edge_tail_fwd(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret,
+                   with_messages):
     out = _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K,
-                              interpret)
+                              interpret, with_messages)
     return out, (x0, w2, b2, ln_scale, ln_bias, mask)
 
 
-def _edge_tail_bwd(K, interpret, res, grads):
+def _edge_tail_bwd(K, interpret, with_messages, res, grads):
     x0, w2, b2, ln_scale, ln_bias, mask = res
     g_msg, g_virt = grads
+    if g_msg is None or not with_messages:
+        g_msg = jnp.zeros(x0.shape, x0.dtype)
 
     def fwd(x0, w2, b2, ln_scale, ln_bias, mask):
         return _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
