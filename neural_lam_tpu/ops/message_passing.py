@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mlp import apply_mlp, apply_mlp_concat, init_mlp, layer_norm
-from .segment import build_gather_table, gather_sum, segment_sum
+from .segment import (build_gather_table, gather_rows_batched, gather_sum, segment_sum)
 
 # Pallas fused edge-tail kernel: enabled on non-CPU backends unless
 # NLT_NO_PALLAS is set; "interpret" runs the kernel interpreted (tests).
@@ -193,6 +193,23 @@ class EdgeSet:
         )
 
 
+
+
+def _gather_virt_rows(rec_t, edges: "EdgeSet"):
+    """rec_t rows for each virtual row: identity layouts turn the gather
+    into pad-with-last-row (padding rows map to receiver num_rec-1)."""
+    if edges.virt_identity:
+        extra = edges.num_virt - edges.num_rec
+        if extra == 0:
+            return rec_t
+        last = rec_t[..., -1:, :]
+        reps = jnp.broadcast_to(
+            last, rec_t.shape[:-2] + (extra, rec_t.shape[-1])
+        )
+        return jnp.concatenate([rec_t, reps], axis=-2)
+    return gather_rows_batched(rec_t, edges.virt_to_rec)
+
+
 def _fold_virt(edges: EdgeSet, virt):
     """(..., N_virt, d) virtual-row sums -> (..., N_rec, d) receiver sums."""
     if edges.virt_identity:
@@ -249,13 +266,18 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
     if edges.dense_k:
         # receiver rows are consecutive K-blocks: gather the (small) virtual
         # row set, then a free broadcast-repeat instead of a big gather
-        rec_rows = jnp.take(rec_t, edges.virt_to_rec, axis=-2)
+        rec_rows = _gather_virt_rows(rec_t, edges)
         rec_gathered = jnp.repeat(rec_rows, edges.dense_k, axis=-2)
     else:
         rec_gathered = jnp.take(rec_t, edges.receivers, axis=-2)
+    send_gathered = (
+        gather_rows_batched(send_t, edges.senders)
+        if send_t.ndim == 3
+        else jnp.take(send_t, edges.senders, axis=-2)
+    )
     x = (
         mm(edge_rep, w_e)
-        + jnp.take(send_t, edges.senders, axis=-2)
+        + send_gathered
         + rec_gathered
         + b0.astype(jnp.float32)
     )  # (..., M, h)
@@ -303,10 +325,10 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
 
         send_t = mm(send_rep, w_j)
         rec_t = mm(rec_rep, w_i)
-        rec_rows = jnp.take(rec_t, edges.virt_to_rec, axis=-2)
+        rec_rows = _gather_virt_rows(rec_t, edges)
         x0 = (
             mm(edge_rep, w_e)
-            + jnp.take(send_t, edges.senders, axis=-2)
+            + gather_rows_batched(send_t, edges.senders)
             + jnp.repeat(rec_rows, edges.dense_k, axis=-2)
             + b0
         )

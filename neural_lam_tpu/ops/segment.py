@@ -96,3 +96,22 @@ def gather_sum(messages, table):
     padded = jnp.concatenate([messages, zero], axis=-2)  # (..., M+1, d)
     gathered = jnp.take(padded, table, axis=-2)  # (..., N, K, d)
     return gathered.sum(axis=-2)
+
+
+# Large-source row gathers: XLA's per-batch gather from a (B, N, h) operand
+# runs far below HBM bandwidth when N is large; flattening batch into the
+# row (lane) dimension makes each gathered row wide and contiguous.
+_LARGE_SRC_THRESHOLD = 16384
+
+
+def gather_rows_batched(src, idx):
+    """jnp.take(src, idx, axis=-2) for (B, N, h) sources, choosing the
+    batch-flattened layout for large N."""
+    import jax.numpy as jnp
+
+    if src.ndim != 3 or src.shape[1] < _LARGE_SRC_THRESHOLD:
+        return jnp.take(src, idx, axis=-2)
+    B, N, h = src.shape
+    flat = jnp.transpose(src, (1, 0, 2)).reshape(N, B * h)
+    rows = jnp.take(flat, idx, axis=0)  # (M, B*h)
+    return jnp.transpose(rows.reshape(idx.shape[0], B, h), (1, 0, 2))
