@@ -1,83 +1,64 @@
-"""Hi-LAM Parallel: all hierarchical edge sets fused into one kernel.
+"""Hi-LAM Parallel: all hierarchical edge sets processed in one fused round.
 
-ref: neural_lam/models/hi_lam_parallel.py:12-99 — m2m + up + down edge sets
-concatenated into ONE edge array processed by a single interaction-net stack
-with per-chunk MLPs (SplitMLPs); node chunks are the mesh levels. On TPU
-this is exactly one fused gather → chunked edge-MLP → segment-sum per layer
-over the whole hierarchy.
+ref: neural_lam/models/hi_lam_parallel.py:12-99 — the reference concatenates
+m2m + up + down edge sets into ONE edge array and runs a single
+interaction-net stack whose MLPs are chunked per edge set / node level
+(SplitMLPs). Semantics per layer:
+
+    messages_c  = EdgeMLP_c(edge chunk c)                 (per chunk)
+    aggregated  = sum of all chunks' messages per node    (all chunks)
+    node_l     += AggrMLP_l(concat(node_l, aggregated_l)) (per level)
+    edges_c    += messages_c
+
+The TPU-native realization keeps node states as per-level arrays and edge
+chunks as the graph's dense constant-degree EdgeSets: each chunk's messages
+use the decomposed edge MLP (+ Pallas tail kernel), aggregate by masked
+reshape-sum, and add into the destination level's accumulator — no
+concatenated mega edge array and no cross-level gathers, while every chunk
+still shares the one fused round per processor layer.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.message_passing import (
-    EdgeSet,
-    apply_interaction_net_chunked,
+    edge_messages_and_virt,
+    _fold_virt,
     init_interaction_net_chunked,
 )
+from ..ops.mlp import apply_mlp_concat
 from .base_hi_graph_model import BaseHiGraphModel
 
 
 class HiLAMParallel(BaseHiGraphModel):
-    _array_fields = ("statics", "graph", "joint_edges")
-
     def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
-
-        # joint edge set in the global mesh-node index space, chunk order
-        # m2m levels, then up, then down (ref: hi_lam_parallel.py:26-32)
-        first_index = np.concatenate(
-            ([0], np.cumsum(self.level_mesh_sizes[:-1]))
-        ).astype(np.int64)
-        total_mesh = sum(self.level_mesh_sizes)
-
-        sets = []
-        for lev, es in enumerate(self.graph.m2m):
-            sets.append((np.asarray(es.senders) + first_index[lev],
-                         np.asarray(es.receivers) + first_index[lev],
-                         np.asarray(es.features), np.asarray(es.mask)))
-        for lev, es in enumerate(self.graph.up):
-            sets.append((np.asarray(es.senders) + first_index[lev],
-                         np.asarray(es.receivers) + first_index[lev + 1],
-                         np.asarray(es.features), np.asarray(es.mask)))
-        for lev, es in enumerate(self.graph.down):
-            sets.append((np.asarray(es.senders) + first_index[lev + 1],
-                         np.asarray(es.receivers) + first_index[lev],
-                         np.asarray(es.features), np.asarray(es.mask)))
-
-        self.edge_split_sections = [s[0].shape[0] for s in sets]
-        joint = EdgeSet.from_local(
-            senders=np.concatenate([s[0] for s in sets]),
-            receivers=np.concatenate([s[1] for s in sets]),
-            features=np.concatenate([s[2] for s in sets]),
-            num_send=total_mesh, num_rec=total_mesh,
-            sort=False,  # keep chunk order for SplitMLPs semantics
+        # chunk order: m2m levels, then up, then down
+        # (ref: hi_lam_parallel.py:26-32); chunk c: send level / rec level
+        L = self.num_levels
+        self._chunk_send_level = (
+            list(range(L)) + list(range(L - 1)) + list(range(1, L))
         )
-        import dataclasses as _dc
-        import jax.numpy as _jnp
-
-        self.joint_edges = _dc.replace(
-            joint, mask=_jnp.asarray(np.concatenate([s[3] for s in sets]))
+        self._chunk_rec_level = (
+            list(range(L)) + list(range(1, L)) + list(range(L - 1))
         )
-        self.chunk_meta = {
-            "edge_sizes": self.edge_split_sections,
-            "node_sizes": self.level_mesh_sizes,
-        }
+
+    def _chunk_edge_sets(self):
+        g = self.graph
+        return list(g.m2m) + list(g.up) + list(g.down)
 
     def init_hi_processor_params(self, key) -> dict:
         h, hl = self.args.hidden_dim, self.args.hidden_layers
         P = self.args.processor_layers
         keys = jax.random.split(key, max(P, 1))
+        n_chunks = len(self._chunk_send_level)
         return {
             "processor": [
                 init_interaction_net_chunked(
-                    k, h,
-                    n_edge_chunks=len(self.edge_split_sections),
-                    n_node_chunks=self.num_levels,
-                    hidden_layers=hl,
+                    k, h, n_edge_chunks=n_chunks,
+                    n_node_chunks=self.num_levels, hidden_layers=hl,
                 )
                 for k in keys[:P]
             ],
@@ -85,26 +66,42 @@ class HiLAMParallel(BaseHiGraphModel):
 
     def hi_processor_step(self, params, mesh_rep_levels, mesh_same_rep,
                           mesh_up_rep, mesh_down_rep):
-        """(ref: hi_lam_parallel.py:55-99)"""
+        """(ref: hi_lam_parallel.py:55-99) — per-level fused rounds."""
         L = self.num_levels
-        mesh_rep = jnp.concatenate(mesh_rep_levels, axis=-2)  # (B, N_mesh, d)
-        mesh_edge_rep = jnp.concatenate(
-            list(mesh_same_rep) + list(mesh_up_rep) + list(mesh_down_rep),
-            axis=-2,
-        )  # (B, M_total, d)
+        cd = self.compute_dtype
+        edge_sets = self._chunk_edge_sets()
+        edge_reps = list(mesh_same_rep) + list(mesh_up_rep) + list(
+            mesh_down_rep
+        )
 
         for p in params["processor"]:
-            mesh_rep, mesh_edge_rep = apply_interaction_net_chunked(
-                p, self.chunk_meta, self.joint_edges, mesh_rep, mesh_edge_rep,
-                compute_dtype=self.compute_dtype,
-            )
+            aggregated = [None] * L
+            new_edge_reps = []
+            for c, es in enumerate(edge_sets):
+                send_l = self._chunk_send_level[c]
+                rec_l = self._chunk_rec_level[c]
+                messages, virt = edge_messages_and_virt(
+                    p["edge_mlps"][c], es,
+                    mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
+                    edge_reps[c], compute_dtype=cd,
+                )
+                agg_c = _fold_virt(es, virt)
+                aggregated[rec_l] = (
+                    agg_c if aggregated[rec_l] is None
+                    else aggregated[rec_l] + agg_c
+                )
+                new_edge_reps.append(edge_reps[c] + messages)
+            edge_reps = new_edge_reps
+            mesh_rep_levels = [
+                mesh_rep_levels[lvl] + apply_mlp_concat(
+                    p["aggr_mlps"][lvl],
+                    [mesh_rep_levels[lvl], aggregated[lvl]],
+                    compute_dtype=cd,
+                )
+                for lvl in range(L)
+            ]
 
-        # split back per level / edge set
-        sizes = np.cumsum(self.level_mesh_sizes)[:-1]
-        mesh_rep_levels = list(jnp.split(mesh_rep, sizes, axis=-2))
-        esizes = np.cumsum(self.edge_split_sections)[:-1]
-        sections = jnp.split(mesh_edge_rep, esizes, axis=-2)
-        mesh_same_rep = sections[:L]
-        mesh_up_rep = sections[L : L + (L - 1)]
-        mesh_down_rep = sections[L + (L - 1) :]
+        mesh_same_rep = edge_reps[:L]
+        mesh_up_rep = edge_reps[L:L + (L - 1)]
+        mesh_down_rep = edge_reps[L + (L - 1):]
         return mesh_rep_levels, mesh_same_rep, mesh_up_rep, mesh_down_rep

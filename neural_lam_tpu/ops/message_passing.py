@@ -210,6 +210,58 @@ def _gather_virt_rows(rec_t, edges: "EdgeSet"):
     return gather_rows_batched(rec_t, edges.virt_to_rec)
 
 
+
+
+def edge_messages_and_virt(edge_mlp_params: dict, edges: EdgeSet, send_rep,
+                           rec_rep, edge_rep, *, compute_dtype=None,
+                           with_messages: bool = True):
+    """Messages + dense virtual-row sums for one dense-layout edge set.
+
+    Uses the fused Pallas tail kernel when eligible; otherwise the
+    decomposed XLA path. Returns (messages | None, virt (..., N_virt, d)).
+    """
+    assert edges.dense_k, "dense layout required"
+    mode = _pallas_mode()
+    K = edges.dense_k
+    if (mode != "off" and compute_dtype is None
+            and len(edge_mlp_params["layers"]) == 2
+            and edge_mlp_params["ln"] is not None and send_rep.ndim == 3):
+        from .pallas_edge import edge_tail
+
+        layers = edge_mlp_params["layers"]
+        w0, b0 = layers[0]["w"], layers[0]["b"]
+        d = edge_rep.shape[-1]
+        w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
+
+        def mm(x, w):
+            return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+        send_t = mm(send_rep, w_j)
+        rec_t = mm(rec_rep, w_i)
+        rec_rows = _gather_virt_rows(rec_t, edges)
+        x0 = (
+            mm(edge_rep, w_e)
+            + gather_rows_batched(send_t, edges.senders)
+            + jnp.repeat(rec_rows, K, axis=-2)
+            + b0
+        )
+        return edge_tail(
+            x0, layers[1]["w"], layers[1]["b"],
+            edge_mlp_params["ln"]["scale"], edge_mlp_params["ln"]["bias"],
+            edges.mask, K, mode == "interpret", with_messages,
+        )
+    messages = _edge_mlp_decomposed(
+        edge_mlp_params, edges, send_rep, rec_rep, edge_rep,
+        compute_dtype=compute_dtype,
+    )
+    d = messages.shape[-1]
+    masked = messages * edges.mask
+    virt = masked.reshape(
+        messages.shape[:-2] + (edges.num_virt, K, d)
+    ).sum(axis=-2)
+    return (messages if with_messages else None), virt
+
+
 def _fold_virt(edges: EdgeSet, virt):
     """(..., N_virt, d) virtual-row sums -> (..., N_rec, d) receiver sums."""
     if edges.virt_identity:
@@ -313,31 +365,9 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         and send_rep.ndim == 3
     )
     if use_fused:
-        from .pallas_edge import edge_tail
-
-        layers = params["edge_mlp"]["layers"]
-        w0, b0 = layers[0]["w"], layers[0]["b"]
-        d = edge_rep.shape[-1]
-        w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
-
-        def mm(x, w):
-            return jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-        send_t = mm(send_rep, w_j)
-        rec_t = mm(rec_rep, w_i)
-        rec_rows = _gather_virt_rows(rec_t, edges)
-        x0 = (
-            mm(edge_rep, w_e)
-            + gather_rows_batched(send_t, edges.senders)
-            + jnp.repeat(rec_rows, edges.dense_k, axis=-2)
-            + b0
-        )
-        messages, virt = edge_tail(
-            x0, layers[1]["w"], layers[1]["b"],
-            params["edge_mlp"]["ln"]["scale"],
-            params["edge_mlp"]["ln"]["bias"],
-            edges.mask, edges.dense_k, mode == "interpret",
-            update_edges,
+        messages, virt = edge_messages_and_virt(
+            params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
+            compute_dtype=compute_dtype, with_messages=update_edges,
         )
         aggregated = _fold_virt(edges, virt)
         if aggr == "mean":
