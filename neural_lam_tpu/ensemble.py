@@ -1,0 +1,104 @@
+"""Probabilistic ensemble forecasting from the Gaussian output head.
+
+The reference trains models with `--output_std` (per-variable predicted
+std-dev, ref: neural_lam/models/base_graph_model.py:161-171) and evaluates
+with nll/crps_gauss; ensemble *generation* (à la Graph-EFM) is layered here
+on top of any output_std model: at every autoregressive step each member
+samples its next state from the predicted Gaussian (interior only — the
+boundary stays forced), members advanced in parallel by folding the member
+axis into the batch axis (one big jitted rollout, TPU-friendly).
+
+Evaluation helpers: ensemble mean/spread, rank-free CRPS estimated with the
+standard fair-ensemble estimator
+
+    CRPS ≈ mean_i |x_i - y| - 1/(2 m (m-1)) sum_{i,j} |x_i - x_j|
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_rollout(model, params, init_states, forcing_features, true_states,
+                   key, n_members: int = 5):
+    """Sample an ensemble of AR rollouts.
+
+    init_states (B, 2, N, d); forcing (B, T, N, d_f); true_states (B, T, N, d)
+    (used only for boundary forcing). Returns (B, n_members, T, N, d).
+    """
+    assert model.output_std, "ensemble sampling needs an output_std model"
+    statics = model.statics
+    B = init_states.shape[0]
+
+    def rep(x):
+        # fold member axis into batch: (B, ...) -> (B * m, ...)
+        return jnp.repeat(x, n_members, axis=0)
+
+    init_r = rep(init_states)
+    forcing_r = rep(forcing_features)
+    true_r = rep(true_states)
+
+    def step(carry, xs):
+        prev_prev_state, prev_state, key = carry
+        forcing, border_state = xs
+        key, sub = jax.random.split(key)
+        mean, std = model.predict_step(params, prev_state, prev_prev_state,
+                                       forcing)
+        eps = jax.random.normal(sub, mean.shape, mean.dtype)
+        sampled = mean + std * eps
+        new_state = (
+            statics.boundary_mask * border_state
+            + statics.interior_mask * sampled
+        )
+        return (prev_state, new_state, key), new_state
+
+    xs = (jnp.moveaxis(forcing_r, 1, 0), jnp.moveaxis(true_r, 1, 0))
+    carry0 = (init_r[:, 0], init_r[:, 1], key)
+    _, preds = jax.lax.scan(step, carry0, xs)  # (T, B*m, N, d)
+    preds = jnp.moveaxis(preds, 0, 1)  # (B*m, T, N, d)
+    T, N, d = preds.shape[1:]
+    return preds.reshape(B, n_members, T, N, d)
+
+
+def ensemble_mean_spread(ens):
+    """(B, m, T, N, d) -> mean and spread (std over members)."""
+    return ens.mean(axis=1), ens.std(axis=1)
+
+
+def crps_ensemble(ens, target, mask=None, average_grid=True, sum_vars=True):
+    """Fair-ensemble CRPS estimate.
+
+    ens: (B, m, T, N, d); target: (B, T, N, d). Reduction semantics follow
+    metrics.mask_and_reduce_metric.
+    """
+    from .metrics import mask_and_reduce_metric
+
+    m = ens.shape[1]
+    skill = jnp.abs(ens - target[:, None]).mean(axis=1)  # (B, T, N, d)
+    if m > 1:
+        # pairwise member spread, O(m^2) but m is small
+        diffs = jnp.abs(ens[:, :, None] - ens[:, None, :])  # (B, m, m, ...)
+        spread = diffs.sum(axis=(1, 2)) / (2.0 * m * (m - 1))
+    else:
+        spread = jnp.zeros_like(skill)
+    entry = skill - spread
+    return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
+
+
+def evaluate_ensemble(model, params, batch, key, n_members: int = 5):
+    """Per-lead-time ensemble metrics for one batch.
+
+    Returns dict with crps (T,), spread (T,), rmse of the ensemble mean (T,).
+    """
+    init_states, target_states, forcing, _ = batch
+    ens = sample_rollout(model, params, init_states, forcing, target_states,
+                         key, n_members)
+    mask = model.interior_mask_bool()
+    mean, spread = ensemble_mean_spread(ens)
+    crps = crps_ensemble(ens, target_states, mask=mask).mean(axis=0)
+    w = mask.astype(mean.dtype)
+    se = jnp.square(mean - target_states) * w[:, None]
+    rmse = jnp.sqrt(se.sum(axis=-2) / w.sum()).mean(axis=(0, -1))
+    spread_t = (spread * w[:, None]).sum(axis=-2).mean(axis=(0, -1)) / w.sum()
+    return {"crps": crps, "ens_rmse": rmse, "spread": spread_t}

@@ -1,0 +1,71 @@
+"""Ensemble sampling + CRPS evaluation on an output_std model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_lam_tpu.config import (
+    DatastoreSelection, NeuralLAMConfig, TrainingConfig,
+)
+from neural_lam_tpu.dataset import WeatherDataset, collate
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.ensemble import (
+    crps_ensemble,
+    evaluate_ensemble,
+    sample_rollout,
+)
+from neural_lam_tpu.graph.build import create_graph
+from neural_lam_tpu.graph.storage import graph_from_bundle
+from neural_lam_tpu.models import MODELS
+from neural_lam_tpu.models.ar_model import ModelArgs
+
+
+def test_ensemble_rollout_and_metrics(tmp_path):
+    datastore = DummyDatastore(n_points_1d=10, n_timesteps=40)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path / "g"), datastore.get_xy("state", stacked=False),
+        n_max_levels=1, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=8, processor_layers=1, output_std=True,
+                     loss="nll")
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ds = WeatherDataset(datastore, split="train", ar_steps=3)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0], ds[1]]))
+    init_states, target_states, forcing, _ = batch
+    B, T, N, d = target_states.shape
+    m = 4
+
+    ens = sample_rollout(model, params, init_states, forcing, target_states,
+                         jax.random.PRNGKey(1), n_members=m)
+    assert ens.shape == (B, m, T, N, d)
+    assert np.all(np.isfinite(np.asarray(ens)))
+    # members differ in the interior
+    interior = np.asarray(model.interior_mask_bool())
+    spread = np.asarray(ens.std(axis=1))[:, :, interior]
+    assert spread.max() > 0
+    # boundary members identical (forced)
+    boundary_spread = np.asarray(ens.std(axis=1))[:, :, ~interior]
+    np.testing.assert_allclose(boundary_spread, 0.0, atol=1e-6)
+
+    out = evaluate_ensemble(model, params, batch, jax.random.PRNGKey(2),
+                            n_members=m)
+    for k in ("crps", "ens_rmse", "spread"):
+        assert out[k].shape == (T,)
+        assert np.all(np.isfinite(np.asarray(out[k])))
+
+    # CRPS of a deterministic (m=1) ensemble equals masked MAE
+    one = ens[:, :1]
+    crps1 = crps_ensemble(one, target_states,
+                          mask=model.interior_mask_bool())
+    from neural_lam_tpu.metrics import mae
+
+    mae_val = mae(one[:, 0], target_states, None,
+                  mask=model.interior_mask_bool())
+    np.testing.assert_allclose(np.asarray(crps1), np.asarray(mae_val),
+                               rtol=1e-5)
