@@ -42,14 +42,18 @@ def measure_steps_ms(model, params, prev, prevprev, forcing):
     def make(K):
         def many(arrays, params, a, b, c):
             m = model.with_arrays(arrays)
+            import jax.numpy as jnp
 
-            def body(carry, _):
-                a, b = carry
-                out, _ = m.predict_step(params, a, b, c)
-                return (out, a), ()
-
-            (a, _), _ = jax.lax.scan(body, (a, b), None, length=K)
-            return a.sum()
+            init_states = jnp.stack([b, a], axis=1)  # (B, 2, N, d)
+            forcing = jnp.broadcast_to(
+                c[:, None], (c.shape[0], K) + c.shape[1:]
+            )
+            true_states = jnp.broadcast_to(
+                a[:, None], (a.shape[0], K) + a.shape[1:]
+            )
+            pred, _ = m.unroll_prediction(params, init_states, forcing,
+                                          true_states)
+            return pred[:, -1].sum()
 
         return jax.jit(many)
 

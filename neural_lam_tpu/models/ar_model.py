@@ -159,9 +159,19 @@ class ARModelBase:
     def init_params(self, key) -> dict:
         raise NotImplementedError
 
-    def predict_step(self, params, prev_state, prev_prev_state, forcing):
-        """X_{t-1}, X_t -> X_{t+1} (ref: ar_model.py:211-218)."""
+    def predict_step(self, params, prev_state, prev_prev_state, forcing,
+                     ctx=None):
+        """X_{t-1}, X_t -> X_{t+1} (ref: ar_model.py:211-218).
+
+        ctx: optional rollout-invariant precomputations (static edge/node
+        embeddings) from `precompute_rollout_ctx`, computed once per rollout
+        instead of once per step.
+        """
         raise NotImplementedError
+
+    def precompute_rollout_ctx(self, params):
+        """Rollout-invariant tensors for predict_step (None = none)."""
+        return None
 
     # --- rollout (ref: ar_model.py:220-267) ---
 
@@ -177,12 +187,13 @@ class ARModelBase:
         pred_std ((B, T, N, d) if output_std else (d,)).
         """
         statics = self.statics
+        ctx = self.precompute_rollout_ctx(params)
 
         def step(carry, xs):
             prev_prev_state, prev_state = carry
             forcing, border_state = xs
             pred_state, pred_std = self.predict_step(
-                params, prev_state, prev_prev_state, forcing
+                params, prev_state, prev_prev_state, forcing, ctx=ctx
             )
             new_state = (
                 statics.boundary_mask * border_state

@@ -55,7 +55,7 @@ class BaseGraphModel(ARModelBase):
     def embedd_mesh_nodes(self, params):
         raise NotImplementedError
 
-    def process_step(self, params, mesh_rep, batch_size):
+    def process_step(self, params, mesh_rep, batch_size, ctx=None):
         raise NotImplementedError
 
     def init_extra_params(self, key) -> dict:
@@ -92,9 +92,62 @@ class BaseGraphModel(ARModelBase):
 
     # --- forward (ref: base_graph_model.py:106-177) ---
 
-    def predict_step(self, params, prev_state, prev_prev_state, forcing):
+    def _static_edge_ctx(self, inet_params, embedder_params, edges):
+        """Rollout-invariant edge tensor for an update_edges=False GNN:
+        the dense path takes ew = emb @ W_e + b0 directly."""
+        import jax.numpy as jnp
+
+        cd = self.compute_dtype
+        emb = apply_mlp(embedder_params, edges.features, compute_dtype=cd)
+        if not edges.dense_k:
+            return {"emb": emb}
+        w0 = inet_params["edge_mlp"]["layers"][0]["w"]
+        b0 = inet_params["edge_mlp"]["layers"][0]["b"]
+        d = w0.shape[0] // 3
+        return {"ew": jnp.dot(emb, w0[:d],
+                              preferred_element_type=jnp.float32) + b0}
+
+    def precompute_rollout_ctx(self, params):
+        """Embeddings of static graph features, computed once per rollout
+        (the reference recomputes them every step,
+        ref: base_graph_model.py:127-130)."""
+        ctx = {
+            "mesh_emb": self.embedd_mesh_nodes(params),
+            "g2m": self._static_edge_ctx(
+                params["g2m_gnn"], params["g2m_embedder"], self.graph.g2m
+            ),
+            "m2g": self._static_edge_ctx(
+                params["m2g_gnn"], params["m2g_embedder"], self.graph.m2g
+            ),
+        }
+        ctx.update(self.precompute_process_ctx(params))
+        return ctx
+
+    def precompute_process_ctx(self, params):
+        """Subclass hook: processor-related rollout-invariant tensors."""
+        return {}
+
+    def _inet_static(self, inet_params, edges, send_rep, rec_rep, ctx_entry,
+                     batch_size):
+        """update_edges=False interaction net with precomputed edge ctx."""
+        cd = self.compute_dtype
+        if "ew" in ctx_entry:
+            return apply_interaction_net(
+                inet_params, edges, send_rep, rec_rep,
+                update_edges=False, compute_dtype=cd, ew=ctx_entry["ew"],
+            )
+        return apply_interaction_net(
+            inet_params, edges, send_rep, rec_rep,
+            edge_rep=expand_to_batch(ctx_entry["emb"], batch_size),
+            update_edges=False, compute_dtype=cd,
+        )
+
+    def predict_step(self, params, prev_state, prev_prev_state, forcing,
+                     ctx=None):
         batch_size = prev_state.shape[0]
         cd = self.compute_dtype
+        if ctx is None:
+            ctx = self.precompute_rollout_ctx(params)
 
         grid_emb = apply_mlp_concat(
             params["grid_embedder"],
@@ -102,31 +155,21 @@ class BaseGraphModel(ARModelBase):
              expand_to_batch(self.statics.grid_static_features, batch_size)],
             compute_dtype=cd,
         )  # (B, N_grid, d_h)
-        g2m_emb = apply_mlp(params["g2m_embedder"], self.graph.g2m.features,
-                            compute_dtype=cd)
-        m2g_emb = apply_mlp(params["m2g_embedder"], self.graph.m2g.features,
-                            compute_dtype=cd)
-        mesh_emb = self.embedd_mesh_nodes(params)
 
-        mesh_rep = apply_interaction_net(
-            params["g2m_gnn"], self.graph.g2m,
-            send_rep=grid_emb,
-            rec_rep=expand_to_batch(mesh_emb, batch_size),
-            edge_rep=expand_to_batch(g2m_emb, batch_size),
-            update_edges=False, compute_dtype=cd,
+        mesh_rep = self._inet_static(
+            params["g2m_gnn"], self.graph.g2m, grid_emb,
+            expand_to_batch(ctx["mesh_emb"], batch_size), ctx["g2m"],
+            batch_size,
         )  # (B, N_mesh, d_h)
         grid_rep = grid_emb + apply_mlp(
             params["encoding_grid_mlp"], grid_emb, compute_dtype=cd
         )
 
-        mesh_rep = self.process_step(params, mesh_rep, batch_size)
+        mesh_rep = self.process_step(params, mesh_rep, batch_size, ctx=ctx)
 
-        grid_rep = apply_interaction_net(
-            params["m2g_gnn"], self.graph.m2g,
-            send_rep=mesh_rep,
-            rec_rep=grid_rep,
-            edge_rep=expand_to_batch(m2g_emb, batch_size),
-            update_edges=False, compute_dtype=cd,
+        grid_rep = self._inet_static(
+            params["m2g_gnn"], self.graph.m2g, mesh_rep, grid_rep,
+            ctx["m2g"], batch_size,
         )  # (B, N_grid, d_h)
 
         net_output = apply_mlp(params["output_map"], grid_rep,

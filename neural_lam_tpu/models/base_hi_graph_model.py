@@ -76,35 +76,49 @@ class BaseHiGraphModel(BaseGraphModel):
             compute_dtype=self.compute_dtype,
         )
 
-    def process_step(self, params, mesh_rep, batch_size):
+    def precompute_process_ctx(self, params):
+        """Level and edge-set embeddings, once per rollout."""
+        g = self.graph
+        cd = self.compute_dtype
+        return {
+            "upper_mesh_emb": [
+                apply_mlp(emb, feat, compute_dtype=cd)
+                for emb, feat in zip(
+                    params["mesh_embedders"][1:], g.mesh_static_features[1:]
+                )
+            ],
+            "same_emb": [
+                apply_mlp(emb, es.features, compute_dtype=cd)
+                for emb, es in zip(params["mesh_same_embedders"], g.m2m)
+            ],
+            "up_emb": [
+                apply_mlp(emb, es.features, compute_dtype=cd)
+                for emb, es in zip(params["mesh_up_embedders"], g.up)
+            ],
+            "down_emb": [
+                apply_mlp(emb, es.features, compute_dtype=cd)
+                for emb, es in zip(params["mesh_down_embedders"], g.down)
+            ],
+        }
+
+    def process_step(self, params, mesh_rep, batch_size, ctx=None):
         """(ref: base_hi_graph_model.py:124-217)"""
         g = self.graph
         cd = self.compute_dtype
+        if ctx is None:
+            ctx = self.precompute_process_ctx(params)
 
-        # embed levels >= 1
         mesh_rep_levels = [mesh_rep] + [
-            expand_to_batch(
-                apply_mlp(emb, feat, compute_dtype=cd), batch_size
-            )
-            for emb, feat in zip(
-                params["mesh_embedders"][1:], g.mesh_static_features[1:]
-            )
+            expand_to_batch(e, batch_size) for e in ctx["upper_mesh_emb"]
         ]
-        # embed all edge sets, expand with batch dim
         mesh_same_rep = [
-            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
-                            batch_size)
-            for emb, es in zip(params["mesh_same_embedders"], g.m2m)
+            expand_to_batch(e, batch_size) for e in ctx["same_emb"]
         ]
         mesh_up_rep = [
-            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
-                            batch_size)
-            for emb, es in zip(params["mesh_up_embedders"], g.up)
+            expand_to_batch(e, batch_size) for e in ctx["up_emb"]
         ]
         mesh_down_rep = [
-            expand_to_batch(apply_mlp(emb, es.features, compute_dtype=cd),
-                            batch_size)
-            for emb, es in zip(params["mesh_down_embedders"], g.down)
+            expand_to_batch(e, batch_size) for e in ctx["down_emb"]
         ]
 
         # MESH INIT: sweep bottom -> top over up edges (update edges)

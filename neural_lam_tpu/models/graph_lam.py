@@ -52,12 +52,20 @@ class GraphLAM(BaseGraphModel):
         return apply_mlp(params["mesh_embedder"], self.mesh_static,
                          compute_dtype=self.compute_dtype)
 
-    def process_step(self, params, mesh_rep, batch_size):
+    def precompute_process_ctx(self, params):
+        return {
+            "m2m_emb": apply_mlp(
+                params["m2m_embedder"], self.m2m.features,
+                compute_dtype=self.compute_dtype,
+            )
+        }
+
+    def process_step(self, params, mesh_rep, batch_size, ctx=None):
         """Processor stack sharing the single m2m edge set
         (ref: graph_lam.py:73-91)."""
-        m2m_emb = apply_mlp(params["m2m_embedder"], self.m2m.features,
-                            compute_dtype=self.compute_dtype)
-        edge_rep = expand_to_batch(m2m_emb, batch_size)
+        if ctx is None:
+            ctx = self.precompute_process_ctx(params)
+        edge_rep = expand_to_batch(ctx["m2m_emb"], batch_size)
         for p in params["processor"]:
             mesh_rep, edge_rep = apply_interaction_net(
                 p, self.m2m, mesh_rep, mesh_rep, edge_rep,

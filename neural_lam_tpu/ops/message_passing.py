@@ -213,51 +213,62 @@ def _gather_virt_rows(rec_t, edges: "EdgeSet"):
 
 
 def edge_messages_and_virt(edge_mlp_params: dict, edges: EdgeSet, send_rep,
-                           rec_rep, edge_rep, *, compute_dtype=None,
-                           with_messages: bool = True):
+                           rec_rep, edge_rep=None, *, compute_dtype=None,
+                           with_messages: bool = True, ew=None):
     """Messages + dense virtual-row sums for one dense-layout edge set.
 
     Uses the fused Pallas tail kernel when eligible; otherwise the
-    decomposed XLA path. Returns (messages | None, virt (..., N_virt, d)).
+    decomposed XLA path. Pass `ew` = edge_feat_emb @ W_e + b0 (M, d),
+    precomputed once per rollout, instead of `edge_rep` for GNNs whose edge
+    representations don't evolve. Returns (messages | None, virt).
     """
     assert edges.dense_k, "dense layout required"
     mode = _pallas_mode()
     K = edges.dense_k
-    if (mode != "off" and compute_dtype is None
-            and len(edge_mlp_params["layers"]) == 2
-            and edge_mlp_params["ln"] is not None and send_rep.ndim == 3):
+    layers = edge_mlp_params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    d = w0.shape[0] // 3
+    w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
+
+    def mm(x, w):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    send_t = mm(send_rep, w_j)
+    rec_t = mm(rec_rep, w_i)
+    rec_rows = _gather_virt_rows(rec_t, edges)
+    if ew is None:
+        ew = mm(edge_rep, w_e) + b0
+    x0 = (
+        ew
+        + gather_rows_batched(send_t, edges.senders)
+        + jnp.repeat(rec_rows, K, axis=-2)
+    )
+    if (mode != "off" and compute_dtype is None and len(layers) == 2
+            and edge_mlp_params["ln"] is not None and x0.ndim == 3):
         from .pallas_edge import edge_tail
 
-        layers = edge_mlp_params["layers"]
-        w0, b0 = layers[0]["w"], layers[0]["b"]
-        d = edge_rep.shape[-1]
-        w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
-
-        def mm(x, w):
-            return jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-        send_t = mm(send_rep, w_j)
-        rec_t = mm(rec_rep, w_i)
-        rec_rows = _gather_virt_rows(rec_t, edges)
-        x0 = (
-            mm(edge_rep, w_e)
-            + gather_rows_batched(send_t, edges.senders)
-            + jnp.repeat(rec_rows, K, axis=-2)
-            + b0
-        )
         return edge_tail(
             x0, layers[1]["w"], layers[1]["b"],
             edge_mlp_params["ln"]["scale"], edge_mlp_params["ln"]["bias"],
             edges.mask, K, mode == "interpret", with_messages,
         )
-    messages = _edge_mlp_decomposed(
-        edge_mlp_params, edges, send_rep, rec_rep, edge_rep,
-        compute_dtype=compute_dtype,
-    )
-    d = messages.shape[-1]
+    # XLA tail
+    x = x0
+    for i in range(1, len(layers)):
+        x = jax.nn.silu(x)
+        x = mm(x, layers[i]["w"]) + layers[i]["b"].astype(jnp.float32)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    if edge_mlp_params["ln"] is not None:
+        x = layer_norm(x, edge_mlp_params["ln"]["scale"],
+                       edge_mlp_params["ln"]["bias"])
+    messages = x
     masked = messages * edges.mask
     virt = masked.reshape(
-        messages.shape[:-2] + (edges.num_virt, K, d)
+        messages.shape[:-2] + (edges.num_virt, K, messages.shape[-1])
     ).sum(axis=-2)
     return (messages if with_messages else None), virt
 
@@ -345,9 +356,9 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
 
 
 def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
-                          edge_rep, *, update_edges: bool = True,
+                          edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
-                          compute_dtype=None):
+                          compute_dtype=None, ew=None):
     """One interaction-net round; see module docstring for the math.
 
     send_rep: (..., N_send, d)   rec_rep: (..., N_rec, d)
@@ -355,19 +366,10 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     Returns rec_out (and edge_out when update_edges).
     """
     assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
-    mode = _pallas_mode()
-    use_fused = (
-        edges.dense_k
-        and mode != "off"
-        and compute_dtype is None
-        and len(params["edge_mlp"]["layers"]) == 2
-        and params["edge_mlp"]["ln"] is not None
-        and send_rep.ndim == 3
-    )
-    if use_fused:
+    if edges.dense_k:
         messages, virt = edge_messages_and_virt(
             params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
-            compute_dtype=compute_dtype, with_messages=update_edges,
+            compute_dtype=compute_dtype, with_messages=update_edges, ew=ew,
         )
         aggregated = _fold_virt(edges, virt)
         if aggr == "mean":
@@ -386,29 +388,17 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         compute_dtype=compute_dtype,
     )  # (..., M, d)
 
-    if edges.dense_k:
-        # constant-degree virtual rows: masked reshape + sum, then a tiny
-        # sorted segment-sum folding virtual rows into receivers
-        K, d = edges.dense_k, messages.shape[-1]
-        masked = messages * edges.mask
-        virt = masked.reshape(
-            messages.shape[:-2] + (edges.num_virt, K, d)
-        ).sum(axis=-2)  # (..., N_virt, d)
-        aggregated = _fold_virt(edges, virt)
-        if aggr == "mean":
-            aggregated = aggregated / _virt_counts(edges)[..., :, None]
+    if use_gather_table:
+        aggregated = gather_sum(messages, edges.gather_table)
     else:
-        if use_gather_table:
-            aggregated = gather_sum(messages, edges.gather_table)
-        else:
-            aggregated = segment_sum(
-                messages, edges.receivers, edges.num_rec, sorted_ids=True
-            )
-        if aggr == "mean":
-            counts = jnp.maximum(
-                (edges.gather_table < edges.num_edges).sum(axis=-1), 1
-            ).astype(messages.dtype)
-            aggregated = aggregated / counts[..., :, None]
+        aggregated = segment_sum(
+            messages, edges.receivers, edges.num_rec, sorted_ids=True
+        )
+    if aggr == "mean":
+        counts = jnp.maximum(
+            (edges.gather_table < edges.num_edges).sum(axis=-1), 1
+        ).astype(messages.dtype)
+        aggregated = aggregated / counts[..., :, None]
 
     rec_diff = apply_mlp_concat(
         params["aggr_mlp"], [rec_rep, aggregated],
@@ -442,47 +432,3 @@ def init_interaction_net_chunked(key, input_dim: int, n_edge_chunks: int,
     }
 
 
-def apply_interaction_net_chunked(params: dict, chunk_meta: dict,
-                                  edges: EdgeSet, node_rep, edge_rep, *,
-                                  compute_dtype=None):
-    """Interaction net with per-chunk MLPs (the HiLAMParallel fusion trick).
-
-    The reference's SplitMLPs feeds contiguous chunks of the edge axis
-    (per original edge set) and of the node axis (per mesh level) through
-    separate MLPs (ref: neural_lam/interaction_net.py:134-163,
-    neural_lam/models/hi_lam_parallel.py:37-46). Here send and receiver
-    arrays are the same concatenated mesh-node array.
-
-    params: {"edge_mlps": [...per edge chunk], "aggr_mlps": [...per node chunk]}
-    chunk_meta: {"edge_sizes": [...], "node_sizes": [...]}
-    """
-    edge_sizes = chunk_meta["edge_sizes"]
-    node_sizes = chunk_meta["node_sizes"]
-
-    # Per-edge-chunk messages: plain gather-concat (chunks have distinct
-    # weights so the per-node decomposition would redo node transforms per
-    # chunk; with L chunks the concat form is cheaper).
-    x_j = jnp.take(node_rep, edges.senders, axis=-2)
-    x_i = jnp.take(node_rep, edges.receivers, axis=-2)
-    edge_in = jnp.concatenate([edge_rep, x_j, x_i], axis=-1)
-
-    msgs = []
-    start = 0
-    for sz, p in zip(edge_sizes, params["edge_mlps"]):
-        chunk = jax.lax.slice_in_dim(edge_in, start, start + sz, axis=-2)
-        msgs.append(apply_mlp(p, chunk, compute_dtype=compute_dtype))
-        start += sz
-    messages = jnp.concatenate(msgs, axis=-2)  # (..., M, d)
-
-    aggregated = gather_sum(messages * edges.mask, edges.gather_table)
-
-    aggr_in = jnp.concatenate([node_rep, aggregated], axis=-1)
-    outs = []
-    start = 0
-    for sz, p in zip(node_sizes, params["aggr_mlps"]):
-        chunk = jax.lax.slice_in_dim(aggr_in, start, start + sz, axis=-2)
-        outs.append(apply_mlp(p, chunk, compute_dtype=compute_dtype))
-        start += sz
-    rec_diff = jnp.concatenate(outs, axis=-2)
-
-    return node_rep + rec_diff, edge_rep + messages

@@ -373,7 +373,11 @@ class SpatialGraphLAM(GraphLAM):
             check_vma=False,
         )
 
-    def predict_step(self, params, prev_state, prev_prev_state, forcing):
+    def precompute_rollout_ctx(self, params):
+        return None  # the shard_map body embeds statics internally
+
+    def predict_step(self, params, prev_state, prev_prev_state, forcing,
+                     ctx=None):
         part = self.partition
         ng, ng_pad = part.num_grid, part.num_grid_padded
         pad = ng_pad - ng
