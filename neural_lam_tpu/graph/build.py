@@ -300,16 +300,30 @@ def cli(input_args=None):
                              "levels, from bottom up (default: no limit)")
     parser.add_argument("--hierarchical", action="store_true",
                         help="Generate hierarchical mesh graph")
+    parser.add_argument("--plot", action="store_true",
+                        help="Save a 3D figure of the generated graph next "
+                             "to it (ref create_graph.py renders each level "
+                             "interactively)")
     args = parser.parse_args(input_args)
     assert args.config_path is not None, "Specify your config with --config_path"
 
     _, datastore = load_config_and_datastore(config_path=args.config_path)
+    out_dir = os.path.join(datastore.root_path, "graph", args.name)
     create_graph_from_datastore(
         datastore=datastore,
-        output_root_path=os.path.join(datastore.root_path, "graph", args.name),
+        output_root_path=out_dir,
         n_max_levels=args.levels,
         hierarchical=args.hierarchical,
     )
+    if args.plot:
+        from ..graph.storage import load_graph
+        from ..plot_graph import make_graph_figure
+
+        _, graph = load_graph(out_dir)
+        fig = make_graph_figure(graph, datastore.get_xy("state"))
+        fig_path = os.path.join(out_dir, "graph.png")
+        fig.savefig(fig_path, dpi=150, bbox_inches="tight")
+        print(f"Saved graph figure to {fig_path}")
 
 
 if __name__ == "__main__":

@@ -64,12 +64,27 @@ class TrainFlags:
 
 
 class MetricsLogger:
-    """stdout + JSONL metrics sink (reference: W&B, ref: train_model.py:271-275)."""
+    """stdout + JSONL metrics sink, with optional W&B forwarding when the
+    wandb package is importable (the reference's primary sink,
+    ref: train_model.py:271-275; absent in this environment)."""
 
-    def __init__(self, run_dir: Path):
+    def __init__(self, run_dir: Path, use_wandb: bool = True,
+                 run_name: str | None = None, config: dict | None = None):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._f = open(self.run_dir / "metrics.jsonl", "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="neural_lam_tpu", name=run_name,
+                           config=config or {}, dir=str(self.run_dir))
+                # summary-metric definitions (ref: utils.py:236-243)
+                wandb.define_metric("val_mean_loss", summary="min")
+            except Exception:
+                self._wandb = None
 
     def log(self, metrics: dict, step: int | None = None):
         rec = {"_time": time.time()}
@@ -83,6 +98,10 @@ class MetricsLogger:
         self._f.flush()
         shown = {k: v for k, v in rec.items() if not k.startswith("_")}
         print(json.dumps(shown), flush=True)
+        if self._wandb is not None:
+            scalars = {k: v for k, v in rec.items()
+                       if not k.startswith("_") and np.ndim(v) == 0}
+            self._wandb.log(scalars, step=step)
 
 
 class Trainer:
@@ -280,6 +299,7 @@ class Trainer:
         self.logger.log(log)
 
         artifacts = {}
+        var_names = datastore.get_vars_names("state")
         for name in ("mse", "mae"):
             arr = summary[name]  # (T, d) mean over samples
             if "mse" in name:
@@ -291,6 +311,19 @@ class Trainer:
             artifacts[f"test_{out_name}"] = rescaled
             np.savetxt(self.run_dir / f"test_{out_name}.csv", rescaled,
                        delimiter=",")
+            # watched metrics: exact values for chosen vars/lead times
+            # (ref: ar_model.py:599-606)
+            full_log_name = f"test_{out_name}"
+            if full_log_name in model.args.metrics_watch:
+                watch_log = {}
+                for var_i, steps in model.args.var_leads_metrics_watch.items():
+                    for step in steps:
+                        if step - 1 < rescaled.shape[0]:
+                            key = (f"{full_log_name}_"
+                                   f"{var_names[int(var_i)]}_step_{step}")
+                            watch_log[key] = float(rescaled[step - 1, int(var_i)])
+                if watch_log:
+                    self.logger.log(watch_log)
 
         spatial = summary.get("mean_spatial_loss")
         if spatial is not None:
@@ -434,6 +467,10 @@ def main(input_args=None):
     parser.add_argument("--n_example_pred", type=int, default=1)
     parser.add_argument("--val_steps_to_log", nargs="+", type=int,
                         default=[1, 2, 3, 5, 10, 15, 19])
+    parser.add_argument("--metrics_watch", nargs="+", default=[],
+                        help="names of metrics to log watched values for")
+    parser.add_argument("--var_leads_metrics_watch", type=str, default="{}",
+                        help="JSON dict var_index -> [lead steps] to watch")
     parser.add_argument("--run_name", type=str, default=None)
     parser.add_argument("--save_dir", type=str, default="saved_models")
     args = parser.parse_args(input_args)
@@ -456,6 +493,10 @@ def main(input_args=None):
         num_past_forcing_steps=args.num_past_forcing_steps,
         num_future_forcing_steps=args.num_future_forcing_steps,
         val_steps_to_log=tuple(args.val_steps_to_log),
+        metrics_watch=tuple(args.metrics_watch),
+        var_leads_metrics_watch={
+            int(k): v for k, v in json.loads(args.var_leads_metrics_watch).items()
+        },
         restore_opt=args.restore_opt,
         n_example_pred=args.n_example_pred,
         compute_dtype="bfloat16" if args.precision.startswith("bf16") else None,

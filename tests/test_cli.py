@@ -108,3 +108,39 @@ def test_train_cli_short(tmp_path):
         ])
     finally:
         dummy_mod.DummyDatastore.__init__ = orig_init
+
+
+def test_plot_clis(tmp_path):
+    """plot_graph figure builder + datastore plot_example smoke."""
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.plot_graph import make_graph_figure
+    from neural_lam_tpu.datastore.plot_example import (
+        plot_example_from_datastore,
+    )
+    from neural_lam_tpu import vis
+
+    ds = DummyDatastore(n_points_1d=10, n_timesteps=20)
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path / "g"), ds.get_xy("state", stacked=False),
+        n_max_levels=1, hierarchical=False,
+    ))
+    fig = make_graph_figure(graph, ds.get_xy("state"))
+    fig.savefig(tmp_path / "graph.png")
+    assert (tmp_path / "graph.png").stat().st_size > 0
+
+    fig = plot_example_from_datastore(
+        "state", ds, col_dim="{category}_feature", split="train",
+        index_selection={"time": 0},
+    )
+    fig.savefig(tmp_path / "example.png")
+
+    # vis functions
+    import numpy as np
+
+    errors = np.random.rand(3, ds.get_num_data_vars("state"))
+    vis.plot_error_map(errors, ds).savefig(tmp_path / "err.png")
+    field = np.random.rand(ds.num_grid_points)
+    vis.plot_prediction(field, field, ds).savefig(tmp_path / "pred.png")
+    vis.plot_spatial_error(field, ds).savefig(tmp_path / "sp.png")
