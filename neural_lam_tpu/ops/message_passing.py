@@ -239,15 +239,27 @@ def edge_messages_and_virt(edge_mlp_params: dict, edges: EdgeSet, send_rep,
     send_t = mm(send_rep, w_j)
     rec_t = mm(rec_rep, w_i)
     rec_rows = _gather_virt_rows(rec_t, edges)
+    gathered = gather_rows_batched(send_t, edges.senders)
+    fusable = (mode != "off" and compute_dtype is None and len(layers) == 2
+               and edge_mlp_params["ln"] is not None and gathered.ndim == 3)
+    if fusable and ew is not None and ew.ndim == 2:
+        # static per-edge product available: fully fused tail, x0 never
+        # materialized
+        from .pallas_edge import edge_tail_sum
+
+        return edge_tail_sum(
+            gathered, ew, rec_rows, layers[1]["w"], layers[1]["b"],
+            edge_mlp_params["ln"]["scale"], edge_mlp_params["ln"]["bias"],
+            edges.mask, K, mode == "interpret", with_messages,
+        )
     if ew is None:
         ew = mm(edge_rep, w_e) + b0
     x0 = (
         ew
-        + gather_rows_batched(send_t, edges.senders)
+        + gathered
         + jnp.repeat(rec_rows, K, axis=-2)
     )
-    if (mode != "off" and compute_dtype is None and len(layers) == 2
-            and edge_mlp_params["ln"] is not None and x0.ndim == 3):
+    if fusable:
         from .pallas_edge import edge_tail
 
         return edge_tail(
@@ -366,11 +378,44 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     Returns rec_out (and edge_out when update_edges).
     """
     assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
+    mode = _pallas_mode()
     if edges.dense_k:
-        messages, virt = edge_messages_and_virt(
-            params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
-            compute_dtype=compute_dtype, with_messages=update_edges, ew=ew,
+        layers = params["edge_mlp"]["layers"]
+        fused_layer = (
+            update_edges and mode != "off" and compute_dtype is None
+            and len(layers) == 2 and params["edge_mlp"]["ln"] is not None
+            and send_rep.ndim == 3
         )
+        if fused_layer:
+            # full fused layer: ew matmul + (gather) + tail + edge residual
+            # all inside the kernel
+            from .pallas_edge import edge_layer
+
+            w0, b0 = layers[0]["w"], layers[0]["b"]
+            d = w0.shape[0] // 3
+            w_e, w_j, w_i = w0[:d], w0[d:2 * d], w0[2 * d:]
+            send_t = jnp.dot(send_rep, w_j,
+                             preferred_element_type=jnp.float32)
+            rec_t = jnp.dot(rec_rep, w_i,
+                            preferred_element_type=jnp.float32)
+            rec_rows = _gather_virt_rows(rec_t, edges)
+            in_gather = False  # scalar-loop VMEM gather measured slower than XLA pre-gather
+            gs = (edges.senders if in_gather
+                  else gather_rows_batched(send_t, edges.senders))
+            edge_out, virt = edge_layer(
+                edge_rep, gs, send_t, rec_rows, edges.mask,
+                w_e, b0, layers[1]["w"], layers[1]["b"],
+                params["edge_mlp"]["ln"]["scale"],
+                params["edge_mlp"]["ln"]["bias"],
+                edges.dense_k, in_gather, mode == "interpret",
+            )
+            messages = None
+        else:
+            messages, virt = edge_messages_and_virt(
+                params["edge_mlp"], edges, send_rep, rec_rep, edge_rep,
+                compute_dtype=compute_dtype, with_messages=update_edges,
+                ew=ew,
+            )
         aggregated = _fold_virt(edges, virt)
         if aggr == "mean":
             aggregated = aggregated / _virt_counts(edges)[..., :, None]
@@ -380,6 +425,8 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         )
         rec_out = rec_rep + rec_diff
         if update_edges:
+            if fused_layer:
+                return rec_out, edge_out
             return rec_out, edge_rep + messages
         return rec_out
 

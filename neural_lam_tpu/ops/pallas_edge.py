@@ -149,3 +149,329 @@ def _edge_tail_bwd(K, interpret, with_messages, res, grads):
 
 
 edge_tail.defvjp(_edge_tail_fwd, _edge_tail_bwd)
+
+
+
+def _tail_sum_kernel(K, with_messages, gathered_ref, ew_ref, rec_ref,
+                     w2_ref, b2_ref, ls_ref, lb_ref, mask_ref, *out_refs):
+    """Tail kernel building x0 in VMEM from its summands: gathered sender
+    rows (TILE_E, h), static ew (TILE_E, h) and per-virtual-row receiver
+    transforms (TILE_V, h) broadcast over the K slots."""
+    rec = rec_ref[...]  # (TILE_V, h)
+    tile_v, h = rec.shape
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, h)).reshape(
+        tile_v * K, h
+    )
+    x = jax.nn.silu(gathered_ref[...] + ew_ref[...] + rec_rep)
+    x = (
+        jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
+        + b2_ref[...]
+    )
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
+    if with_messages:
+        out_refs[0][...] = msg
+    virt_ref = out_refs[-1]
+    masked = msg * mask_ref[...]
+    tile_e, h = masked.shape
+    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def edge_tail_sum(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask,
+                  K: int, interpret: bool = False,
+                  with_messages: bool = True):
+    """Fused tail taking x0's summands: gathered (B, M, h) sender rows,
+    ew (M, h) static edge product (+bias), rec_rows (B, Nv, h) receiver
+    transforms (broadcast x K inside the kernel). Avoids materializing x0."""
+    return _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
+                               ln_bias, mask, K, interpret, with_messages)
+
+
+def _sum_reference(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask, K):
+    x0 = gathered + ew + jnp.repeat(rec_rows, K, axis=-2)
+    return _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
+
+
+def _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
+                        mask, K, interpret, with_messages):
+    B, M, h = gathered.shape
+    n_virt = M // K
+    TILE_V = 256
+    while n_virt % TILE_V and TILE_V > 8:
+        TILE_V //= 2
+    if n_virt % TILE_V or TILE_V < 64:
+        msg, virt = _sum_reference(gathered, ew, rec_rows, w2, b2, ln_scale,
+                                   ln_bias, mask, K)
+        return (msg if with_messages else None), virt
+    TILE_E = TILE_V * K
+    grid = (B, n_virt // TILE_V)
+    msg_shape = [jax.ShapeDtypeStruct((B, M, h), jnp.float32)]
+    msg_spec = [pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                             memory_space=pltpu.VMEM)]
+    if not with_messages:
+        msg_shape, msg_spec = [], []
+    outs = pl.pallas_call(
+        functools.partial(_tail_sum_kernel, K, with_messages),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda b, v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda b, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda b, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda b, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda b, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, 1), lambda b, v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            msg_spec + [pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
+                                     memory_space=pltpu.VMEM)]
+        ),
+        out_shape=tuple(
+            msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32)]
+        ),
+        interpret=interpret,
+    )(gathered, ew, rec_rows, w2, b2.reshape(1, h), ln_scale.reshape(1, h),
+      ln_bias.reshape(1, h), mask)
+    if with_messages:
+        return outs[0], outs[1]
+    return None, outs[0]
+
+
+def _edge_tail_sum_fwd(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
+                       mask, K, interpret, with_messages):
+    out = _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
+                              ln_bias, mask, K, interpret, with_messages)
+    return out, (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask)
+
+
+def _edge_tail_sum_bwd(K, interpret, with_messages, res, grads):
+    gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask = res
+    g_msg, g_virt = grads
+    if g_msg is None or not with_messages:
+        g_msg = jnp.zeros(gathered.shape, gathered.dtype)
+
+    def fwd(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask):
+        return _sum_reference(gathered, ew, rec_rows, w2, b2, ln_scale,
+                              ln_bias, mask, K)
+
+    _, vjp = jax.vjp(fwd, gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
+                     mask)
+    return vjp((g_msg, g_virt))
+
+
+edge_tail_sum.defvjp(_edge_tail_sum_fwd, _edge_tail_sum_bwd)
+
+
+def _layer_kernel(K, in_gather, edge_ref, *refs):
+    """Full interaction-layer edge pass.
+
+    refs layout: [senders?, send_t?, gathered?, rec_ref, we_ref, b0_ref,
+                  w2_ref, b2_ref, ls_ref, lb_ref, mask_ref,
+                  edge_out_ref, virt_ref, (+ scratch when in_gather)]
+    With in_gather the sender rows are fetched from the VMEM-resident
+    send_t inside the kernel; otherwise a pre-gathered tile is streamed.
+    """
+    if in_gather:
+        (senders_ref, send_t_ref, rec_ref, we_ref, b0_ref, w2_ref, b2_ref,
+         ls_ref, lb_ref, mask_ref, edge_out_ref, virt_ref, g_scratch) = refs
+    else:
+        (gathered_ref, rec_ref, we_ref, b0_ref, w2_ref, b2_ref,
+         ls_ref, lb_ref, mask_ref, edge_out_ref, virt_ref) = refs
+
+    e = edge_ref[...]  # (TILE_E, h)
+    tile_e, h = e.shape
+    ew = jnp.dot(e, we_ref[...], preferred_element_type=jnp.float32)
+
+    if in_gather:
+        def body(t, _):
+            idx = senders_ref[t]
+            g_scratch[t, :] = send_t_ref[idx, :]
+            return 0
+
+        jax.lax.fori_loop(0, tile_e, body, 0)
+        gathered = g_scratch[...]
+    else:
+        gathered = gathered_ref[...]
+
+    rec = rec_ref[...]  # (TILE_V, h)
+    tile_v = rec.shape[0]
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, h)).reshape(
+        tile_e, h
+    )
+    x = jax.nn.silu(ew + gathered + rec_rep + b0_ref[...])
+    x = (
+        jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
+        + b2_ref[...]
+    )
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
+    edge_out_ref[...] = e + msg
+    masked = msg * mask_ref[...]
+    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
+
+
+def _layer_reference(edge_rep, gathered, rec_rows, w_e, b0, w2, b2,
+                     ln_scale, ln_bias, mask, K):
+    ew = jnp.dot(edge_rep, w_e, preferred_element_type=jnp.float32)
+    x0 = ew + gathered + jnp.repeat(rec_rows, K, axis=-2) + b0
+    msg, virt = _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
+    return edge_rep + msg, virt
+
+
+def edge_layer(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+               w_e, b0, w2, b2, ln_scale, ln_bias, K: int,
+               in_gather: bool = False, interpret: bool = False):
+    """Fused residual edge update for update_edges=True interaction nets.
+
+    edge_rep (B, M, h) evolving edge state; either `gathered` (B, M, h)
+    pre-gathered sender rows (in_gather=False, pass as gathered_or_senders)
+    or `senders` (M,) + VMEM-resident send_t (B, N_send, h)
+    (in_gather=True). Returns (edge_out = edge_rep + messages, virt).
+    """
+    return _edge_layer_vjp(edge_rep, gathered_or_senders, send_t, rec_rows,
+                           mask, w_e, b0, w2, b2, ln_scale, ln_bias,
+                           K, in_gather, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _edge_layer_vjp(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+                    w_e, b0, w2, b2, ln_scale, ln_bias, K, in_gather,
+                    interpret):
+    return _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows,
+                            mask, w_e, b0, w2, b2, ln_scale, ln_bias, K,
+                            in_gather, interpret)
+
+
+def _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+                     w_e, b0, w2, b2, ln_scale, ln_bias, K, in_gather,
+                     interpret):
+    B, M, h = edge_rep.shape
+    n_virt = M // K
+    TILE_V = 256
+    while n_virt % TILE_V and TILE_V > 8:
+        TILE_V //= 2
+    fallback = n_virt % TILE_V or TILE_V < 64
+    if fallback:
+        gathered = (
+            jnp.take(send_t, gathered_or_senders, axis=-2)
+            if in_gather else gathered_or_senders
+        )
+        return _layer_reference(edge_rep, gathered, rec_rows, w_e, b0, w2,
+                                b2, ln_scale, ln_bias, mask, K)
+    TILE_E = TILE_V * K
+    grid = (B, n_virt // TILE_V)
+
+    common_specs = [
+        pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
+                     memory_space=pltpu.VMEM),  # rec_rows
+        pl.BlockSpec((h, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b, v: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_E, 1), lambda b, v: (v, 0),
+                     memory_space=pltpu.VMEM),  # mask
+    ]
+    out_specs = (
+        pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, M, h), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32),
+    )
+    scalars = (b0.reshape(1, h), w2, b2.reshape(1, h),
+               ln_scale.reshape(1, h), ln_bias.reshape(1, h), mask)
+    if in_gather:
+        edge_out, virt = pl.pallas_call(
+            functools.partial(_layer_kernel, K, True),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                             memory_space=pltpu.VMEM),  # edge_rep
+                pl.BlockSpec((TILE_E,), lambda b, v: (v,),
+                             memory_space=pltpu.SMEM),  # senders
+                pl.BlockSpec((None,) + send_t.shape[1:],
+                             lambda b, v: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # send_t resident
+            ] + common_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((TILE_E, h), jnp.float32)],
+            interpret=interpret,
+        )(edge_rep, gathered_or_senders, send_t, rec_rows, w_e, *scalars)
+    else:
+        edge_out, virt = pl.pallas_call(
+            functools.partial(_layer_kernel, K, False),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                             memory_space=pltpu.VMEM),  # edge_rep
+                pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
+                             memory_space=pltpu.VMEM),  # gathered
+            ] + common_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(edge_rep, gathered_or_senders, rec_rows, w_e, *scalars)
+    return edge_out, virt
+
+
+def _edge_layer_fwd(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+                    w_e, b0, w2, b2, ln_scale, ln_bias, K, in_gather,
+                    interpret):
+    out = _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows,
+                           mask, w_e, b0, w2, b2, ln_scale, ln_bias, K,
+                           in_gather, interpret)
+    return out, (edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+                 w_e, b0, w2, b2, ln_scale, ln_bias)
+
+
+def _edge_layer_bwd(K, in_gather, interpret, res, grads):
+    (edge_rep, gathered_or_senders, send_t, rec_rows, mask,
+     w_e, b0, w2, b2, ln_scale, ln_bias) = res
+    g_edge, g_virt = grads
+
+    if in_gather:
+        def fwd(edge_rep, send_t, rec_rows, w_e, b0, w2, b2, ln_scale,
+                ln_bias, mask):
+            gathered = jnp.take(send_t, gathered_or_senders, axis=-2)
+            return _layer_reference(edge_rep, gathered, rec_rows, w_e, b0,
+                                    w2, b2, ln_scale, ln_bias, mask, K)
+
+        _, vjp = jax.vjp(fwd, edge_rep, send_t, rec_rows, w_e, b0, w2, b2,
+                         ln_scale, ln_bias, mask)
+        (d_edge, d_send_t, d_rec, d_we, d_b0, d_w2, d_b2, d_ls, d_lb,
+         d_mask) = vjp((g_edge, g_virt))
+        return (d_edge, None, d_send_t, d_rec, d_mask, d_we, d_b0, d_w2,
+                d_b2, d_ls, d_lb)
+
+    def fwd(edge_rep, gathered, rec_rows, w_e, b0, w2, b2, ln_scale,
+            ln_bias, mask):
+        return _layer_reference(edge_rep, gathered, rec_rows, w_e, b0, w2,
+                                b2, ln_scale, ln_bias, mask, K)
+
+    _, vjp = jax.vjp(fwd, edge_rep, gathered_or_senders, rec_rows, w_e, b0,
+                     w2, b2, ln_scale, ln_bias, mask)
+    (d_edge, d_gathered, d_rec, d_we, d_b0, d_w2, d_b2, d_ls, d_lb,
+     d_mask) = vjp((g_edge, g_virt))
+    return (d_edge, d_gathered, None, d_rec, d_mask, d_we, d_b0, d_w2,
+            d_b2, d_ls, d_lb)
+
+
+_edge_layer_vjp.defvjp(_edge_layer_fwd, _edge_layer_bwd)
