@@ -94,6 +94,16 @@ def main():
     forcing = jnp.asarray(rng.standard_normal((BATCH, n, d_f)), jnp.float32)
 
     ms_per_step = measure_steps_ms(model, params, prev, prevprev, forcing)
+    try:
+        import jax.numpy as _jnp
+
+        model.compute_dtype = _jnp.bfloat16
+        ms_bf16 = measure_steps_ms(model, params, prev, prevprev, forcing)
+        print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step",
+              file=sys.stderr)
+        model.compute_dtype = None
+    except Exception as e:
+        print(f"[bench] bf16 measurement failed: {e}", file=sys.stderr)
     steps_per_s = 1000.0 / ms_per_step
     mesh_updates_per_s = model.num_mesh_nodes * LAYERS * steps_per_s * BATCH
     print(

@@ -240,8 +240,11 @@ def edge_messages_and_virt(edge_mlp_params: dict, edges: EdgeSet, send_rep,
     rec_t = mm(rec_rep, w_i)
     rec_rows = _gather_virt_rows(rec_t, edges)
     gathered = gather_rows_batched(send_t, edges.senders)
-    fusable = (mode != "off" and compute_dtype is None and len(layers) == 2
+    fusable = (mode != "off" and len(layers) == 2
                and edge_mlp_params["ln"] is not None and gathered.ndim == 3)
+    if fusable and compute_dtype is not None:
+        gathered = gathered.astype(compute_dtype)
+        rec_rows = rec_rows.astype(compute_dtype)
     if fusable and ew is not None and ew.ndim == 2:
         # static per-edge product available: fully fused tail, x0 never
         # materialized
@@ -382,7 +385,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     if edges.dense_k:
         layers = params["edge_mlp"]["layers"]
         fused_layer = (
-            update_edges and mode != "off" and compute_dtype is None
+            update_edges and mode != "off"
             and len(layers) == 2 and params["edge_mlp"]["ln"] is not None
             and send_rep.ndim == 3
         )
@@ -402,6 +405,10 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             in_gather = False  # scalar-loop VMEM gather measured slower than XLA pre-gather
             gs = (edges.senders if in_gather
                   else gather_rows_batched(send_t, edges.senders))
+            if compute_dtype is not None:
+                gs = gs if in_gather else gs.astype(compute_dtype)
+                rec_rows = rec_rows.astype(compute_dtype)
+                edge_rep = edge_rep.astype(compute_dtype)
             edge_out, virt = edge_layer(
                 edge_rep, gs, send_t, rec_rows, edges.mask,
                 w_e, b0, layers[1]["w"], layers[1]["b"],

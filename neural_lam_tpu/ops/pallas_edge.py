@@ -42,22 +42,31 @@ def _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K):
     return msg, virt
 
 
+def _ln_cast(x, ls, lb, dtype):
+    """LayerNorm with fp32 statistics, output cast to dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * ls + lb
+    return out.astype(dtype)
+
+
 def _tail_kernel(K, with_messages, x0_ref, w2_ref, b2_ref, ls_ref, lb_ref,
                  mask_ref, *out_refs):
-    x = jax.nn.silu(x0_ref[...])  # (TILE_E, h)
+    # bf16 inputs/outputs halve the DMA traffic; compute stays fp32
+    dt = x0_ref.dtype
+    x = jax.nn.silu(x0_ref[...].astype(jnp.float32))  # (TILE_E, h)
     x = (
         jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
         + b2_ref[...]
     )
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
+    msg = _ln_cast(x, ls_ref[...], lb_ref[...], jnp.float32)
     if with_messages:
-        out_refs[0][...] = msg
+        out_refs[0][...] = msg.astype(dt)
     virt_ref = out_refs[-1]
     masked = msg * mask_ref[...]
     tile_e, h = masked.shape
-    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
+    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1).astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -79,7 +88,7 @@ def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret,
     n_virt = M // K
     assert n_virt * K == M
 
-    TILE_V = 256
+    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
     while n_virt % TILE_V and TILE_V > 8:
         TILE_V //= 2
     if n_virt % TILE_V or TILE_V < 64:
@@ -89,13 +98,14 @@ def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret,
     TILE_E = TILE_V * K
 
     grid = (B, n_virt // TILE_V)
-    msg_shape = [jax.ShapeDtypeStruct((B, M, h), jnp.float32)]
+    dt = x0.dtype
+    msg_shape = [jax.ShapeDtypeStruct((B, M, h), dt)]
     msg_spec = [pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
                              memory_space=pltpu.VMEM)]
     if not with_messages:
         msg_shape, msg_spec = [], []
     out_shape = tuple(
-        msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32)]
+        msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), dt)]
     )
     kernel = functools.partial(_tail_kernel, K, with_messages)
     outs = pl.pallas_call(
@@ -157,25 +167,27 @@ def _tail_sum_kernel(K, with_messages, gathered_ref, ew_ref, rec_ref,
     """Tail kernel building x0 in VMEM from its summands: gathered sender
     rows (TILE_E, h), static ew (TILE_E, h) and per-virtual-row receiver
     transforms (TILE_V, h) broadcast over the K slots."""
-    rec = rec_ref[...]  # (TILE_V, h)
+    dt = gathered_ref.dtype
+    rec = rec_ref[...].astype(jnp.float32)  # (TILE_V, h)
     tile_v, h = rec.shape
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, h)).reshape(
         tile_v * K, h
     )
-    x = jax.nn.silu(gathered_ref[...] + ew_ref[...] + rec_rep)
+    x = jax.nn.silu(
+        gathered_ref[...].astype(jnp.float32)
+        + ew_ref[...].astype(jnp.float32) + rec_rep
+    )
     x = (
         jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
         + b2_ref[...]
     )
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
+    msg = _ln_cast(x, ls_ref[...], lb_ref[...], jnp.float32)
     if with_messages:
-        out_refs[0][...] = msg
+        out_refs[0][...] = msg.astype(dt)
     virt_ref = out_refs[-1]
     masked = msg * mask_ref[...]
     tile_e, h = masked.shape
-    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
+    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1).astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -198,7 +210,7 @@ def _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
                         mask, K, interpret, with_messages):
     B, M, h = gathered.shape
     n_virt = M // K
-    TILE_V = 256
+    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
     while n_virt % TILE_V and TILE_V > 8:
         TILE_V //= 2
     if n_virt % TILE_V or TILE_V < 64:
@@ -207,7 +219,8 @@ def _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
         return (msg if with_messages else None), virt
     TILE_E = TILE_V * K
     grid = (B, n_virt // TILE_V)
-    msg_shape = [jax.ShapeDtypeStruct((B, M, h), jnp.float32)]
+    dt = gathered.dtype
+    msg_shape = [jax.ShapeDtypeStruct((B, M, h), dt)]
     msg_spec = [pl.BlockSpec((None, TILE_E, h), lambda b, v: (b, v, 0),
                              memory_space=pltpu.VMEM)]
     if not with_messages:
@@ -238,7 +251,7 @@ def _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
                                      memory_space=pltpu.VMEM)]
         ),
         out_shape=tuple(
-            msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32)]
+            msg_shape + [jax.ShapeDtypeStruct((B, n_virt, h), dt)]
         ),
         interpret=interpret,
     )(gathered, ew, rec_rows, w2, b2.reshape(1, h), ln_scale.reshape(1, h),
@@ -289,7 +302,7 @@ def _layer_kernel(K, in_gather, edge_ref, *refs):
         (gathered_ref, rec_ref, we_ref, b0_ref, w2_ref, b2_ref,
          ls_ref, lb_ref, mask_ref, edge_out_ref, virt_ref) = refs
 
-    e = edge_ref[...]  # (TILE_E, h)
+    e = edge_ref[...].astype(jnp.float32)  # (TILE_E, h)
     tile_e, h = e.shape
     ew = jnp.dot(e, we_ref[...], preferred_element_type=jnp.float32)
 
@@ -300,11 +313,12 @@ def _layer_kernel(K, in_gather, edge_ref, *refs):
             return 0
 
         jax.lax.fori_loop(0, tile_e, body, 0)
-        gathered = g_scratch[...]
+        gathered = g_scratch[...].astype(jnp.float32)
     else:
-        gathered = gathered_ref[...]
+        gathered = gathered_ref[...].astype(jnp.float32)
 
-    rec = rec_ref[...]  # (TILE_V, h)
+    dt = edge_ref.dtype
+    rec = rec_ref[...].astype(jnp.float32)  # (TILE_V, h)
     tile_v = rec.shape[0]
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, h)).reshape(
         tile_e, h
@@ -314,12 +328,10 @@ def _layer_kernel(K, in_gather, edge_ref, *refs):
         jnp.dot(x, w2_ref[...], preferred_element_type=jnp.float32)
         + b2_ref[...]
     )
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    msg = (x - mean) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[...] + lb_ref[...]
-    edge_out_ref[...] = e + msg
+    msg = _ln_cast(x, ls_ref[...], lb_ref[...], jnp.float32)
+    edge_out_ref[...] = (e + msg).astype(dt)
     masked = msg * mask_ref[...]
-    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1)
+    virt_ref[...] = masked.reshape(tile_e // K, K, h).sum(axis=1).astype(dt)
 
 
 def _layer_reference(edge_rep, gathered, rec_rows, w_e, b0, w2, b2,
@@ -359,7 +371,7 @@ def _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
                      interpret):
     B, M, h = edge_rep.shape
     n_virt = M // K
-    TILE_V = 256
+    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
     while n_virt % TILE_V and TILE_V > 8:
         TILE_V //= 2
     fallback = n_virt % TILE_V or TILE_V < 64
@@ -391,9 +403,10 @@ def _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
         pl.BlockSpec((None, TILE_V, h), lambda b, v: (b, v, 0),
                      memory_space=pltpu.VMEM),
     )
+    dt = edge_rep.dtype
     out_shape = (
-        jax.ShapeDtypeStruct((B, M, h), jnp.float32),
-        jax.ShapeDtypeStruct((B, n_virt, h), jnp.float32),
+        jax.ShapeDtypeStruct((B, M, h), dt),
+        jax.ShapeDtypeStruct((B, n_virt, h), dt),
     )
     scalars = (b0.reshape(1, h), w2, b2.reshape(1, h),
                ln_scale.reshape(1, h), ln_bias.reshape(1, h), mask)
