@@ -238,13 +238,14 @@ def edge_messages_and_virt(edge_mlp_params: dict, edges: EdgeSet, send_rep,
 
     send_t = mm(send_rep, w_j)
     rec_t = mm(rec_rep, w_i)
+    fusable = (mode != "off" and len(layers) == 2
+               and edge_mlp_params["ln"] is not None and send_t.ndim == 3)
+    if fusable and compute_dtype is not None:
+        # cast before the big gather: half the bytes moved
+        send_t = send_t.astype(compute_dtype)
+        rec_t = rec_t.astype(compute_dtype)
     rec_rows = _gather_virt_rows(rec_t, edges)
     gathered = gather_rows_batched(send_t, edges.senders)
-    fusable = (mode != "off" and len(layers) == 2
-               and edge_mlp_params["ln"] is not None and gathered.ndim == 3)
-    if fusable and compute_dtype is not None:
-        gathered = gathered.astype(compute_dtype)
-        rec_rows = rec_rows.astype(compute_dtype)
     if fusable and ew is not None and ew.ndim == 2:
         # static per-edge product available: fully fused tail, x0 never
         # materialized
@@ -401,14 +402,14 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                              preferred_element_type=jnp.float32)
             rec_t = jnp.dot(rec_rep, w_i,
                             preferred_element_type=jnp.float32)
+            if compute_dtype is not None:
+                send_t = send_t.astype(compute_dtype)
+                rec_t = rec_t.astype(compute_dtype)
+                edge_rep = edge_rep.astype(compute_dtype)
             rec_rows = _gather_virt_rows(rec_t, edges)
             in_gather = False  # scalar-loop VMEM gather measured slower than XLA pre-gather
             gs = (edges.senders if in_gather
                   else gather_rows_batched(send_t, edges.senders))
-            if compute_dtype is not None:
-                gs = gs if in_gather else gs.astype(compute_dtype)
-                rec_rows = rec_rows.astype(compute_dtype)
-                edge_rep = edge_rep.astype(compute_dtype)
             edge_out, virt = edge_layer(
                 edge_rep, gs, send_t, rec_rows, edges.mask,
                 w_e, b0, layers[1]["w"], layers[1]["b"],
