@@ -24,6 +24,9 @@ def expand_to_batch(x, batch_size):
 
 class BaseGraphModel(ARModelBase):
     _array_fields = ("statics", "graph")
+    # set inside spatial shard_map bodies: mesh axis to psum partial g2m
+    # aggregations over (see parallel/grid_sharded.py)
+    _g2m_psum_axis = None
 
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):
@@ -128,18 +131,19 @@ class BaseGraphModel(ARModelBase):
         return {}
 
     def _inet_static(self, inet_params, edges, send_rep, rec_rep, ctx_entry,
-                     batch_size):
+                     batch_size, psum_axis=None):
         """update_edges=False interaction net with precomputed edge ctx."""
         cd = self.compute_dtype
         if "ew" in ctx_entry:
             return apply_interaction_net(
                 inet_params, edges, send_rep, rec_rep,
                 update_edges=False, compute_dtype=cd, ew=ctx_entry["ew"],
+                psum_axis=psum_axis,
             )
         return apply_interaction_net(
             inet_params, edges, send_rep, rec_rep,
             edge_rep=expand_to_batch(ctx_entry["emb"], batch_size),
-            update_edges=False, compute_dtype=cd,
+            update_edges=False, compute_dtype=cd, psum_axis=psum_axis,
         )
 
     def predict_step(self, params, prev_state, prev_prev_state, forcing,
@@ -159,7 +163,7 @@ class BaseGraphModel(ARModelBase):
         mesh_rep = self._inet_static(
             params["g2m_gnn"], self.graph.g2m, grid_emb,
             expand_to_batch(ctx["mesh_emb"], batch_size), ctx["g2m"],
-            batch_size,
+            batch_size, psum_axis=self._g2m_psum_axis,
         )  # (B, N_mesh, d_h)
         grid_rep = grid_emb + apply_mlp(
             params["encoding_grid_mlp"], grid_emb, compute_dtype=cd

@@ -374,7 +374,9 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
 def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                           edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
-                          compute_dtype=None, ew=None):
+                          compute_dtype=None, ew=None, psum_axis=None):
+    # psum_axis: inside shard_map, combine per-shard partial aggregations
+    # over this mesh axis (spatially partitioned sender edges)
     """One interaction-net round; see module docstring for the math.
 
     send_rep: (..., N_send, d)   rec_rep: (..., N_rec, d)
@@ -425,6 +427,8 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                 ew=ew,
             )
         aggregated = _fold_virt(edges, virt)
+        if psum_axis is not None:
+            aggregated = jax.lax.psum(aggregated, psum_axis)
         if aggr == "mean":
             aggregated = aggregated / _virt_counts(edges)[..., :, None]
         rec_diff = apply_mlp_concat(
@@ -449,6 +453,8 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         aggregated = segment_sum(
             messages, edges.receivers, edges.num_rec, sorted_ids=True
         )
+    if psum_axis is not None:
+        aggregated = jax.lax.psum(aggregated, psum_axis)
     if aggr == "mean":
         counts = jnp.maximum(
             (edges.gather_table < edges.num_edges).sum(axis=-1), 1

@@ -473,6 +473,9 @@ def main(input_args=None):
                         help="JSON dict var_index -> [lead steps] to watch")
     parser.add_argument("--run_name", type=str, default=None)
     parser.add_argument("--save_dir", type=str, default="saved_models")
+    parser.add_argument("--spatial_shards", type=int, default=1,
+                        help="shard grid nodes over this many devices "
+                             "(the mesh 'space' axis)")
     args = parser.parse_args(input_args)
     assert args.config_path is not None, "Specify your config with --config_path"
 
@@ -529,7 +532,19 @@ def main(input_args=None):
     )
 
     model = MODELS[args.model](model_args, config, datastore)
-    trainer = Trainer(model, flags)
+    mesh = None
+    if args.spatial_shards > 1:
+        from .parallel.grid_sharded import spatialize
+
+        n_dev = len(jax.devices())
+        n_space = args.spatial_shards
+        assert n_dev % n_space == 0, (n_dev, n_space)
+        mesh = make_mesh(
+            n_data=min(best_data_axis(args.batch_size), n_dev // n_space),
+            n_space=n_space,
+        )
+        model = spatialize(model, mesh)
+    trainer = Trainer(model, flags, mesh=mesh)
 
     if args.eval:
         params, opt_state = trainer.init_state()
