@@ -101,7 +101,7 @@ def gather_sum(messages, table):
 # Large-source row gathers: XLA's per-batch gather from a (B, N, h) operand
 # runs far below HBM bandwidth when N is large; flattening batch into the
 # row (lane) dimension makes each gathered row wide and contiguous.
-_LARGE_SRC_THRESHOLD = 16384
+_LARGE_SRC_THRESHOLD = 1024
 
 
 def gather_rows_batched(src, idx):

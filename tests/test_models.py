@@ -127,3 +127,26 @@ def test_dataloader_shapes(datastore):
     b0 = [b[3].tolist() for b in dl0]
     b1 = [b[3].tolist() for b in dl1]
     assert b0 != b1
+
+
+def test_create_dataarray_round_trip(datastore):
+    """tensor -> FieldArray inverse of __getitem__
+    (ref: tests/test_datasets.py:84-156)."""
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    init_states, target_states, forcing, times = ds[0]
+    da = ds.create_dataarray_from_tensor(
+        target_states, times.astype("datetime64[ns]"), category="state"
+    )
+    assert da.dims == ("time", "grid_index", "state_feature")
+    assert da.shape == target_states.shape
+    np.testing.assert_array_equal(da.values, target_states)
+    assert list(da.coords["state_feature"]) == datastore.get_vars_names("state")
+    # single-time 2D variant
+    da2 = ds.create_dataarray_from_tensor(
+        target_states[0], times[0].astype("datetime64[ns]"), category="state"
+    )
+    assert da2.dims == ("grid_index", "state_feature")
+    # unstack through the datastore to the 2D grid
+    grid2d = datastore.unstack_grid_coords(da2.values[:, 0])
+    assert grid2d.shape == (datastore.grid_shape_state.x,
+                            datastore.grid_shape_state.y)
