@@ -33,7 +33,6 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..graph.storage import LoadedGraph
-from ..models.ar_model import ARStatics
 from ..ops.message_passing import EdgeSet
 
 

@@ -388,6 +388,38 @@ class Trainer:
                     plt.close("all")
 
 
+def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
+                               seed=0):
+    """Ensemble CRPS/spread/rmse over the test split (output_std models)."""
+    import jax
+
+    from .ensemble import evaluate_ensemble
+
+    datamodule.setup("test")
+    loader = datamodule.test_dataloader()
+    sums, n = None, 0
+    key = jax.random.PRNGKey(seed)
+    for batch in loader:
+        batch, n_valid = self._pad_batch(batch)
+        if n_valid != batch[0].shape[0]:
+            continue  # skip padded tail for ensemble stats
+        key, sub = jax.random.split(key)
+        jb = tuple(jnp.asarray(b) for b in batch)
+        out = evaluate_ensemble(self.model, params, jb, sub, n_members)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        sums = out if sums is None else {
+            k: sums[k] + out[k] for k in out
+        }
+        n += 1
+    result = {k: (v / max(n, 1)).tolist() for k, v in (sums or {}).items()}
+    self.logger.log({f"ens_{k}_mean": float(np.mean(v))
+                     for k, v in result.items()})
+    return result
+
+
+Trainer.evaluate_ensemble = _trainer_evaluate_ensemble
+
+
 class _EvalAggregator:
     """Accumulates eval_step_metrics outputs across batches
     (ref: ar_model.py:610-644 — gather, mean over samples)."""
@@ -476,6 +508,9 @@ def main(input_args=None):
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="shard grid nodes over this many devices "
                              "(the mesh 'space' axis)")
+    parser.add_argument("--ensemble_members", type=int, default=0,
+                        help="with --eval test on an --output_std model: "
+                             "also compute m-member ensemble CRPS/spread")
     args = parser.parse_args(input_args)
     assert args.config_path is not None, "Specify your config with --config_path"
 
@@ -553,6 +588,10 @@ def main(input_args=None):
             print(trainer.validate(datamodule, params))
         else:
             print(trainer.test(datamodule, params))
+            if args.ensemble_members > 0 and args.output_std:
+                print(trainer.evaluate_ensemble(
+                    datamodule, params, n_members=args.ensemble_members
+                ))
     else:
         trainer.fit(datamodule)
 

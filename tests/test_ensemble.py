@@ -69,3 +69,30 @@ def test_ensemble_rollout_and_metrics(tmp_path):
                   mask=model.interior_mask_bool())
     np.testing.assert_allclose(np.asarray(crps1), np.asarray(mae_val),
                                rtol=1e-5)
+
+
+def test_trainer_ensemble_eval(tmp_path):
+    from neural_lam_tpu.dataset import WeatherDataModule
+    from neural_lam_tpu.parallel.mesh import make_mesh
+    from neural_lam_tpu.train import Trainer, TrainFlags
+
+    datastore = DummyDatastore(n_points_1d=10, n_timesteps=40)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path / "g"), datastore.get_xy("state", stacked=False),
+        n_max_levels=1, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=4, processor_layers=1, output_std=True,
+                     loss="nll", val_steps_to_log=(1,))
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    dm = WeatherDataModule(datastore, ar_steps_eval=2, batch_size=2)
+    trainer = Trainer(model, TrainFlags(batch_size=2),
+                      run_dir=tmp_path / "run",
+                      mesh=make_mesh(n_data=1, n_space=1))
+    params, _ = trainer.init_state()
+    out = trainer.evaluate_ensemble(dm, params, n_members=3)
+    assert "crps" in out and len(out["crps"]) == 2
+    assert np.all(np.isfinite(out["crps"]))
