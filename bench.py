@@ -102,8 +102,13 @@ def main():
         print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step",
               file=sys.stderr)
         model.compute_dtype = None
+        ms_b1 = measure_steps_ms(
+            model, params, prev[:1], prevprev[:1], forcing[:1]
+        )
+        print(f"[bench] batch-1 latency: {ms_b1:.2f} ms/predict-step",
+              file=sys.stderr)
     except Exception as e:
-        print(f"[bench] bf16 measurement failed: {e}", file=sys.stderr)
+        print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
     steps_per_s = 1000.0 / ms_per_step
     mesh_updates_per_s = model.num_mesh_nodes * LAYERS * steps_per_s * BATCH
     print(

@@ -112,6 +112,44 @@ def test_export_roundtrip(env):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_loads_into_torch_model(env):
+    """Exported state dicts load 1:1 into the torch module tree (strict),
+    i.e. our key naming matches the reference exactly."""
+    datastore, config, flat, _, _ = env
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    model = MODELS["graph_lam"](args, config, datastore, flat)
+    params = model.init_params(jax.random.PRNGKey(3))
+    sd = {k: torch.tensor(v) for k, v in export_state_dict(params).items()}
+    torch.manual_seed(1)
+    tmodel = TorchGraphLAM(
+        flat, model.statics, model.grid_dim, model.grid_output_dim,
+        hidden_dim=8, hidden_layers=1, n_proc=2,
+    )
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    # only non-persistent buffers may be missing; no unexpected keys
+    assert not unexpected, unexpected
+    assert all("." not in m or m.split(".")[0] in (
+        "grid_static_features", "diff_mean", "diff_std", "boundary_mask",
+        "interior_mask") or m in (
+        "grid_static_features", "diff_mean", "diff_std", "boundary_mask",
+        "interior_mask") for m in missing), missing
+
+    # the torch model with imported weights reproduces our predict_step
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    init_states, _, forcing, _ = collate([ds[0]])
+    with torch.no_grad():
+        out_t, _ = tmodel.predict_step(
+            torch.tensor(init_states[:, 1]), torch.tensor(init_states[:, 0]),
+            torch.tensor(forcing[:, 0]),
+        )
+    out_j, _ = model.predict_step(
+        params, jnp.asarray(init_states[:, 1]),
+        jnp.asarray(init_states[:, 0]), jnp.asarray(forcing[:, 0]),
+    )
+    np.testing.assert_allclose(out_t.numpy(), np.asarray(out_j),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_legacy_key_migration():
     sd = {"g2m_gnn.grid_mlp.0.weight": np.zeros((2, 2)),
           "other.key": np.ones(3)}
