@@ -94,21 +94,6 @@ def main():
     forcing = jnp.asarray(rng.standard_normal((BATCH, n, d_f)), jnp.float32)
 
     ms_per_step = measure_steps_ms(model, params, prev, prevprev, forcing)
-    try:
-        import jax.numpy as _jnp
-
-        model.compute_dtype = _jnp.bfloat16
-        ms_bf16 = measure_steps_ms(model, params, prev, prevprev, forcing)
-        print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step",
-              file=sys.stderr)
-        model.compute_dtype = None
-        ms_b1 = measure_steps_ms(
-            model, params, prev[:1], prevprev[:1], forcing[:1]
-        )
-        print(f"[bench] batch-1 latency: {ms_b1:.2f} ms/predict-step",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
     steps_per_s = 1000.0 / ms_per_step
     mesh_updates_per_s = model.num_mesh_nodes * LAYERS * steps_per_s * BATCH
     print(
@@ -134,7 +119,25 @@ def main():
         "value": mesh_updates_per_s,
         "unit": "updates/s",
         "vs_baseline": vs_baseline,
-    }))
+    }), flush=True)
+
+    # optional extra measurements AFTER the headline line (a driver timeout
+    # must not lose the metric)
+    try:
+        import jax.numpy as _jnp
+
+        model.compute_dtype = _jnp.bfloat16
+        ms_bf16 = measure_steps_ms(model, params, prev, prevprev, forcing)
+        print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step",
+              file=sys.stderr)
+        model.compute_dtype = None
+        ms_b1 = measure_steps_ms(
+            model, params, prev[:1], prevprev[:1], forcing[:1]
+        )
+        print(f"[bench] batch-1 latency: {ms_b1:.2f} ms/predict-step",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
