@@ -144,3 +144,41 @@ def test_plot_clis(tmp_path):
     field = np.random.rand(ds.num_grid_points)
     vis.plot_prediction(field, field, ds).savefig(tmp_path / "pred.png")
     vis.plot_spatial_error(field, ds).savefig(tmp_path / "sp.png")
+
+
+def test_train_cli_spatial_shards(tmp_path):
+    """--spatial_shards trains the grid-sharded model end-to-end."""
+    from neural_lam_tpu import train
+    import neural_lam_tpu.datastore.dummy as dummy_mod
+
+    nl_cfg = _write_dummy_config(tmp_path)
+    roots = {}
+    orig_init = dummy_mod.DummyDatastore.__init__
+
+    def patched_init(self, config_path=None, **kw):
+        orig_init(self, config_path=config_path, **kw)
+        if config_path is not None:
+            key = str(config_path)
+            if key in roots:
+                self._tempdir = roots[key]._tempdir
+                self._root_path = roots[key]._root_path
+            else:
+                roots[key] = self
+
+    dummy_mod.DummyDatastore.__init__ = patched_init
+    try:
+        from neural_lam_tpu.graph.build import cli as graph_cli
+
+        graph_cli(["--config_path", str(nl_cfg), "--name", "gs",
+                   "--levels", "1"])
+        train.main([
+            "--config_path", str(nl_cfg), "--model", "graph_lam",
+            "--graph", "gs", "--epochs", "1", "--batch_size", "2",
+            "--hidden_dim", "4", "--processor_layers", "1",
+            "--ar_steps_train", "1", "--ar_steps_eval", "2",
+            "--val_steps_to_log", "1", "--spatial_shards", "4",
+            "--save_dir", str(tmp_path / "runs"), "--run_name", "sp",
+        ])
+        assert (tmp_path / "runs" / "sp" / "last").exists()
+    finally:
+        dummy_mod.DummyDatastore.__init__ = orig_init
