@@ -93,7 +93,8 @@ class EdgeSet:
     def from_local(senders: np.ndarray, receivers: np.ndarray,
                    features: np.ndarray, num_send: int, num_rec: int,
                    sort: bool = True, dense: bool = False,
-                   dense_cap: int | None = None):
+                   dense_cap: int | None = None,
+                   dense_force_k: int | None = None):
         """Build an EdgeSet from already-local index arrays.
 
         sort=False keeps the given edge order (required for chunk-ordered
@@ -115,6 +116,10 @@ class EdgeSet:
             K = dense_cap or 8
             counts = np.bincount(receivers, minlength=num_rec)
             K = min(K, max(int(counts.max()), 1))
+            if dense_force_k is not None:
+                # pin K (uniform across stacked per-shard edge sets); any K
+                # is valid — higher degrees just use more virtual rows
+                K = dense_force_k
             n_virt_per_rec = np.maximum(-(-counts // K), 1)
             virt_start = np.concatenate(([0], np.cumsum(n_virt_per_rec)))[:-1]
             num_virt = int(n_virt_per_rec.sum())

@@ -125,22 +125,24 @@ def build_grid_shard(graph: LoadedGraph, n_shards: int,
     # g2m by sender grid block
     send, recv, feat = _real_edges(graph.g2m)
     shard_of = send // block
+    k_g2m = graph.g2m.dense_k or 8
     g2m_sets = [
         EdgeSet.from_local(
             send[shard_of == s] - s * block, recv[shard_of == s],
             feat[shard_of == s], num_send=block, num_rec=nm0,
-            dense=True, dense_cap=graph.g2m.dense_k or 8,
+            dense=True, dense_force_k=k_g2m,
         )
         for s in range(n_shards)
     ]
     # m2g by receiver grid block
     send, recv, feat = _real_edges(graph.m2g)
     shard_of = recv // block
+    k_m2g = graph.m2g.dense_k or 8
     m2g_sets = [
         EdgeSet.from_local(
             send[shard_of == s], recv[shard_of == s] - s * block,
             feat[shard_of == s], num_send=nm0, num_rec=block,
-            dense=True, dense_cap=graph.m2g.dense_k or 8,
+            dense=True, dense_force_k=k_m2g,
         )
         for s in range(n_shards)
     ]
