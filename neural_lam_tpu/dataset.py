@@ -46,7 +46,9 @@ class WeatherDataset:
         self.da_state = datastore.get_dataarray(category="state", split=split)
         self.da_forcing = datastore.get_dataarray(category="forcing", split=split)
 
-        if len(self) <= 0:
+        # call __len__ directly: builtin len() raises its own unhelpful
+        # "__len__() should return >= 0" before this guard can fire
+        if self.__len__() <= 0:
             raise ValueError(
                 "The provided datastore only provides "
                 f"{self._n_time_total()} total time steps, which is too few "

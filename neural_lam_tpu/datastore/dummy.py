@@ -27,11 +27,14 @@ class DummyDatastore(BaseRegularGridDatastore):
 
     def __init__(self, config_path=None, n_grid_points=None, n_points_1d=10,
                  n_timesteps=15, boundary_width=1, seed=916, grid_shape=None,
-                 n_features=None):
+                 n_features=None, root=None):
         """config_path may point at a YAML overriding the keyword defaults.
 
         grid_shape: optional (nx, ny) for rectangular grids; n_features:
-        optional {category: n} override (e.g. MEPS-shaped benches).
+        optional {category: n} override (e.g. MEPS-shaped benches); root:
+        optional persistent root dir (relative paths resolve against the
+        config file) so graphs built by one CLI process are visible to the
+        next — without it each instance gets a throwaway tempdir.
         """
         if config_path is not None and Path(config_path).exists():
             with open(config_path) as f:
@@ -42,6 +45,9 @@ class DummyDatastore(BaseRegularGridDatastore):
             seed = cfg.get("seed", seed)
             grid_shape = cfg.get("grid_shape", grid_shape)
             n_features = cfg.get("n_features", n_features)
+            root = cfg.get("root", root)
+            if root is not None and not Path(root).is_absolute():
+                root = Path(config_path).parent / root
         if n_grid_points is not None:
             n_points_1d = int(round(n_grid_points**0.5))
             assert n_points_1d**2 == n_grid_points, "n_grid_points must be square"
@@ -94,8 +100,13 @@ class DummyDatastore(BaseRegularGridDatastore):
             mask2d[:, -bw:] = 1
         self._boundary_mask = mask2d.reshape(n_grid)
 
-        self._tempdir = tempfile.TemporaryDirectory()
-        self._root_path = Path(self._tempdir.name)
+        if root is not None:
+            self._tempdir = None
+            self._root_path = Path(root)
+            self._root_path.mkdir(parents=True, exist_ok=True)
+        else:
+            self._tempdir = tempfile.TemporaryDirectory()
+            self._root_path = Path(self._tempdir.name)
 
         # train/val/test time ranges (contiguous thirds, ≥ 4 steps each)
         n_train = max(n_timesteps - 2 * max(4, n_timesteps // 5), 4)

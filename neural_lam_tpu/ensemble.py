@@ -86,19 +86,25 @@ def crps_ensemble(ens, target, mask=None, average_grid=True, sum_vars=True):
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
-def evaluate_ensemble(model, params, batch, key, n_members: int = 5):
+def evaluate_ensemble(model, params, batch, key, n_members: int = 5,
+                      per_sample: bool = False):
     """Per-lead-time ensemble metrics for one batch.
 
-    Returns dict with crps (T,), spread (T,), rmse of the ensemble mean (T,).
+    Returns dict with crps, spread, rmse of the ensemble mean — shape (T,),
+    or (B, T) with ``per_sample=True`` (used by the Trainer so padded tail
+    samples can be sliced off before averaging).
     """
     init_states, target_states, forcing, _ = batch
     ens = sample_rollout(model, params, init_states, forcing, target_states,
                          key, n_members)
     mask = model.interior_mask_bool()
     mean, spread = ensemble_mean_spread(ens)
-    crps = crps_ensemble(ens, target_states, mask=mask).mean(axis=0)
+    crps = crps_ensemble(ens, target_states, mask=mask)  # (B, T)
     w = mask.astype(mean.dtype)
     se = jnp.square(mean - target_states) * w[:, None]
-    rmse = jnp.sqrt(se.sum(axis=-2) / w.sum()).mean(axis=(0, -1))
-    spread_t = (spread * w[:, None]).sum(axis=-2).mean(axis=(0, -1)) / w.sum()
-    return {"crps": crps, "ens_rmse": rmse, "spread": spread_t}
+    rmse = jnp.sqrt(se.sum(axis=-2) / w.sum()).mean(axis=-1)  # (B, T)
+    spread_t = (spread * w[:, None]).sum(axis=-2).mean(axis=-1) / w.sum()
+    out = {"crps": crps, "ens_rmse": rmse, "spread": spread_t}
+    if not per_sample:
+        out = {k: v.mean(axis=0) for k, v in out.items()}
+    return out

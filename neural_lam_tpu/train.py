@@ -328,6 +328,11 @@ class Trainer:
         spatial = summary.get("mean_spatial_loss")
         if spatial is not None:
             np.save(self.run_dir / "mean_spatial_loss.npy", spatial)
+            # per-logged-lead-time maps: lead time t_i is unroll index t_i - 1
+            for t_i in model.args.val_steps_to_log:
+                if 1 <= t_i <= spatial.shape[0]:
+                    np.save(self.run_dir / f"spatial_loss_t{t_i}.npy",
+                            spatial[t_i - 1])
 
         if make_plots:
             from . import vis
@@ -336,13 +341,15 @@ class Trainer:
                 fig = vis.plot_error_map(arr, datastore)
                 fig.savefig(self.run_dir / f"{name}.pdf")
             if spatial is not None:
-                steps = [
-                    s for s in model.args.val_steps_to_log
-                    if s <= spatial.shape[0] + len(model.args.val_steps_to_log)
-                ]
-                for t_i, loss_map in zip(model.args.val_steps_to_log, spatial):
+                # `spatial` is (T, N) over consecutive unroll steps; save a
+                # map only at each logged lead time t_i, reading unroll index
+                # t_i - 1 (ref: ar_model.py:428-436 stores maps at exactly
+                # the logged steps)
+                for t_i in model.args.val_steps_to_log:
+                    if not 1 <= t_i <= spatial.shape[0]:
+                        continue
                     fig = vis.plot_spatial_error(
-                        loss_map, datastore,
+                        spatial[t_i - 1], datastore,
                         title=f"Test loss, t={t_i} "
                               f"({datastore.step_length * t_i} h)",
                     )
@@ -400,17 +407,18 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
     sums, n = None, 0
     key = jax.random.PRNGKey(seed)
     for batch in loader:
+        # padded tail batches are evaluated per-sample and the padding
+        # sliced off, matching _EvalAggregator's n_valid handling
         batch, n_valid = self._pad_batch(batch)
-        if n_valid != batch[0].shape[0]:
-            continue  # skip padded tail for ensemble stats
         key, sub = jax.random.split(key)
         jb = tuple(jnp.asarray(b) for b in batch)
-        out = evaluate_ensemble(self.model, params, jb, sub, n_members)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = evaluate_ensemble(self.model, params, jb, sub, n_members,
+                                per_sample=True)
+        out = {k: np.asarray(v)[:n_valid].sum(axis=0) for k, v in out.items()}
         sums = out if sums is None else {
             k: sums[k] + out[k] for k in out
         }
-        n += 1
+        n += n_valid
     result = {k: (v / max(n, 1)).tolist() for k, v in (sums or {}).items()}
     self.logger.log({f"ens_{k}_mean": float(np.mean(v))
                      for k, v in result.items()})

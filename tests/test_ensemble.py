@@ -59,6 +59,15 @@ def test_ensemble_rollout_and_metrics(tmp_path):
         assert out[k].shape == (T,)
         assert np.all(np.isfinite(np.asarray(out[k])))
 
+    # per-sample variant (used by the Trainer to drop padded tail samples)
+    # averages back to the default output
+    out_ps = evaluate_ensemble(model, params, batch, jax.random.PRNGKey(2),
+                               n_members=m, per_sample=True)
+    for k in ("crps", "ens_rmse", "spread"):
+        assert out_ps[k].shape == (B, T)
+        np.testing.assert_allclose(np.asarray(out_ps[k].mean(axis=0)),
+                                   np.asarray(out[k]), rtol=1e-5)
+
     # CRPS of a deterministic (m=1) ensemble equals masked MAE
     one = ens[:, :1]
     crps1 = crps_ensemble(one, target_states,

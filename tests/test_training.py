@@ -79,3 +79,17 @@ def test_fit_and_test(tmp_path):
     assert (tmp_path / "run" / "mean_spatial_loss.npy").exists()
     rmse = np.loadtxt(tmp_path / "run" / "test_rmse.csv", delimiter=",")
     assert rmse.shape == (3, datastore.get_num_data_vars("state"))
+
+    # regression: the spatial-loss artifact for logged lead time t is the
+    # map at unroll index t-1 of the full (T, N) mean map — with
+    # val_steps_to_log=(1, 3) and ar_steps_eval=3, files exist for t=1 and
+    # t=3 only, and t=3 holds row index 2
+    spatial = np.load(tmp_path / "run" / "mean_spatial_loss.npy")
+    assert spatial.shape[0] == 3
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "run" / "spatial_loss_t1.npy"), spatial[0]
+    )
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "run" / "spatial_loss_t3.npy"), spatial[2]
+    )
+    assert not (tmp_path / "run" / "spatial_loss_t2.npy").exists()
