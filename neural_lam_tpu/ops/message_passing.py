@@ -124,8 +124,11 @@ class EdgeSet:
             virt_start = np.concatenate(([0], np.cumsum(n_virt_per_rec)))[:-1]
             num_virt = int(n_virt_per_rec.sum())
             virt_identity = num_virt == num_rec
-            # pad virtual rows (all-masked) so kernels get large even tiles
-            tile = 256 if num_virt >= 2048 else 8
+            # pad virtual rows (all-masked) so kernels get large even tiles;
+            # 64 is the Pallas kernels' minimum tile — padding every dense
+            # set to a 64-multiple keeps small (test-sized) graphs on the
+            # same fused-kernel path the TPU runs at scale
+            tile = 256 if num_virt >= 2048 else 64
             num_virt_pad = -(-num_virt // tile) * tile
             order = np.argsort(receivers, kind="stable")
             starts = np.concatenate(([0], np.cumsum(counts)))[:-1]

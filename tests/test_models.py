@@ -150,3 +150,71 @@ def test_create_dataarray_round_trip(datastore):
     grid2d = datastore.unstack_grid_coords(da2.values[:, 0])
     assert grid2d.shape == (datastore.grid_shape_state.x,
                             datastore.grid_shape_state.y)
+
+
+def test_graph_lam_predict_interpret_vs_off(datastore, nl_config, tmp_path):
+    """The exact code path the TPU runs (fused Pallas kernels, interpreted)
+    matches the plain XLA path through a full GraphLAM predict_step and
+    training grad."""
+    import neural_lam_tpu.ops.message_passing as mp
+
+    graph = _graph(datastore, tmp_path, hierarchical=False)
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    model = MODELS["graph_lam"](args, nl_config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0], ds[1]]))
+    init_states, _, forcing, _ = batch
+
+    old_mode = mp._PALLAS_MODE
+    try:
+        mp._PALLAS_MODE = "off"
+        out_off, _ = model.predict_step(
+            params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+        )
+        loss_off = model.training_loss(params, batch)
+        g_off = jax.grad(model.training_loss)(params, batch)
+
+        mp._PALLAS_MODE = "interpret"
+        out_int, _ = model.predict_step(
+            params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+        )
+        loss_int = model.training_loss(params, batch)
+        g_int = jax.grad(model.training_loss)(params, batch)
+    finally:
+        mp._PALLAS_MODE = old_mode
+
+    np.testing.assert_allclose(np.asarray(out_int), np.asarray(out_off),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(loss_int), float(loss_off), rtol=1e-5)
+    la, lb = jax.tree_util.tree_leaves(g_off), jax.tree_util.tree_leaves(g_int)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3,
+                                   rtol=1e-3)
+
+
+def test_bf16_rollout_tolerance(datastore, nl_config, tmp_path):
+    """bf16 compute path (the TPU bench headline) stays within ~2% relative
+    error of fp32 over a 4-step rollout."""
+    graph = _graph(datastore, tmp_path, hierarchical=False)
+    args32 = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    args16 = dataclasses.replace(args32, compute_dtype="bfloat16")
+    model32 = MODELS["graph_lam"](args32, nl_config, datastore, graph)
+    model16 = MODELS["graph_lam"](args16, nl_config, datastore, graph)
+    params = model32.init_params(jax.random.PRNGKey(4))
+
+    ds = WeatherDataset(datastore, split="train", ar_steps=4)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0], ds[1]]))
+
+    pred32 = np.asarray(model32.common_step(params, batch)[0], np.float32)
+    pred16 = np.asarray(model16.common_step(params, batch)[0], np.float32)
+    assert pred32.shape[1] == 4
+    assert np.all(np.isfinite(pred16))
+    rel = np.abs(pred16 - pred32).mean() / np.abs(pred32).mean()
+    assert rel < 2e-2, f"bf16 rollout diverges from fp32: rel={rel:.4f}"
+    # per-step: error may grow with unroll depth but stays bounded
+    for t in range(4):
+        rel_t = (np.abs(pred16[:, t] - pred32[:, t]).mean()
+                 / np.abs(pred32[:, t]).mean())
+        assert rel_t < 2e-2, (t, rel_t)

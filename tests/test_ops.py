@@ -240,6 +240,55 @@ def test_pallas_edge_tail_interpret():
                                    rtol=1e-4)
 
 
+def test_pallas_edge_tail_sum_interpret():
+    """Fully-fused static-edge tail kernel (the g2m/m2g TPU hot path) vs
+    its XLA reference, forward + custom VJP."""
+    from neural_lam_tpu.ops.pallas_edge import _sum_reference, edge_tail_sum
+
+    rng = np.random.default_rng(11)
+    B, Nv, K, h = 2, 128, 8, 64
+    M = Nv * K
+    gathered = jnp.asarray(rng.standard_normal((B, M, h)), jnp.float32)
+    ew = jnp.asarray(rng.standard_normal((M, h)), jnp.float32)
+    rec_rows = jnp.asarray(rng.standard_normal((B, Nv, h)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, h)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    ls = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    lb = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    mask = jnp.asarray((rng.random((M, 1)) > 0.3).astype(np.float32))
+
+    ref_msg, ref_virt = _sum_reference(gathered, ew, rec_rows, w2, b2, ls,
+                                       lb, mask, K)
+    msg, virt = edge_tail_sum(gathered, ew, rec_rows, w2, b2, ls, lb, mask,
+                              K, True)
+    np.testing.assert_allclose(np.asarray(msg), np.asarray(ref_msg),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(virt), np.asarray(ref_virt),
+                               atol=1e-4)
+
+    # with_messages=False returns only the aggregation
+    none_msg, virt2 = edge_tail_sum(gathered, ew, rec_rows, w2, b2, ls, lb,
+                                    mask, K, True, False)
+    assert none_msg is None
+    np.testing.assert_allclose(np.asarray(virt2), np.asarray(ref_virt),
+                               atol=1e-4)
+
+    def loss(gathered, ew, rec_rows, w2):
+        m, v = edge_tail_sum(gathered, ew, rec_rows, w2, b2, ls, lb, mask,
+                             K, True)
+        return (m**2).sum() + (v**2).sum()
+
+    def loss_ref(gathered, ew, rec_rows, w2):
+        m, v = _sum_reference(gathered, ew, rec_rows, w2, b2, ls, lb, mask, K)
+        return (m**2).sum() + (v**2).sum()
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(gathered, ew, rec_rows, w2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(gathered, ew, rec_rows, w2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-4)
+
+
 def test_dense_interaction_net_with_pallas_interpret(monkeypatch):
     """apply_interaction_net fused path (interpret) == plain dense path."""
     import neural_lam_tpu.ops.message_passing as mp
