@@ -15,11 +15,23 @@ import numpy as np
 
 
 def _np_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-host: params/opt_state are fully replicated, so the
+            # first addressable shard IS the full value
+            x = x.addressable_data(0)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_checkpoint(ckpt_dir, name: str, params, opt_state=None, meta=None):
-    """Save params (+opt_state) under <ckpt_dir>/<name>/."""
+    """Save params (+opt_state) under <ckpt_dir>/<name>/.
+
+    Multi-host: orbax saves are collective — EVERY process must call this
+    (with identical replicated values); only process 0 removes a stale
+    directory and writes the metadata sidecar.
+    """
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_dir).absolute() / name
@@ -27,13 +39,17 @@ def save_checkpoint(ckpt_dir, name: str, params, opt_state=None, meta=None):
     payload = {"params": _np_tree(params)}
     if opt_state is not None:
         payload["opt_state"] = _np_tree(opt_state)
-    if path.exists():
+    if jax.process_index() == 0 and path.exists():
         import shutil
 
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"nlt_ckpt_rm_{name}")
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
-    if meta is not None:
+    if meta is not None and jax.process_index() == 0:
         with open(str(path) + ".meta.json", "w") as f:
             json.dump(meta, f)
 

@@ -276,10 +276,16 @@ class WeatherDataLoader:
             order[i * self.batch_size:(i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
-        mine = batches[self.shard_id :: self.num_shards]
+        # equal batch count per shard: multi-host training runs the jitted
+        # step in lockstep (each step is a cross-host collective program), so
+        # every shard MUST yield the same number of batches — truncate the
+        # stride-sharded list to a multiple of num_shards
+        n_even = n_batches // self.num_shards * self.num_shards
+        mine = batches[self.shard_id : n_even : self.num_shards]
         if not self.drop_last and self.shard_id == 0:
             # shard 0 additionally picks up leftover full batches + remainder
-            mine += batches[len(mine) * self.num_shards:]
+            # (eval only: evaluation is host-local, so unequal counts are ok)
+            mine += batches[n_even:]
             remainder = order[n_batches * self.batch_size:]
             if remainder.size:
                 mine.append(remainder)

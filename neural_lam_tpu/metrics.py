@@ -16,6 +16,8 @@ When `average_grid=False` with a mask, masked entries are zeroed.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -65,7 +67,9 @@ def mae(pred, target, pred_std=None, mask=None, average_grid=True, sum_vars=True
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
-_LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# plain-python constant: a module-level jnp call would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() ordering
+_LOG_SQRT_2PI = float(0.5 * math.log(2.0 * math.pi))
 
 
 def nll(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):

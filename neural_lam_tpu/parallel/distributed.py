@@ -59,6 +59,40 @@ def host_shard() -> tuple:
     return jax.process_count(), jax.process_index()
 
 
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def local_value(x):
+    """Full value of a fully-replicated (possibly multi-host global) array."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
+def local_scalar(x) -> float:
+    return float(local_value(x))
+
+
+def psum_across_hosts(tree):
+    """Element-wise sum of a numpy pytree over all processes (eval metric
+    merging: each host reduces its own shard of the eval set to fixed-shape
+    sums/counts, then the sums are combined). Single-host: identity."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def red(x):
+        gathered = np.asarray(
+            multihost_utils.process_allgather(np.asarray(x))
+        )
+        return gathered.reshape((jax.process_count(),) + np.shape(x)).sum(
+            axis=0
+        )
+
+    return jax.tree_util.tree_map(red, tree)
+
+
 def all_gather_metrics(local_values: np.ndarray) -> np.ndarray:
     """Gather per-host metric arrays to every host (eval aggregation,
     replacing ref ar_model.py:311-320 all_gather). Single-host: identity."""

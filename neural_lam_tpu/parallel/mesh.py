@@ -38,15 +38,40 @@ def best_data_axis(batch_size: int, n_devices: int | None = None) -> int:
     return 1
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and mesh.devices.size > jax.local_device_count()
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a (leading-batch-dim) pytree sharded over the 'data' axis."""
+    """Place a (leading-batch-dim) pytree sharded over the 'data' axis.
+
+    On a multi-host mesh the given pytree is this host's LOCAL slice of the
+    batch; the returned global arrays have leading dim local_batch x n_hosts
+    (DDP semantics: effective batch scales with the number of hosts,
+    ref: neural_lam/train_model.py:279).
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh (multi-host: every process
+    must already hold identical values — same seed or same checkpoint)."""
     sharding = NamedSharding(mesh, P())
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -38,6 +38,7 @@ from .config import load_config_and_datastore
 from .dataset import WeatherDataModule
 from .models import MODELS
 from .models.ar_model import ModelArgs, jit_model_method
+from .parallel import distributed as dist
 from .parallel.mesh import best_data_axis, make_mesh, replicate, shard_batch
 
 
@@ -46,13 +47,12 @@ class TrainFlags:
     """Runtime flags (the non-model part of ref: train_model.py:29-209)."""
 
     epochs: int = 200
-    batch_size: int = 4
+    batch_size: int = 4  # per-host; effective batch scales with hosts (DDP)
     ar_steps_train: int = 1
     ar_steps_eval: int = 10
     val_interval: int = 1
     seed: int = 42
     num_nodes: int = 1
-    devices: str = "auto"
     precision: str = "32"
     load: str | None = None
     restore_opt: bool = False
@@ -69,12 +69,17 @@ class MetricsLogger:
     ref: train_model.py:271-275; absent in this environment)."""
 
     def __init__(self, run_dir: Path, use_wandb: bool = True,
-                 run_name: str | None = None, config: dict | None = None):
+                 run_name: str | None = None, config: dict | None = None,
+                 rank: int = 0):
+        self.rank = rank
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.run_dir / "metrics.jsonl", "a")
+        # only rank 0 writes files / talks to wandb (multi-host runs share
+        # the run_dir; ref: Lightning logs on rank 0 only)
+        self._f = (open(self.run_dir / "metrics.jsonl", "a")
+                   if rank == 0 else None)
         self._wandb = None
-        if use_wandb:
+        if use_wandb and rank == 0:
             try:
                 import wandb
 
@@ -87,6 +92,8 @@ class MetricsLogger:
                 self._wandb = None
 
     def log(self, metrics: dict, step: int | None = None):
+        if self._f is None:
+            return
         rec = {"_time": time.time()}
         if step is not None:
             rec["step"] = step
@@ -110,12 +117,24 @@ class Trainer:
     def __init__(self, model, flags: TrainFlags, run_dir=None, mesh=None):
         self.model = model
         self.flags = flags
+        self.rank = jax.process_index()
         self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = MetricsLogger(self.run_dir)
+        self.logger = MetricsLogger(self.run_dir, rank=self.rank)
         if mesh is None:
             mesh = make_mesh(n_data=best_data_axis(flags.batch_size))
         self.mesh = mesh
+        # multi-host: training runs lockstep on the global mesh; evaluation
+        # runs host-local on each host's shard of the eval set, merged by
+        # fixed-shape cross-host sums (ref: ar_model.py:311-320 gathers)
+        if dist.is_multiprocess():
+            self._eval_mesh = make_mesh(
+                n_data=best_data_axis(flags.batch_size,
+                                      jax.local_device_count()),
+                devices=jax.local_devices(),
+            )
+        else:
+            self._eval_mesh = mesh
         self.optimizer = optax.adamw(
             model.args.lr, b1=0.9, b2=0.95, weight_decay=0.01
         )
@@ -197,7 +216,7 @@ class Trainer:
                 )
                 self.global_step += 1
                 n_batches += 1
-                loss_sum += float(loss)
+                loss_sum += dist.local_scalar(loss)
                 if (flags.ckpt_every_steps
                         and self.global_step % flags.ckpt_every_steps == 0):
                     save_checkpoint(
@@ -229,12 +248,17 @@ class Trainer:
                 meta = {"step": self.global_step, "epoch": epoch,
                         "val_mean_loss": val_loss,
                         "best_val_loss": min(self.best_val_loss, val_loss)}
+                # saves are collective in multi-host runs; the val_loss
+                # branch is identical on every rank (cross-host-merged)
                 if val_loss < self.best_val_loss:
                     self.best_val_loss = val_loss
                     save_checkpoint(self.run_dir, "min_val_loss", params,
                                     opt_state, meta)
                 save_checkpoint(self.run_dir, "last", params, opt_state, meta)
             if stop_requested["flag"]:
+                # preemption save: single-host only semantics — in multi-host
+                # runs the scheduler signals every worker, and each reaches
+                # this collective save after finishing its current epoch
                 print("Preemption signal received: saving last checkpoint "
                       "and stopping.", flush=True)
                 save_checkpoint(
@@ -262,14 +286,22 @@ class Trainer:
         )
         return batch, n
 
+    def _eval_params(self, params):
+        """Host-local copy of the (replicated) params for evaluation."""
+        if not dist.is_multiprocess():
+            return params
+        return jax.tree_util.tree_map(dist.local_value, params)
+
     def validate(self, datamodule, params):
         """Mean loss per unroll step + error-map stats over the val split
         (ref: ar_model.py:324-373)."""
         loader = datamodule.val_dataloader()
+        params = self._eval_params(params)
         agg = _EvalAggregator()
         for batch in loader:
             batch, n_valid = self._pad_batch(batch)
-            batch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
+            batch = shard_batch(tuple(jnp.asarray(b) for b in batch),
+                                self._eval_mesh)
             agg.add(self._eval_step(params, batch), n_valid)
         return agg.summarize()
 
@@ -279,15 +311,18 @@ class Trainer:
         (ref: ar_model.py:375-454,610-696)."""
         datamodule.setup("test")
         loader = datamodule.test_dataloader()
+        params = self._eval_params(params)
         agg = _EvalAggregator(keep_spatial=True)
         example_batch = None
         for batch in loader:
             if example_batch is None:
                 example_batch = batch
             batch, n_valid = self._pad_batch(batch)
-            jbatch = shard_batch(tuple(jnp.asarray(b) for b in batch), self.mesh)
+            jbatch = shard_batch(tuple(jnp.asarray(b) for b in batch),
+                                 self._eval_mesh)
             agg.add(self._eval_step(params, jbatch), n_valid)
         summary = agg.summarize()
+        make_plots = make_plots and self.rank == 0
 
         model = self.model
         datastore = model.datastore
@@ -402,10 +437,13 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
 
     from .ensemble import evaluate_ensemble
 
+    from .parallel import distributed as dist
+
     datamodule.setup("test")
     loader = datamodule.test_dataloader()
+    params = self._eval_params(params)
     sums, n = None, 0
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(seed + jax.process_index())
     for batch in loader:
         # padded tail batches are evaluated per-sample and the padding
         # sliced off, matching _EvalAggregator's n_valid handling
@@ -419,6 +457,13 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
             k: sums[k] + out[k] for k in out
         }
         n += n_valid
+    if dist.is_multiprocess():
+        assert sums is not None, "every host needs >= 1 ensemble eval batch"
+        merged = dist.psum_across_hosts(
+            {**sums, "n": np.asarray(float(n))}
+        )
+        n = float(merged.pop("n"))
+        sums = merged
     result = {k: (v / max(n, 1)).tolist() for k, v in (sums or {}).items()}
     self.logger.log({f"ens_{k}_mean": float(np.mean(v))
                      for k, v in result.items()})
@@ -458,16 +503,34 @@ class _EvalAggregator:
             raise ValueError(
                 "no evaluation batches were produced — the split may have "
                 "fewer samples than the batch size"
+                + (" on every host" if dist.is_multiprocess() else "")
             )
-        tsl = np.concatenate(self.tsl_list, axis=0).mean(axis=0)  # (T,)
-        out = {
-            "time_step_loss": tsl,
-            "val_mean_loss": float(tsl.mean()),
-            "mse": np.concatenate(self.mse_list, axis=0).mean(axis=0),
-            "mae": np.concatenate(self.mae_list, axis=0).mean(axis=0),
+        tsl = np.concatenate(self.tsl_list, axis=0)  # (n, T)
+        mse = np.concatenate(self.mse_list, axis=0)
+        mae = np.concatenate(self.mae_list, axis=0)
+        sums = {
+            "n": np.asarray(float(tsl.shape[0])),
+            "tsl": tsl.sum(axis=0),
+            "mse": mse.sum(axis=0),
+            "mae": mae.sum(axis=0),
         }
         if self.keep_spatial and self.spatial_sum is not None:
-            out["mean_spatial_loss"] = self.spatial_sum / max(self.spatial_n, 1)
+            sums["spatial"] = self.spatial_sum
+            sums["spatial_n"] = np.asarray(float(self.spatial_n))
+        # multi-host: every host reduced a disjoint shard of the eval set;
+        # combine the fixed-shape sums (single-host: identity)
+        sums = dist.psum_across_hosts(sums)
+        n = max(float(sums["n"]), 1.0)
+        out = {
+            "time_step_loss": sums["tsl"] / n,
+            "val_mean_loss": float((sums["tsl"] / n).mean()),
+            "mse": sums["mse"] / n,
+            "mae": sums["mae"] / n,
+        }
+        if "spatial" in sums:
+            out["mean_spatial_loss"] = (
+                sums["spatial"] / max(float(sums["spatial_n"]), 1.0)
+            )
         return out
 
 
@@ -486,6 +549,15 @@ def main(input_args=None):
     parser.add_argument("--restore_opt", action="store_true")
     parser.add_argument("--precision", type=str, default="32",
                         choices=["32", "bf16", "bf16-mixed"])
+    # multi-host (ref: train_model.py:276-286 DDP over num_nodes; here
+    # jax.distributed over DCN — on TPU pods the three flags are discovered
+    # from the environment and only --num_nodes is needed)
+    parser.add_argument("--num_nodes", type=int, default=1,
+                        help="number of hosts/processes in the job")
+    parser.add_argument("--node_rank", type=int, default=None,
+                        help="this process's rank (TPU pods: auto)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (TPU pods: auto)")
     # model architecture (ref: train_model.py:87-134)
     parser.add_argument("--graph", type=str, default="multiscale")
     parser.add_argument("--hidden_dim", type=int, default=64)
@@ -525,6 +597,17 @@ def main(input_args=None):
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    multihost = args.num_nodes > 1 or args.coordinator_address is not None
+    if multihost:
+        rank, world = dist.init_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_nodes,
+            process_id=args.node_rank,
+        )
+        print(f"multi-host: process {rank}/{world}, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
+
     config, datastore = load_config_and_datastore(config_path=args.config_path)
 
     model_args = ModelArgs(
@@ -554,6 +637,7 @@ def main(input_args=None):
         ar_steps_eval=args.ar_steps_eval,
         val_interval=args.val_interval,
         seed=args.seed,
+        num_nodes=args.num_nodes,
         load=args.load,
         restore_opt=args.restore_opt,
         eval=args.eval,
@@ -572,6 +656,7 @@ def main(input_args=None):
         num_past_forcing_steps=args.num_past_forcing_steps,
         num_future_forcing_steps=args.num_future_forcing_steps,
         batch_size=args.batch_size,
+        shard=dist.host_shard() if multihost else (1, 0),
     )
 
     model = MODELS[args.model](model_args, config, datastore)
@@ -579,6 +664,10 @@ def main(input_args=None):
     if args.spatial_shards > 1:
         from .parallel.grid_sharded import spatialize
 
+        assert not multihost, (
+            "--spatial_shards with --num_nodes > 1 is not supported yet: "
+            "spatial sharding currently targets a single host's ICI domain"
+        )
         n_dev = len(jax.devices())
         n_space = args.spatial_shards
         assert n_dev % n_space == 0, (n_dev, n_space)
@@ -587,6 +676,14 @@ def main(input_args=None):
             n_space=n_space,
         )
         model = spatialize(model, mesh)
+    elif multihost:
+        mesh = dist.make_global_mesh(n_space=1)
+        global_batch = args.batch_size * jax.process_count()
+        assert global_batch % mesh.shape["data"] == 0, (
+            f"per-host batch {args.batch_size} x {jax.process_count()} hosts "
+            f"must be divisible by the global data axis "
+            f"({mesh.shape['data']} devices)"
+        )
     trainer = Trainer(model, flags, mesh=mesh)
 
     if args.eval:
