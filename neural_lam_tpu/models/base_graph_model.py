@@ -24,9 +24,12 @@ def expand_to_batch(x, batch_size):
 
 class BaseGraphModel(ARModelBase):
     _array_fields = ("statics", "graph")
-    # set inside spatial shard_map bodies: mesh axis to psum partial g2m
-    # aggregations over (see parallel/grid_sharded.py)
+    # set inside spatial shard_map bodies (see parallel/grid_sharded.py):
+    # _g2m_psum_axis — mesh axis to psum partial g2m aggregations over;
+    # _mesh_psum_axis — mesh axis to psum partial mesh-level (m2m/up/down)
+    # aggregations over, set when those edge sets are sharded edge-chunks
     _g2m_psum_axis = None
+    _mesh_psum_axis = None
 
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):

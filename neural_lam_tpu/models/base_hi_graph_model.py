@@ -129,6 +129,7 @@ class BaseHiGraphModel(BaseGraphModel):
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1],
                 update_edges=True, compute_dtype=cd,
+                psum_axis=self._mesh_psum_axis,
             )
             mesh_rep_levels[level_l] = new_node_rep
             mesh_up_rep[level_l - 1] = new_edge_rep
@@ -149,6 +150,7 @@ class BaseHiGraphModel(BaseGraphModel):
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l],
                 update_edges=False, compute_dtype=cd,
+                psum_axis=self._mesh_psum_axis,
             )
 
         return mesh_rep_levels[0]

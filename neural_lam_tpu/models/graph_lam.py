@@ -70,5 +70,6 @@ class GraphLAM(BaseGraphModel):
             mesh_rep, edge_rep = apply_interaction_net(
                 p, self.m2m, mesh_rep, mesh_rep, edge_rep,
                 aggr=self.args.mesh_aggr, compute_dtype=self.compute_dtype,
+                psum_axis=self._mesh_psum_axis,
             )
         return mesh_rep

@@ -92,6 +92,12 @@ class HiLAMParallel(BaseHiGraphModel):
                 )
                 new_edge_reps.append(edge_reps[c] + messages)
             edge_reps = new_edge_reps
+            if self._mesh_psum_axis is not None:
+                # sharded edge chunks: ONE psum per level per layer combines
+                # the per-shard partial aggregations (grid_sharded.py)
+                aggregated = [
+                    jax.lax.psum(a, self._mesh_psum_axis) for a in aggregated
+                ]
             mesh_rep_levels = [
                 mesh_rep_levels[lvl] + apply_mlp_concat(
                     p["aggr_mlps"][lvl],

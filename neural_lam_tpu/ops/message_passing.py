@@ -94,7 +94,8 @@ class EdgeSet:
                    features: np.ndarray, num_send: int, num_rec: int,
                    sort: bool = True, dense: bool = False,
                    dense_cap: int | None = None,
-                   dense_force_k: int | None = None):
+                   dense_force_k: int | None = None,
+                   dense_min_virt: int = 1):
         """Build an EdgeSet from already-local index arrays.
 
         sort=False keeps the given edge order (required for chunk-ordered
@@ -120,16 +121,20 @@ class EdgeSet:
                 # pin K (uniform across stacked per-shard edge sets); any K
                 # is valid — higher degrees just use more virtual rows
                 K = dense_force_k
-            n_virt_per_rec = np.maximum(-(-counts // K), 1)
+            # dense_min_virt=0: zero-degree receivers own NO virtual rows —
+            # used for per-shard edge *chunks* (parallel/grid_sharded.py)
+            # where each shard sees only a receiver subrange and padding
+            # every absent receiver would replicate the full edge-MLP cost
+            n_virt_per_rec = np.maximum(-(-counts // K), dense_min_virt)
             virt_start = np.concatenate(([0], np.cumsum(n_virt_per_rec)))[:-1]
             num_virt = int(n_virt_per_rec.sum())
-            virt_identity = num_virt == num_rec
+            virt_identity = bool(np.all(n_virt_per_rec == 1))
             # pad virtual rows (all-masked) so kernels get large even tiles;
             # 64 is the Pallas kernels' minimum tile — padding every dense
             # set to a 64-multiple keeps small (test-sized) graphs on the
             # same fused-kernel path the TPU runs at scale
             tile = 256 if num_virt >= 2048 else 64
-            num_virt_pad = -(-num_virt // tile) * tile
+            num_virt_pad = -(-max(num_virt, 1) // tile) * tile
             order = np.argsort(receivers, kind="stable")
             starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
             within = np.arange(len(receivers)) - starts[receivers[order]]

@@ -11,9 +11,13 @@ partitioned m2m edges): here the scheme is *grid-sharded, mesh-replicated* —
   ONE psum per predict step;
 - m2g edges are partitioned by their receiver's grid block — local given
   replicated mesh representations;
-- all mesh-level work (processors, hierarchies, Pallas kernels included)
-  runs replicated on every shard: N_mesh ≈ N_grid/10, so the replicated
-  fraction stays small.
+- mesh-level EDGE work (m2m / up / down at every level — the dominant
+  processor FLOPs, ~8 edges/node) is partitioned into balanced per-shard
+  edge chunks; each shard's partial aggregation is combined with one psum
+  per GNN application (HiLAMParallel: one psum per level per layer). Mesh
+  NODE state stays replicated — the aggr-MLP rows are recomputed on every
+  shard, bounding the replicated fraction near 1/(1+mean_degree) ≈ 1/9 of
+  processor FLOPs (see docs/SCALING.md for the comm-volume model).
 
 `spatialize(model, mesh)` returns a copy of the model whose predict_step
 runs under shard_map — rollout, loss, training and eval code paths are
@@ -102,6 +106,28 @@ def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
     )
 
 
+def _chunk_edgeset(es: EdgeSet, n_shards: int) -> EdgeSet:
+    """Split one mesh-level EdgeSet into n_shards balanced contiguous edge
+    chunks (receiver-major order keeps each chunk's receiver range narrow)
+    and stack them with a leading shard axis. Node index spaces stay global
+    (mesh node state is replicated); dense_min_virt=0 keeps each chunk's
+    edge-MLP cost proportional to its own edges."""
+    send, recv, feat = _real_edges(es)
+    E = send.shape[0]
+    K = es.dense_k or 8
+    bounds = [E * s // n_shards for s in range(n_shards + 1)]
+    sets = [
+        EdgeSet.from_local(
+            send[bounds[s]:bounds[s + 1]], recv[bounds[s]:bounds[s + 1]],
+            feat[bounds[s]:bounds[s + 1]], num_send=es.num_send,
+            num_rec=es.num_rec, dense=True, dense_force_k=K,
+            dense_min_virt=0,
+        )
+        for s in range(n_shards)
+    ]
+    return _stack_edgesets(sets)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridShard:
@@ -109,6 +135,9 @@ class GridShard:
 
     g2m: EdgeSet  # sender-local grid block, receivers global bottom mesh
     m2g: EdgeSet  # senders global bottom mesh, receivers local grid block
+    m2m: tuple  # per-level stacked edge chunks (global node indices)
+    up: tuple
+    down: tuple
     grid_static: jax.Array  # (Ng_pad, d_static)
     n_shards: int = dataclasses.field(metadata={"static": True})
     block: int = dataclasses.field(metadata={"static": True})
@@ -149,6 +178,9 @@ def build_grid_shard(graph: LoadedGraph, n_shards: int,
     return GridShard(
         g2m=_stack_edgesets(g2m_sets),
         m2g=_stack_edgesets(m2g_sets),
+        m2m=tuple(_chunk_edgeset(es, n_shards) for es in graph.m2m),
+        up=tuple(_chunk_edgeset(es, n_shards) for es in graph.up),
+        down=tuple(_chunk_edgeset(es, n_shards) for es in graph.down),
         grid_static=jnp.asarray(
             _pad_axis(np.asarray(grid_static_features), ng_pad)
         ),
@@ -162,6 +194,10 @@ def spatialize(model, mesh: Mesh):
     """Return a copy of `model` whose predict_step is grid-sharded over the
     mesh's `space` axis (batch stays on `data`)."""
     assert "space" in mesh.axis_names
+    assert getattr(model.args, "mesh_aggr", "sum") == "sum", (
+        "sharded mesh edge chunks psum partial sums; mean aggregation "
+        "would divide by per-shard counts"
+    )
     n_space = mesh.shape["space"]
 
     sp = copy.copy(model)
@@ -185,16 +221,20 @@ def spatialize(model, mesh: Mesh):
         def shard_fn(params, part, prev_p, prev_prev_p, forcing_p):
             local = copy.copy(self)
             local.__class__ = base_cls  # restore normal ctx precompute
-            # local graph: sharded g2m/m2g, replicated mesh structures
+            # local graph: sharded g2m/m2g + per-shard mesh edge chunks
             local.graph = dataclasses.replace(
                 self.graph,
                 g2m=_unstack_edgeset(part.g2m),
                 m2g=_unstack_edgeset(part.m2g),
+                m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
+                up=tuple(_unstack_edgeset(es) for es in part.up),
+                down=tuple(_unstack_edgeset(es) for es in part.down),
             )
             local.statics = dataclasses.replace(
                 self.statics, grid_static_features=part.grid_static
             )
             local._g2m_psum_axis = "space"
+            local._mesh_psum_axis = "space"
             out, std = base_cls.predict_step(
                 local, params, prev_p, prev_prev_p, forcing_p
             )
