@@ -12,8 +12,10 @@ two passes over the train split:
 Stats are saved with torch.save for byte-format parity with the reference
 (the datastore reads them back with torch.load). The reference optionally
 distributes this over SLURM ranks with NCCL/Gloo (ref: :53-91); here the
-accumulation is a single-host streaming pass (the loader is the bottleneck;
-use `--n_workers` prefetch threads).
+samples are mapped over an `--n_workers` thread pool — the per-sample work
+is npy mmap reads + numpy reductions, both of which release the GIL — and
+reduced in sample order, so the outputs are bit-identical for any worker
+count (the reference's rank-merge is order-dependent instead).
 
 CLI: python -m neural_lam_tpu.datastore.compute_standardization_stats
 """
@@ -22,6 +24,7 @@ from __future__ import annotations
 
 import os
 from argparse import ArgumentParser
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -30,7 +33,17 @@ from ..dataset import WeatherDataset
 from .npyfilesmeps import NpyFilesDatastoreMEPS
 
 
-def main(datastore_config_path, step_length=3, batch_size=4):
+def _map_samples(ds, fn, n_workers: int):
+    """Map fn over dataset samples, yielding results in index order."""
+    if n_workers <= 1:
+        for i in range(len(ds)):
+            yield fn(ds[i])
+        return
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        yield from pool.map(lambda i: fn(ds[i]), range(len(ds)))
+
+
+def main(datastore_config_path, step_length=3, n_workers=1):
     import torch
 
     datastore = NpyFilesDatastoreMEPS(config_path=datastore_config_path)
@@ -46,14 +59,20 @@ def main(datastore_config_path, step_length=3, batch_size=4):
         standardize=False, num_past_forcing_steps=0,
         num_future_forcing_steps=0,
     )
-    means, squares, flux_means, flux_squares = [], [], [], []
-    for init_states, target_states, forcing, _ in ds:
+
+    def raw_moments(item):
+        init_states, target_states, forcing, _ = item
         sample = np.concatenate([init_states, target_states], axis=0)
-        means.append(sample.mean(axis=(0, 1)))
-        squares.append((sample**2).mean(axis=(0, 1)))
         flux = forcing[:, :, 0]
-        flux_means.append(flux.mean())
-        flux_squares.append((flux**2).mean())
+        return (sample.mean(axis=(0, 1)), (sample**2).mean(axis=(0, 1)),
+                flux.mean(), (flux**2).mean())
+
+    means, squares, flux_means, flux_squares = [], [], [], []
+    for m, sq, fm, fsq in _map_samples(ds, raw_moments, n_workers):
+        means.append(m)
+        squares.append(sq)
+        flux_means.append(fm)
+        flux_squares.append(fsq)
 
     mean = np.stack(means).mean(axis=0)
     second = np.stack(squares).mean(axis=0)
@@ -78,18 +97,23 @@ def main(datastore_config_path, step_length=3, batch_size=4):
         num_future_forcing_steps=0,
     )
     used_subsample_len = (T // step_length) * step_length
-    diff_means, diff_squares = [], []
-    for init_states, target_states, _, _ in ds_standard:
+
+    def diff_moments(item):
+        init_states, target_states, _, _ = item
         sample = np.concatenate([init_states, target_states], axis=0)
         # strided subsampling from every offset (ref: :316-324)
-        stepped = [
-            sample[ss_i:used_subsample_len:step_length]
-            for ss_i in range(step_length)
-        ]
-        for sub in stepped:
+        out = []
+        for ss_i in range(step_length):
+            sub = sample[ss_i:used_subsample_len:step_length]
             diffs = sub[1:] - sub[:-1]
-            diff_means.append(diffs.mean(axis=(0, 1)))
-            diff_squares.append((diffs**2).mean(axis=(0, 1)))
+            out.append((diffs.mean(axis=(0, 1)), (diffs**2).mean(axis=(0, 1))))
+        return out
+
+    diff_means, diff_squares = [], []
+    for per_offset in _map_samples(ds_standard, diff_moments, n_workers):
+        for dm, dsq in per_offset:
+            diff_means.append(dm)
+            diff_squares.append(dsq)
 
     diff_mean = np.stack(diff_means).mean(axis=0)
     diff_second = np.stack(diff_squares).mean(axis=0)
@@ -108,8 +132,11 @@ def cli(input_args=None):
     parser.add_argument("--datastore_config_path", type=str, required=True)
     parser.add_argument("--step_length", type=int, default=3,
                         help="subsample step length (hours)")
+    parser.add_argument("--n_workers", type=int, default=1,
+                        help="thread-pool workers for the sample sweep")
     args = parser.parse_args(input_args)
-    main(args.datastore_config_path, step_length=args.step_length)
+    main(args.datastore_config_path, step_length=args.step_length,
+         n_workers=args.n_workers)
 
 
 if __name__ == "__main__":

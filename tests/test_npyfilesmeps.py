@@ -144,3 +144,19 @@ def test_graph_and_model_on_meps(meps, tmp_path):
     batch = tuple(jnp.asarray(b) for b in collate([ds[0]]))
     loss = model.training_loss(params, batch)
     assert np.isfinite(float(loss))
+
+
+def test_stats_workers_identical(tmp_path):
+    """--n_workers maps samples over a thread pool but reduces in sample
+    order: outputs must be BIT-identical to the serial pass."""
+    root_a = tmp_path / "a"
+    root_b = tmp_path / "b"
+    cfg_a = make_meps_dataset(root_a, seed=3)
+    cfg_b = make_meps_dataset(root_b, seed=3)
+    stats_main(cfg_a, step_length=2, n_workers=1)
+    stats_main(cfg_b, step_length=2, n_workers=4)
+    for name in ["parameter_mean.pt", "parameter_std.pt", "flux_stats.pt",
+                 "diff_mean.pt", "diff_std.pt"]:
+        a = torch.load(cfg_a.parent / "static" / name, weights_only=True)
+        b = torch.load(cfg_b.parent / "static" / name, weights_only=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
