@@ -40,12 +40,20 @@ class MDPDatastore(BaseRegularGridDatastore):
             ".yaml", ".zarr"
         )
         if not fp_ds.exists():
-            raise FileNotFoundError(
-                f"MDP zarr dataset not found at {fp_ds}. Create it with "
-                "mllam-data-prep (`python -m mllam_data_prep <config>`), "
-                "or with neural_lam_tpu's zarr writer; this environment "
-                "cannot run mllam-data-prep itself."
-            )
+            # create on first use from the config's raw inputs, like the
+            # reference's call into mllam-data-prep (ref: mdp.py:70-72)
+            from .create_dataset import create_dataset
+
+            try:
+                create_dataset(self._config_path)
+            except (KeyError, FileNotFoundError, ValueError) as e:
+                raise FileNotFoundError(
+                    f"MDP zarr dataset not found at {fp_ds} and it could "
+                    f"not be created from the config's inputs ({e}). Point "
+                    "the config's input paths at local raw zarr sources, "
+                    "or create the dataset explicitly with `python -m "
+                    "neural_lam_tpu.datastore.create_dataset <config>`."
+                ) from e
         self._ds = ZarrGroup(fp_ds)
         self._n_boundary_points = n_boundary_points
 
