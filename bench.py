@@ -139,6 +139,16 @@ def main():
     except Exception as e:
         print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
 
+    try:
+        # host-side input pipeline vs the device step budget (CPU only)
+        from bench_input import measure_pipeline
+
+        pipe = measure_pipeline(device_step_ms=ms_per_step, quick=True)
+        print(f"[bench] input pipeline: {json.dumps(pipe)}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] input-pipeline measurement failed: {e}",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -22,6 +22,7 @@ host-side input pipeline that replaces torch DataLoader workers.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import warnings
@@ -163,12 +164,14 @@ class WeatherDataset:
             )
 
         if self.standardize:
-            buf = (buf - self.da_forcing_mean) / self.da_forcing_std
+            buf = buf - self.da_forcing_mean
+            buf /= self.da_forcing_std
 
-        # sliding windows over time: (n_steps, N, d_f, W)
-        win = np.lib.stride_tricks.sliding_window_view(buf, W, axis=0)
+        # windows over time, flattened feature-major (index = f * W + w).
+        # stack-of-contiguous-slices + free reshape is ~3x faster than
+        # sliding_window_view + strided reshape-copy at MEPS scale
         n_grid, d_f = buf.shape[1], buf.shape[2]
-        # flatten feature-major: index = f * W + w
+        win = np.stack([buf[w:w + n_steps] for w in range(W)], axis=-1)
         return win.reshape(n_steps, n_grid, d_f * W)
 
     def __getitem__(self, idx):
@@ -180,7 +183,9 @@ class WeatherDataset:
             raise IndexError(idx)
         state, times = self._state_slice(idx)
         if self.standardize:
-            state = (state - self.da_state_mean) / self.da_state_std
+            # one temporary (state may alias a memmap/cache; don't mutate)
+            state = state - self.da_state_mean
+            state /= self.da_state_std
         init_states = state[:2]
         target_states = state[2:]
         target_times = times[2:].astype("datetime64[ns]").astype(np.int64)
@@ -191,12 +196,8 @@ class WeatherDataset:
             forcing = np.empty(
                 (self.ar_steps, state.shape[1], 0), dtype=np.float32
             )
-        return (
-            np.ascontiguousarray(init_states),
-            np.ascontiguousarray(target_states),
-            np.ascontiguousarray(forcing),
-            target_times,
-        )
+        # views are fine here: collate's np.stack makes the batch copy
+        return (init_states, target_states, forcing, target_times)
 
     def __iter__(self):
         for i in range(len(self)):
@@ -233,6 +234,28 @@ def collate(samples):
     return tuple(np.stack(parts, axis=0) for parts in zip(*samples))
 
 
+_malloc_tuned = False
+
+
+def _tune_malloc():
+    """Raise glibc's mmap threshold so ~100 MB batch buffers are served
+    from the (reusable) heap instead of fresh mmaps — otherwise every
+    collate pays a page-fault storm on newly-zeroed pages (measured 0.03 s
+    vs 0.9 s for the same np.stack). Set NLT_NO_MALLOC_TUNE to disable."""
+    global _malloc_tuned
+    if _malloc_tuned or os.environ.get("NLT_NO_MALLOC_TUNE"):
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+    except OSError:  # non-glibc platform
+        pass
+
+
 class WeatherDataLoader:
     """Shuffling, fixed-shape, background-prefetching batch iterator.
 
@@ -243,7 +266,9 @@ class WeatherDataLoader:
     """
 
     def __init__(self, dataset: WeatherDataset, batch_size=4, shuffle=False,
-                 seed=0, prefetch=2, shard=(1, 0), drop_last=True):
+                 seed=0, prefetch=2, shard=(1, 0), drop_last=True,
+                 num_workers=0):
+        _tune_malloc()
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -251,6 +276,7 @@ class WeatherDataLoader:
         self.prefetch = prefetch
         self.num_shards, self.shard_id = shard
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self):
@@ -293,6 +319,9 @@ class WeatherDataLoader:
 
     def __iter__(self):
         batches = self._batch_indices()
+        if self.num_workers > 1:
+            yield from self._iter_pooled(batches)
+            return
         if self.prefetch <= 0:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
@@ -316,6 +345,40 @@ class WeatherDataLoader:
                 break
             yield item
 
+    def _iter_pooled(self, batches):
+        """num_workers>1: sample fetches run concurrently in a thread pool
+        (the decode hot path — blosc/zlib via ctypes and the native chunk
+        decoder — releases the GIL), batches are yielded in order. Thread
+        workers replace torch DataLoader's worker *processes*
+        (ref: weather_dataset.py:665-696): samples are numpy arrays read
+        from page-cached files, so there is no pickling/IPC and threads
+        keep the decoded-chunk cache shared."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # note: concurrent native decode calls are fine — the chunk cache's
+        # in-flight dedup keeps workers off each other's chunks, so calls
+        # rarely overlap; NLT_DECODE_THREADS stays a manual override
+        window = max(self.prefetch, 1) + 1  # batches in flight
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending = []
+            it = iter(batches)
+
+            def submit_next():
+                b = next(it, None)
+                if b is not None:
+                    pending.append(
+                        [ex.submit(self.dataset.__getitem__, int(i))
+                         for i in b]
+                    )
+
+            for _ in range(window):
+                submit_next()
+            while pending:
+                futs = pending.pop(0)
+                batch = collate([f.result() for f in futs])
+                submit_next()
+                yield batch
+
 
 class WeatherDataModule:
     """Bundles train/val/test datasets + loaders
@@ -323,7 +386,8 @@ class WeatherDataModule:
 
     def __init__(self, datastore: BaseDatastore, ar_steps_train=3,
                  ar_steps_eval=25, standardize=True, num_past_forcing_steps=1,
-                 num_future_forcing_steps=1, batch_size=4, shard=(1, 0)):
+                 num_future_forcing_steps=1, batch_size=4, shard=(1, 0),
+                 num_workers=0):
         self._datastore = datastore
         self.ar_steps_train = ar_steps_train
         self.ar_steps_eval = ar_steps_eval
@@ -332,6 +396,7 @@ class WeatherDataModule:
         self.num_future_forcing_steps = num_future_forcing_steps
         self.batch_size = batch_size
         self.shard = shard
+        self.num_workers = num_workers
         self.train_dataset = None
         self.val_dataset = None
         self.test_dataset = None
@@ -358,17 +423,17 @@ class WeatherDataModule:
     def train_dataloader(self, seed=0):
         return WeatherDataLoader(
             self.train_dataset, batch_size=self.batch_size, shuffle=True,
-            seed=seed, shard=self.shard,
+            seed=seed, shard=self.shard, num_workers=self.num_workers,
         )
 
     def val_dataloader(self):
         return WeatherDataLoader(
             self.val_dataset, batch_size=self.batch_size, shard=self.shard,
-            drop_last=False,
+            drop_last=False, num_workers=self.num_workers,
         )
 
     def test_dataloader(self):
         return WeatherDataLoader(
             self.test_dataset, batch_size=self.batch_size, shard=self.shard,
-            drop_last=False,
+            drop_last=False, num_workers=self.num_workers,
         )

@@ -21,12 +21,84 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import json
+import os
+import threading
 import zlib
+from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
 
 _blosc = None
+
+
+class _ChunkCache:
+    """Process-wide LRU over decoded chunks, keyed by (array path, chunk
+    idx). Training samples are overlapping time windows — consecutive
+    samples share ~(W-1)/W of their time rows — so caching decoded chunks
+    removes most decompression from the input pipeline's hot path. Cached
+    arrays are marked read-only; all read paths copy slices out of them.
+    Budget: NLT_CHUNK_CACHE_MB (default 256; 0 disables)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d: OrderedDict = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self._inflight: dict = {}
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+            return v
+
+    def begin(self, key):
+        """Claim a key for decoding: ('hit', chunk) if cached, ('compute',
+        event) if this thread should decode it (call finish after), or
+        ('wait', event) if another thread is already decoding it — wait on
+        the event, then get(). Prevents pooled loader workers from
+        redundantly decoding the chunks their overlapping windows share."""
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+                return "hit", v
+            ev = self._inflight.get(key)
+            if ev is not None:
+                return "wait", ev
+            ev = threading.Event()
+            self._inflight[key] = ev
+            return "compute", ev
+
+    def finish(self, key, chunk, event):
+        """Complete a 'compute' claim (chunk=None releases without
+        caching, e.g. on decode failure)."""
+        if chunk is not None:
+            self.put(key, chunk)
+        with self._lock:
+            self._inflight.pop(key, None)
+        event.set()
+
+    def put(self, key, arr: np.ndarray):
+        if arr.nbytes > self.max_bytes:
+            return
+        arr.flags.writeable = False
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return
+            self._d[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.max_bytes:
+                _, old = self._d.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_chunk_cache = _ChunkCache(
+    int(float(os.environ.get("NLT_CHUNK_CACHE_MB", 256)) * 1e6)
+)
 
 
 def _get_blosc():
@@ -171,6 +243,17 @@ class ZarrArray:
         return len(self.shape)
 
     def _read_chunk(self, idx: tuple) -> np.ndarray:
+        cacheable = not self.is_object and _chunk_cache.max_bytes > 0
+        if cacheable:
+            hit = _chunk_cache.get((self.path, idx))
+            if hit is not None:
+                return hit
+        chunk = self._read_chunk_nocache(idx)
+        if cacheable:
+            _chunk_cache.put((self.path, idx), chunk)
+        return chunk
+
+    def _read_chunk_nocache(self, idx: tuple) -> np.ndarray:
         key = self.sep.join(str(i) for i in idx) if idx else "0"
         fp = self.path / key
         chunk_shape = tuple(self.chunks) if self.chunks else ()
@@ -202,38 +285,83 @@ class ZarrArray:
         return {"blosc": CODEC_BLOSC, "zlib": CODEC_ZLIB,
                 "gzip": CODEC_ZLIB}.get(self.compressor["id"])
 
-    def _read_chunks_batch(self, idx_list) -> list:
-        """Read + decode many chunks, using the native parallel decoder
-        (neural_lam_tpu/native) when available."""
-        codec = self._codec_id()
-        chunk_shape = tuple(self.chunks)
-        nbytes = int(np.prod(chunk_shape)) * self.dtype.itemsize
+    def _decode_list(self, idx_list, codec, chunk_shape, nbytes) -> list:
+        """Decode chunks (native parallel decoder when possible), no cache."""
         if codec is not None and len(idx_list) >= 2:
             from ..native import decode_chunks_parallel
 
-            buffers, codecs, present = [], [], []
+            buffers, present = [], []
             for idx in idx_list:
                 key = self.sep.join(str(i) for i in idx) if idx else "0"
                 fp = self.path / key
                 if fp.exists():
                     buffers.append(fp.read_bytes())
-                    codecs.append(codec)
                     present.append(True)
                 else:
                     present.append(False)
-            if buffers:
-                flat = decode_chunks_parallel(buffers, codecs, nbytes)
-                if flat is not None:
-                    decoded = iter(
-                        flat.reshape(len(buffers), nbytes).view(self.dtype)
-                    )
-                    return [
-                        next(decoded).reshape(chunk_shape, order=self.order)
-                        if ok
-                        else np.full(chunk_shape, self.fill_value, self.dtype)
-                        for ok in present
-                    ]
-        return [self._read_chunk(idx) for idx in idx_list]
+            flat = (
+                decode_chunks_parallel(buffers, [codec] * len(buffers), nbytes)
+                if buffers else None
+            )
+            if flat is not None or not buffers:
+                decoded = (
+                    iter(flat.reshape(len(buffers), nbytes).view(self.dtype))
+                    if buffers else iter(())
+                )
+                # copy each: a cached view would pin the whole batch buffer
+                return [
+                    np.array(next(decoded).reshape(chunk_shape,
+                                                   order=self.order))
+                    if ok
+                    else np.full(chunk_shape, self.fill_value, self.dtype)
+                    for ok in present
+                ]
+        return [self._read_chunk_nocache(idx) for idx in idx_list]
+
+    def _read_chunks_batch(self, idx_list) -> list:
+        """Read + decode many chunks through the process-wide LRU chunk
+        cache, with in-flight dedup across loader worker threads; misses
+        decode via the native parallel decoder (neural_lam_tpu/native)."""
+        codec = self._codec_id()
+        chunk_shape = tuple(self.chunks)
+        nbytes = int(np.prod(chunk_shape)) * self.dtype.itemsize
+        cacheable = not self.is_object and _chunk_cache.max_bytes > 0
+
+        if not cacheable:
+            uniq = list(dict.fromkeys(idx_list))
+            chunks = dict(zip(
+                uniq, self._decode_list(uniq, codec, chunk_shape, nbytes)
+            ))
+            return [chunks[idx] for idx in idx_list]
+
+        out: dict = {}
+        mine, waits = [], []
+        for idx in dict.fromkeys(idx_list):
+            state, val = _chunk_cache.begin((self.path, idx))
+            if state == "hit":
+                out[idx] = val
+            elif state == "compute":
+                mine.append((idx, val))
+            else:
+                waits.append((idx, val))
+        done = 0
+        try:
+            decoded = self._decode_list(
+                [idx for idx, _ in mine], codec, chunk_shape, nbytes
+            )
+            for (idx, ev), chunk in zip(mine, decoded):
+                _chunk_cache.finish((self.path, idx), chunk, ev)
+                out[idx] = chunk
+                done += 1
+        finally:
+            for idx, ev in mine[done:]:  # release claims on failure
+                _chunk_cache.finish((self.path, idx), None, ev)
+        for idx, ev in waits:
+            ev.wait()
+            hit = _chunk_cache.get((self.path, idx))
+            out[idx] = (hit if hit is not None
+                        else self._read_chunk_nocache(idx))
+        return [out[idx] for idx in idx_list]
 
     def read_full(self) -> np.ndarray:
         """Materialize the whole array."""
@@ -265,23 +393,28 @@ class ZarrArray:
         n_chunks_rest = [
             -(-s // c) for s, c in zip(self.shape[1:], self.chunks[1:])
         ]
+        idx_list = [
+            (i0,) + idx_rest
+            for i0 in range(first_chunk, last_chunk + 1)
+            for idx_rest in np.ndindex(*n_chunks_rest)
+        ]
+        chunks = dict(zip(idx_list, self._read_chunks_batch(idx_list)))
         out = np.empty((stop - start,) + self.shape[1:], dtype=self.dtype)
-        for i0 in range(first_chunk, last_chunk + 1):
+        for idx in idx_list:
+            i0, idx_rest = idx[0], idx[1:]
             row_lo = max(start, i0 * c0)
             row_hi = min(stop, (i0 + 1) * c0, self.shape[0])
-            for idx_rest in np.ndindex(*n_chunks_rest):
-                chunk = self._read_chunk((i0,) + idx_rest)
-                rest_slices_out = tuple(
-                    slice(i * c, min((i + 1) * c, s))
-                    for i, c, s in zip(idx_rest, self.chunks[1:], self.shape[1:])
-                )
-                rest_slices_in = tuple(
-                    slice(0, sl.stop - sl.start) for sl in rest_slices_out
-                )
-                out[(slice(row_lo - start, row_hi - start),) + rest_slices_out] = (
-                    chunk[(slice(row_lo - i0 * c0, row_hi - i0 * c0),)
-                          + rest_slices_in]
-                )
+            rest_slices_out = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx_rest, self.chunks[1:], self.shape[1:])
+            )
+            rest_slices_in = tuple(
+                slice(0, sl.stop - sl.start) for sl in rest_slices_out
+            )
+            out[(slice(row_lo - start, row_hi - start),) + rest_slices_out] = (
+                chunks[idx][(slice(row_lo - i0 * c0, row_hi - i0 * c0),)
+                            + rest_slices_in]
+            )
         return out
 
     def __getitem__(self, key):

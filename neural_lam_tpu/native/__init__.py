@@ -41,6 +41,8 @@ def _build() -> bool:
 def get_lib():
     """The loaded ctypes library, or None when unavailable."""
     global _lib, _tried
+    if os.environ.get("NLT_NO_NATIVE"):  # benchmarking / debugging escape
+        return None
     if _lib is not None or _tried:
         return _lib
     with _lock:
@@ -82,6 +84,10 @@ def decode_chunks_parallel(buffers: list, codecs: list, chunk_nbytes: int,
     lib = get_lib()
     if lib is None:
         return None
+    if n_threads <= 0:
+        # NLT_DECODE_THREADS: per-call thread budget, set by pooled loaders
+        # so num_workers concurrent decodes don't oversubscribe the cores
+        n_threads = int(os.environ.get("NLT_DECODE_THREADS", "0") or 0)
     n = len(buffers)
     out = np.empty(n * chunk_nbytes, dtype=np.uint8)
     src_arr = (ctypes.c_char_p * n)(*buffers)

@@ -574,6 +574,9 @@ def main(input_args=None):
     parser.add_argument("--val_interval", type=int, default=1)
     parser.add_argument("--num_past_forcing_steps", type=int, default=1)
     parser.add_argument("--num_future_forcing_steps", type=int, default=1)
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="loader worker threads (ref: torch DataLoader "
+                        "num_workers); <=1 uses a single prefetch thread")
     # evaluation (ref: train_model.py:167-208)
     parser.add_argument("--eval", type=str, choices=["val", "test"])
     parser.add_argument("--n_example_pred", type=int, default=1)
@@ -657,6 +660,7 @@ def main(input_args=None):
         num_future_forcing_steps=args.num_future_forcing_steps,
         batch_size=args.batch_size,
         shard=dist.host_shard() if multihost else (1, 0),
+        num_workers=args.num_workers,
     )
 
     model = MODELS[args.model](model_args, config, datastore)

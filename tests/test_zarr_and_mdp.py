@@ -175,3 +175,44 @@ def test_native_chunk_decoder(tmp_path):
         np.testing.assert_array_equal(out, arr)
     # the native library itself should have built on this machine
     assert get_lib() is not None, "native chunk decoder failed to build"
+
+
+def test_pooled_loader_matches_sync(mdp):
+    """num_workers>1 thread-pool loading (with chunk-cache in-flight dedup)
+    yields byte-identical batches in the same order as synchronous."""
+    from neural_lam_tpu.dataset import WeatherDataLoader
+
+    wds = WeatherDataset(mdp, split="train", ar_steps=2)
+    sync = WeatherDataLoader(wds, batch_size=3, shuffle=True, seed=5,
+                             prefetch=0)
+    pooled = WeatherDataLoader(wds, batch_size=3, shuffle=True, seed=5,
+                               num_workers=4)
+    for ep in range(2):
+        sync.set_epoch(ep)
+        pooled.set_epoch(ep)
+        for bs, bp in zip(sync, pooled, strict=True):
+            for a, b in zip(bs, bp):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_chunk_cache_returns_consistent_data(tmp_path):
+    """Cached reads equal uncached reads; cache respects its byte budget."""
+    from neural_lam_tpu.datastore import zarr_reader
+
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=(16, 40, 3)).astype(np.float32)
+    write_zarr_array(tmp_path, "a", arr, dims=["t", "g", "f"],
+                     chunks=[2, 40, 3])
+    consolidate_metadata(tmp_path)
+    old = zarr_reader._chunk_cache
+    try:
+        zarr_reader._chunk_cache = zarr_reader._ChunkCache(10_000)  # tiny
+        g = ZarrGroup(tmp_path)
+        np.testing.assert_array_equal(g["a"].read_slice0(3, 11), arr[3:11])
+        np.testing.assert_array_equal(g["a"].read_slice0(3, 11), arr[3:11])
+        assert zarr_reader._chunk_cache._bytes <= 10_000
+        zarr_reader._chunk_cache = zarr_reader._ChunkCache(0)  # disabled
+        g2 = ZarrGroup(tmp_path)
+        np.testing.assert_array_equal(g2["a"].read_slice0(0, 16), arr)
+    finally:
+        zarr_reader._chunk_cache = old
