@@ -31,8 +31,10 @@ def _edge_segments(pos_send, pos_rec, senders, receivers):
     return np.stack([a, b], axis=1)  # (M, 2, 3)
 
 
-def make_graph_figure(graph, grid_xy, mesh_only=False):
-    """Build the 3D matplotlib figure for a LoadedGraph + grid positions."""
+def graph_scene(graph, grid_xy, mesh_only=False):
+    """Extract the 3D scene (point clouds + edge-segment sets) for a
+    LoadedGraph + grid positions. Shared by the matplotlib renderer below
+    and the interactive HTML export (graph/html_viz.py)."""
     scale = float(np.ptp(grid_xy[:, 0]))
     grid_pos = np.concatenate(
         [grid_xy, np.full((grid_xy.shape[0], 1), GRID_HEIGHT)], axis=1
@@ -49,48 +51,67 @@ def make_graph_figure(graph, grid_xy, mesh_only=False):
             np.concatenate([p, np.full((p.shape[0], 1), z)], axis=1)
         )
 
+    edge_sets, point_sets = [], []
+    for lev, es in enumerate(graph.m2m):
+        edge_sets.append(dict(
+            name=f"m2m L{lev}", color="blue", width=0.3,
+            segs=_edge_segments(level_pos[lev], level_pos[lev],
+                                es.senders, es.receivers),
+        ))
+    for lev, es in enumerate(graph.up):
+        edge_sets.append(dict(
+            name=f"up L{lev}", color="green", width=0.3,
+            segs=_edge_segments(level_pos[lev], level_pos[lev + 1],
+                                es.senders, es.receivers),
+        ))
+    for lev, es in enumerate(graph.down):
+        edge_sets.append(dict(
+            name=f"down L{lev}", color="purple", width=0.3,
+            segs=_edge_segments(level_pos[lev + 1], level_pos[lev],
+                                es.senders, es.receivers),
+        ))
+    if not mesh_only:
+        edge_sets.append(dict(
+            name="g2m", color="orange", width=0.15,
+            segs=_edge_segments(grid_pos, level_pos[0],
+                                graph.g2m.senders, graph.g2m.receivers),
+        ))
+        edge_sets.append(dict(
+            name="m2g", color="red", width=0.15,
+            segs=_edge_segments(level_pos[0], grid_pos,
+                                graph.m2g.senders, graph.m2g.receivers),
+        ))
+        point_sets.append(dict(name="grid", color="black", size=1,
+                               pos=grid_pos))
+    for lev, p in enumerate(level_pos):
+        point_sets.append(dict(name=f"mesh L{lev}", color=None, size=4,
+                               pos=p))
+    return point_sets, edge_sets
+
+
+def make_graph_figure(graph, grid_xy, mesh_only=False):
+    """Build the 3D matplotlib figure for a LoadedGraph + grid positions."""
+    point_sets, edge_sets = graph_scene(graph, grid_xy, mesh_only)
+
     fig = plt.figure(figsize=(12, 10))
     ax = fig.add_subplot(projection="3d")
+    for es in edge_sets:
+        label = es["name"] if not es["name"].endswith(
+            tuple(f"L{i}" for i in range(1, 32))
+        ) else None
+        ax.add_collection(Line3DCollection(
+            es["segs"], colors=es["color"], linewidths=es["width"],
+            label=label,
+        ))
+    all_pts = []
+    for ps in point_sets:
+        p = ps["pos"]
+        kw = {"c": ps["color"], "alpha": 0.3} if ps["color"] else {}
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=ps["size"],
+                   label=ps["name"], **kw)
+        all_pts.append(p)
 
-    def add_edges(segs, color, lw=0.4, label=None):
-        col = Line3DCollection(segs, colors=color, linewidths=lw, label=label)
-        ax.add_collection(col)
-
-    for lev, es in enumerate(graph.m2m):
-        add_edges(
-            _edge_segments(level_pos[lev], level_pos[lev],
-                           es.senders, es.receivers),
-            "blue", 0.3, label=f"m2m L{lev}" if lev == 0 else None,
-        )
-    for lev, es in enumerate(graph.up):
-        add_edges(
-            _edge_segments(level_pos[lev], level_pos[lev + 1],
-                           es.senders, es.receivers),
-            "green", 0.3, label="up" if lev == 0 else None,
-        )
-    for lev, es in enumerate(graph.down):
-        add_edges(
-            _edge_segments(level_pos[lev + 1], level_pos[lev],
-                           es.senders, es.receivers),
-            "purple", 0.3, label="down" if lev == 0 else None,
-        )
-    if not mesh_only:
-        add_edges(
-            _edge_segments(grid_pos, level_pos[0],
-                           graph.g2m.senders, graph.g2m.receivers),
-            "orange", 0.15, label="g2m",
-        )
-        add_edges(
-            _edge_segments(level_pos[0], grid_pos,
-                           graph.m2g.senders, graph.m2g.receivers),
-            "red", 0.15, label="m2g",
-        )
-        ax.scatter(grid_pos[:, 0], grid_pos[:, 1], grid_pos[:, 2],
-                   s=1, c="black", alpha=0.3)
-    for lev, p in enumerate(level_pos):
-        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=4, label=f"mesh L{lev}")
-
-    all_pts = np.concatenate([grid_pos] + level_pos)
+    all_pts = np.concatenate(all_pts)
     ax.auto_scale_xyz(all_pts[:, 0], all_pts[:, 1], all_pts[:, 2])
     ax.legend(loc="upper left", fontsize=8)
     ax.set_axis_off()
@@ -109,6 +130,10 @@ def main(input_args=None):
                         help="Graph to plot (default: multiscale)")
     parser.add_argument("--save", type=str, default="graph.png",
                         help="Output image path (default: graph.png)")
+    parser.add_argument("--html", type=str, default=None,
+                        help="Also save an interactive 3D page here "
+                        "(standalone html, rotate/zoom/toggle sets; the "
+                        "reference's plotly html equivalent)")
     parser.add_argument("--mesh_only", action="store_true",
                         help="Plot only the mesh (no g2m/m2g edges)")
     args = parser.parse_args(input_args)
@@ -121,6 +146,15 @@ def main(input_args=None):
     fig = make_graph_figure(graph, grid_xy, mesh_only=args.mesh_only)
     fig.savefig(args.save, dpi=200, bbox_inches="tight")
     print(f"Saved graph figure to {args.save}")
+    if args.html:
+        from .graph.html_viz import save_interactive_html
+
+        point_sets, edge_sets = graph_scene(
+            graph, grid_xy, mesh_only=args.mesh_only
+        )
+        save_interactive_html(point_sets, edge_sets, args.html,
+                              title=f"graph: {args.graph}")
+        print(f"Saved interactive graph page to {args.html}")
 
 
 if __name__ == "__main__":

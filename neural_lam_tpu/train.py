@@ -70,7 +70,7 @@ class MetricsLogger:
 
     def __init__(self, run_dir: Path, use_wandb: bool = True,
                  run_name: str | None = None, config: dict | None = None,
-                 rank: int = 0):
+                 rank: int = 0, val_steps=()):
         self.rank = rank
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -88,6 +88,9 @@ class MetricsLogger:
                            config=config or {}, dir=str(self.run_dir))
                 # summary-metric definitions (ref: utils.py:236-243)
                 wandb.define_metric("val_mean_loss", summary="min")
+                for step in val_steps:
+                    wandb.define_metric(f"val_loss_unroll{step}",
+                                        summary="min")
             except Exception:
                 self._wandb = None
 
@@ -110,6 +113,13 @@ class MetricsLogger:
                        if not k.startswith("_") and np.ndim(v) == 0}
             self._wandb.log(scalars, step=step)
 
+    def log_image(self, name: str, fig):
+        """Forward a matplotlib figure to W&B as an image (the reference
+        logs example/error figures with wandb.Image,
+        ref: ar_model.py:456-566, 420-454); no-op without wandb."""
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(fig)})
+
 
 class Trainer:
     """Explicit training loop over a model + datamodule."""
@@ -120,7 +130,10 @@ class Trainer:
         self.rank = jax.process_index()
         self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = MetricsLogger(self.run_dir, rank=self.rank)
+        self.logger = MetricsLogger(
+            self.run_dir, rank=self.rank, run_name=flags.run_name,
+            val_steps=getattr(model.args, "val_steps_to_log", ()),
+        )
         if mesh is None:
             mesh = make_mesh(n_data=best_data_axis(flags.batch_size))
         self.mesh = mesh
@@ -375,6 +388,7 @@ class Trainer:
             for name, arr in artifacts.items():
                 fig = vis.plot_error_map(arr, datastore)
                 fig.savefig(self.run_dir / f"{name}.pdf")
+                self.logger.log_image(name, fig)
             if spatial is not None:
                 # `spatial` is (T, N) over consecutive unroll steps; save a
                 # map only at each logged lead time t_i, reading unroll index
@@ -389,6 +403,7 @@ class Trainer:
                               f"({datastore.step_length * t_i} h)",
                     )
                     fig.savefig(self.run_dir / f"spatial_loss_t{t_i}.pdf")
+                    self.logger.log_image(f"test_loss_t{t_i}", fig)
             if example_batch is not None:
                 self.plot_examples(example_batch, params, n_examples=min(
                     model.args.n_example_pred, example_batch[0].shape[0]
@@ -425,6 +440,7 @@ class Trainer:
                         self.run_dir
                         / f"example_{ex + 1}_{vn}_t{t_i + 1}.png"
                     )
+                    self.logger.log_image(f"{vn}_example_{ex + 1}", fig)
                     import matplotlib.pyplot as plt
 
                     plt.close("all")

@@ -6,6 +6,8 @@ draws the same fields on a cartopy GeoAxes)."""
 
 from __future__ import annotations
 
+import shutil
+
 import numpy as np
 
 import matplotlib
@@ -14,6 +16,31 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def fractional_plot_bundle(fraction):
+    """Publication plot styling with figure width a fraction of the page
+    width (ref: utils.py:217-233). The reference pulls this from tueplots'
+    neurips2023 bundle (unavailable here); these rc values reproduce it:
+    5.5 in text width, golden-ratio height, serif family, LaTeX text when
+    a latex binary exists."""
+    width = 5.5 / fraction
+    height = 5.5 * 0.618
+    usetex = shutil.which("latex") is not None
+    return {
+        "figure.figsize": (width, height),
+        "figure.constrained_layout.use": True,
+        "font.family": "serif",
+        "text.usetex": usetex,
+        "font.size": 10,
+        "axes.labelsize": 10,
+        "axes.titlesize": 10,
+        "legend.fontsize": 8,
+        "xtick.labelsize": 8,
+        "ytick.labelsize": 8,
+        "savefig.bbox": "tight",
+    }
+
+
+@matplotlib.rc_context(fractional_plot_bundle(1))
 def plot_error_map(errors, datastore, title=None, step_length=None):
     """Heatmap of error per variable (y) and lead time (x)
     (ref: vis.py:13-65)."""
@@ -51,6 +78,7 @@ def _to_2d(field, datastore):
     return datastore.unstack_grid_coords(np.asarray(field))
 
 
+@matplotlib.rc_context(fractional_plot_bundle(1))
 def plot_prediction(da_prediction, da_target, datastore, title=None,
                     vrange=None):
     """Side-by-side prediction/target maps with faded boundary
@@ -86,6 +114,7 @@ def plot_prediction(da_prediction, da_target, datastore, title=None,
     return fig
 
 
+@matplotlib.rc_context(fractional_plot_bundle(1))
 def plot_spatial_error(error, datastore, title=None, vrange=None):
     """Per-gridpoint error map (ref: vis.py:128-182)."""
     error = np.asarray(error)
