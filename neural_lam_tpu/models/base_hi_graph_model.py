@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import jax
 
-from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.message_passing import (
+    apply_interaction_net,
+    expand_edge_rep,
+    init_interaction_net,
+)
 from ..ops.mlp import apply_mlp, init_mlp
 from .base_graph_model import BaseGraphModel, expand_to_batch
 
@@ -111,14 +115,19 @@ class BaseHiGraphModel(BaseGraphModel):
         mesh_rep_levels = [mesh_rep] + [
             expand_to_batch(e, batch_size) for e in ctx["upper_mesh_emb"]
         ]
+        # edge states in the layout apply_interaction_net will use per edge
+        # set (flat (M, B*h) on the flat-lane kernel path)
         mesh_same_rep = [
-            expand_to_batch(e, batch_size) for e in ctx["same_emb"]
+            expand_edge_rep(es, e, batch_size)
+            for es, e in zip(g.m2m, ctx["same_emb"])
         ]
         mesh_up_rep = [
-            expand_to_batch(e, batch_size) for e in ctx["up_emb"]
+            expand_edge_rep(es, e, batch_size)
+            for es, e in zip(g.up, ctx["up_emb"])
         ]
         mesh_down_rep = [
-            expand_to_batch(e, batch_size) for e in ctx["down_emb"]
+            expand_edge_rep(es, e, batch_size)
+            for es, e in zip(g.down, ctx["down_emb"])
         ]
 
         # MESH INIT: sweep bottom -> top over up edges (update edges)

@@ -8,9 +8,13 @@ from __future__ import annotations
 
 import jax
 
-from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.message_passing import (
+    apply_interaction_net,
+    expand_edge_rep,
+    init_interaction_net,
+)
 from ..ops.mlp import apply_mlp, init_mlp
-from .base_graph_model import BaseGraphModel, expand_to_batch
+from .base_graph_model import BaseGraphModel
 
 
 class GraphLAM(BaseGraphModel):
@@ -65,7 +69,9 @@ class GraphLAM(BaseGraphModel):
         (ref: graph_lam.py:73-91)."""
         if ctx is None:
             ctx = self.precompute_process_ctx(params)
-        edge_rep = expand_to_batch(ctx["m2m_emb"], batch_size)
+        # layout-appropriate initial edge state (flat (M, B*h) on the
+        # flat-lane kernel path, batched (B, M, h) otherwise)
+        edge_rep = expand_edge_rep(self.m2m, ctx["m2m_emb"], batch_size)
         for p in params["processor"]:
             mesh_rep, edge_rep = apply_interaction_net(
                 p, self.m2m, mesh_rep, mesh_rep, edge_rep,

@@ -24,9 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.message_passing import (
-    edge_messages_and_virt,
     _fold_virt,
+    _fold_virt_flat,
+    edge_messages_and_virt,
+    edge_round_flat,
     init_interaction_net_chunked,
+    unflatten_nodes,
 )
 from ..ops.mlp import apply_mlp_concat
 from .base_hi_graph_model import BaseHiGraphModel
@@ -80,17 +83,30 @@ class HiLAMParallel(BaseHiGraphModel):
             for c, es in enumerate(edge_sets):
                 send_l = self._chunk_send_level[c]
                 rec_l = self._chunk_rec_level[c]
-                messages, virt = edge_messages_and_virt(
-                    p["edge_mlps"][c], es,
-                    mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
-                    edge_reps[c], compute_dtype=cd,
-                )
-                agg_c = _fold_virt(es, virt)
+                B = mesh_rep_levels[rec_l].shape[0]
+                if edge_reps[c].ndim == 2:
+                    # flat-lane chunk (see ops/pallas_edge_flat.py); the
+                    # per-level accumulator stays batched so mixed-layout
+                    # chunks can aggregate into the same level
+                    new_edge, virt = edge_round_flat(
+                        p["edge_mlps"][c], es,
+                        mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
+                        edge_reps[c], compute_dtype=cd,
+                    )
+                    agg_c = unflatten_nodes(_fold_virt_flat(es, virt), B)
+                else:
+                    messages, virt = edge_messages_and_virt(
+                        p["edge_mlps"][c], es,
+                        mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
+                        edge_reps[c], compute_dtype=cd,
+                    )
+                    agg_c = _fold_virt(es, virt)
+                    new_edge = edge_reps[c] + messages
                 aggregated[rec_l] = (
                     agg_c if aggregated[rec_l] is None
                     else aggregated[rec_l] + agg_c
                 )
-                new_edge_reps.append(edge_reps[c] + messages)
+                new_edge_reps.append(new_edge)
             edge_reps = new_edge_reps
             if self._mesh_psum_axis is not None:
                 # sharded edge chunks: ONE psum per level per layer combines

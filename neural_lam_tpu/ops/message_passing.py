@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mlp import apply_mlp, apply_mlp_concat, init_mlp, layer_norm
+from .mlp import apply_mlp, apply_mlp_concat, finish_mlp, init_mlp, layer_norm
 from .segment import (build_gather_table, gather_rows_batched, gather_sum, segment_sum)
 
 # Pallas fused edge-tail kernel: enabled on non-CPU backends unless
@@ -206,6 +206,198 @@ class EdgeSet:
         )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Flat-lane (rows, B*h) layout: batch packed into the lane dimension.
+# Motivation + measurements in ops/pallas_edge_flat.py. The flat path engages
+# for dense-layout edge sets when B*h is a lane-tile multiple (128) and the
+# set is big enough that the flat kernels tile well.
+# ---------------------------------------------------------------------------
+
+_FLAT_MIN_VIRT = 512
+
+
+def flat_eligible(edges: "EdgeSet", batch_size: int, h: int) -> bool:
+    """Whether the flat-lane kernel path applies to this edge set."""
+    import os
+
+    if os.environ.get("NLT_NO_FLAT"):
+        return False
+    return (
+        bool(edges.dense_k)
+        and _pallas_mode() != "off"
+        and (batch_size * h) % 128 == 0
+        and edges.num_virt >= _FLAT_MIN_VIRT
+    )
+
+
+def _einsum_f32acc(spec, x, w, compute_dtype=None):
+    """einsum with optional low-precision inputs and fp32 accumulation.
+    CPU's dot thunk lacks BF16xBF16->F32 for these contractions, so the
+    cast-down only happens on accelerators (tests run the f32 math)."""
+    if compute_dtype is not None and jax.default_backend() != "cpu":
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    else:
+        x = x.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+    return jnp.einsum(spec, x, w, preferred_element_type=jnp.float32)
+
+
+def node_transform_flat(x, w, compute_dtype=None):
+    """(B, N, h_in) @ (h_in, h_out) -> flat (N, B*h_out).
+
+    The transpose to node-major is fused into the matmul output (einsum
+    'bnh,hk->nbk'), measured faster than matmul-then-transpose."""
+    t = _einsum_f32acc("bnh,hk->nbk", x, w, compute_dtype)
+    return t.reshape(t.shape[0], t.shape[1] * t.shape[2])
+
+
+def unflatten_nodes(x_f, batch_size: int):
+    """(N, B*h) -> (B, N, h)."""
+    N, W = x_f.shape
+    h = W // batch_size
+    return jnp.transpose(x_f.reshape(N, batch_size, h), (1, 0, 2))
+
+
+def flatten_nodes(x):
+    """(B, N, h) -> (N, B*h)."""
+    B, N, h = x.shape
+    return jnp.transpose(x, (1, 0, 2)).reshape(N, B * h)
+
+
+def expand_edge_rep(edges: "EdgeSet", emb, batch_size: int):
+    """Initial edge representation for update_edges GNN stacks, in the
+    layout apply_interaction_net will use: flat (M, B*h) lane-tiled when
+    the flat path applies, else batched (..., M, h)."""
+    if flat_eligible(edges, batch_size, emb.shape[-1]):
+        return jnp.tile(emb, (1, batch_size))
+    return jnp.broadcast_to(emb[None], (batch_size,) + emb.shape)
+
+
+def _gather_virt_rows_flat(rec_tf, edges: "EdgeSet"):
+    """Flat (N_rec, W) -> (N_virt, W) virtual-row receiver transforms."""
+    if edges.virt_identity:
+        extra = edges.num_virt - edges.num_rec
+        if extra == 0:
+            return rec_tf
+        last = jnp.broadcast_to(rec_tf[-1:], (extra, rec_tf.shape[-1]))
+        return jnp.concatenate([rec_tf, last], axis=0)
+    return jnp.take(rec_tf, edges.virt_to_rec, axis=0)
+
+
+def _fold_virt_flat(edges: "EdgeSet", virt_f):
+    """(N_virt, W) virtual-row sums -> (N_rec, W) receiver sums."""
+    if edges.virt_identity:
+        return jax.lax.slice_in_dim(virt_f, 0, edges.num_rec, axis=0)
+    return jax.ops.segment_sum(
+        virt_f, edges.virt_to_rec, num_segments=edges.num_rec,
+        indices_are_sorted=True,
+    )
+
+
+def _virt_counts_flat(edges: "EdgeSet"):
+    """(N_rec, 1) real in-degree per receiver (min 1)."""
+    per_virt = edges.mask.reshape(edges.num_virt, edges.dense_k).sum(
+        axis=-1, keepdims=True
+    )
+    return jnp.maximum(_fold_virt_flat(edges, per_virt), 1.0)
+
+
+def _aggr_mlp_mixed(params: dict, rec_rep, aggregated_f, compute_dtype=None):
+    """AggrMLP(concat(rec_rep, aggregated)) with rec_rep in (B, N, h) and
+    aggregated in flat (N, B*h) — the flat->batched transpose is fused into
+    the first-layer matmul (einsum 'nbk,kj->bnj')."""
+    w0 = params["layers"][0]["w"]
+    b0 = params["layers"][0]["b"]
+    d = rec_rep.shape[-1]
+    B = rec_rep.shape[0]
+    N = rec_rep.shape[1]
+    agg3 = aggregated_f.reshape(N, B, d)
+    w_r, w_a = w0[:d], w0[d:]
+    if compute_dtype is not None:
+        rec_rep = rec_rep.astype(compute_dtype)
+        w_r = w_r.astype(compute_dtype)
+    x = (
+        jnp.dot(rec_rep, w_r, preferred_element_type=jnp.float32)
+        + _einsum_f32acc("nbk,kj->bnj", agg3, w_a, compute_dtype)
+        + b0.astype(jnp.float32)
+    )
+    return finish_mlp(params, x, compute_dtype=compute_dtype)
+
+
+def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
+                    rec_rep, edge_rep_flat=None, *, ew=None,
+                    compute_dtype=None, need_edge_out=True):
+    """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
+
+    send_rep/rec_rep in (B, N, h); edge state either static `ew` (M, h)
+    (rollout-invariant GNNs) or evolving flat `edge_rep_flat` (M, B*h).
+    """
+    mode = _pallas_mode()
+    interp = mode == "interpret"
+    layers = edge_mlp_params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    h = w0.shape[0] // 3
+    w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
+    cd = compute_dtype
+
+    send_tf = node_transform_flat(send_rep, w_j, cd)
+    rec_tf = node_transform_flat(rec_rep, w_i, cd)
+    if cd is not None:
+        # cast before the big gather: half the bytes moved
+        send_tf = send_tf.astype(cd)
+        rec_tf = rec_tf.astype(cd)
+    gathered = jnp.take(send_tf, edges.senders, axis=0)
+    rec_rows = _gather_virt_rows_flat(rec_tf, edges)
+    mask_p = edges.mask.reshape(edges.num_virt, edges.dense_k)
+    ln = edge_mlp_params["ln"]
+
+    if edge_rep_flat is not None:
+        from .pallas_edge_flat import edge_layer_flat
+
+        if cd is not None:
+            edge_rep_flat = edge_rep_flat.astype(cd)
+        return edge_layer_flat(
+            edge_rep_flat, gathered, rec_rows, mask_p, w_e, b0,
+            layers[1]["w"], layers[1]["b"], ln["scale"], ln["bias"],
+            edges.dense_k, interp,
+        )
+    from .pallas_edge_flat import edge_tail_sum_flat
+
+    assert ew is not None, "flat static path requires precomputed ew"
+    _, virt = edge_tail_sum_flat(
+        gathered, ew, rec_rows, layers[1]["w"], layers[1]["b"],
+        ln["scale"], ln["bias"], mask_p, edges.dense_k, interp, False,
+    )
+    return None, virt
+
+
+def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
+                     edge_rep_flat=None, *, update_edges, aggr,
+                     compute_dtype=None, ew=None, psum_axis=None):
+    """Flat-lane interaction net round. send_rep/rec_rep in (B, N, h);
+    edge state either static `ew` (M, h) or evolving flat `edge_rep_flat`
+    (M, B*h). Returns rec_out (B, N_rec, h) and, when update_edges,
+    edge_out in flat layout."""
+    cd = compute_dtype
+    edge_out, virt = edge_round_flat(
+        params["edge_mlp"], edges, send_rep, rec_rep, edge_rep_flat,
+        ew=ew, compute_dtype=cd, need_edge_out=update_edges,
+    )
+
+    aggregated = _fold_virt_flat(edges, virt)
+    if psum_axis is not None:
+        aggregated = jax.lax.psum(aggregated, psum_axis)
+    if aggr == "mean":
+        aggregated = aggregated / _virt_counts_flat(edges)
+    rec_out = rec_rep + _aggr_mlp_mixed(
+        params["aggr_mlp"], rec_rep, aggregated, compute_dtype=cd
+    )
+    if update_edges:
+        return rec_out, edge_out
+    return rec_out
 
 
 def _gather_virt_rows(rec_t, edges: "EdgeSet"):
@@ -400,6 +592,37 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     mode = _pallas_mode()
     if edges.dense_k:
         layers = params["edge_mlp"]["layers"]
+        two_layer_ln = (
+            len(layers) == 2 and params["edge_mlp"]["ln"] is not None
+        )
+        if two_layer_ln and send_rep.ndim == 3:
+            B, h = send_rep.shape[0], send_rep.shape[-1]
+            if update_edges and edge_rep is not None and edge_rep.ndim == 2 \
+                    and edge_rep.shape[-1] == B * h \
+                    and flat_eligible(edges, B, h):
+                return _apply_inet_flat(
+                    params, edges, send_rep, rec_rep, edge_rep,
+                    update_edges=True, aggr=aggr,
+                    compute_dtype=compute_dtype, psum_axis=psum_axis,
+                )
+            if not update_edges and ew is not None and ew.ndim == 2 \
+                    and flat_eligible(edges, B, h):
+                return _apply_inet_flat(
+                    params, edges, send_rep, rec_rep, None,
+                    update_edges=False, aggr=aggr,
+                    compute_dtype=compute_dtype, ew=ew,
+                    psum_axis=psum_axis,
+                )
+            if not update_edges and edge_rep is not None \
+                    and edge_rep.ndim == 2 and edge_rep.shape[-1] == B * h \
+                    and flat_eligible(edges, B, h):
+                # evolving flat edge state consumed without updating it
+                # (e.g. hierarchical read-out sweeps)
+                return _apply_inet_flat(
+                    params, edges, send_rep, rec_rep, edge_rep,
+                    update_edges=False, aggr=aggr,
+                    compute_dtype=compute_dtype, psum_axis=psum_axis,
+                )
         fused_layer = (
             update_edges and mode != "off"
             and len(layers) == 2 and params["edge_mlp"]["ln"] is not None

@@ -92,6 +92,14 @@ def apply_mlp_concat(params: dict, parts: list, *, compute_dtype=None):
         x = x + mm(part, w0[off:off + d])
         off += d
     assert off == w0.shape[0], (off, w0.shape)
+    return finish_mlp(params, x, compute_dtype=compute_dtype)
+
+
+def finish_mlp(params: dict, x, *, compute_dtype=None):
+    """Layers 1..n (+ optional LayerNorm) given the first layer's output x.
+
+    Lets callers that compute the first Linear themselves (decomposed over
+    concat parts or mixed array layouts) share the MLP tail."""
     n = len(params["layers"])
     for i in range(1, n):
         x = jax.nn.silu(x)

@@ -1,0 +1,366 @@
+"""Flat-lane (M, B*h) Pallas TPU kernels for the edge-MLP tail/layer.
+
+Why a second kernel family (measured on the bench TPU, 2026-08; see
+docs/ROADMAP.md "lane width"):
+
+* VMEM tiles pad the minor dimension to 128 lanes, so the (B, M, h=64)
+  batched kernels in ``pallas_edge.py`` run every DMA and VPU op at half
+  lane width: a bare copy kernel measures ~206 GB/s at 64 lanes vs
+  ~1300 GB/s at 256 lanes.
+* XLA row gathers from a flat (N, B*h) operand run 2-7x faster than from
+  (B, N, h), and need no transpose back when the consumer is flat.
+
+Layout: per-node and per-edge activations store batch in the lane
+dimension: ``(rows, W)`` with ``W = B*h``, row-major ``[b0h0..b0h63,
+b1h0, ..]``. The h x h second-layer weight enters as ``kron(I_B, W2)``
+(a 256-wide MXU matmul at full tile speed; the extra zero-block FLOPs are
+cheaper than running the MXU at quarter utilization on h=64 operands).
+Per-64-lane-group LayerNorm statistics are computed with matmuls against
+``kron(I_B, 11^T/h)`` instead of lane slicing (slice+concat was measured
+~0.9 ms slower on the m2g edge set).
+
+The mask enters packed as (N_virt, K) — multiplying the (TILE_V, K, W)
+reshaped messages — rather than (M, 1), halving the skinny-DMA streams.
+
+Math is identical to ``pallas_edge._tail_reference`` per batch element;
+fp32 statistics; masked K-slot reduction to virtual rows
+(ref: neural_lam/interaction_net.py:103-131 for the op being fused).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mlp import LN_EPS
+
+
+def _target_rows() -> int:
+    import os
+
+    return int(os.environ.get("NLT_FLAT_ROWS", "1024"))
+
+
+def _pick_tile_v(n_virt: int, K: int, target_rows: int | None = None) -> int:
+    """TILE_V dividing n_virt with TILE_V*K <= target edge rows (halving;
+    EdgeSet pads n_virt to a multiple of 64, so this terminates at <=64)."""
+    tile = max((target_rows or _target_rows()) // K, 8)
+    while tile > 8 and n_virt % tile:
+        tile //= 2
+    return tile
+
+
+def _lane_tile(x, B):
+    """(rows, h) -> (rows, B*h) by repeating along lanes."""
+    return jnp.concatenate([x] * B, axis=-1)
+
+
+def _group_ln_f32(x, ones_k, ls_w, lb_w):
+    """LayerNorm per 64-lane group via matmul statistics. x fp32 (rows, W);
+    ones_k = kron(I_B, 11^T/h); ls_w/lb_w pre-tiled (1, W)."""
+    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
+    cent = x - mean
+    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    return cent * jax.lax.rsqrt(var + LN_EPS) * ls_w + lb_w
+
+
+def _tail_reference_flat(x0, w2k, b2_w, ls_w, lb_w, mask_p, K, B, h):
+    """Plain-XLA flat reference (also the VJP recompute). x0 (M, W)."""
+    M, W = x0.shape
+    x = jax.nn.silu(x0)
+    x = jnp.dot(x, w2k, preferred_element_type=jnp.float32) + b2_w
+    xs = x.reshape(M, B, h)
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xs - mean), axis=-1, keepdims=True)
+    msg = (
+        (xs - mean) * jax.lax.rsqrt(var + LN_EPS)
+        * ls_w.reshape(1, B, h) + lb_w.reshape(1, B, h)
+    ).reshape(M, W)
+    masked = msg.reshape(M // K, K, W) * mask_p[..., None]
+    return msg, masked.sum(axis=1)
+
+
+def _sum_reference_flat(gathered, ew, rec_rows, w2k, b2_w, ls_w, lb_w,
+                        mask_p, K, B):
+    h = ew.shape[-1]
+    x0 = (
+        gathered.astype(jnp.float32)
+        + jnp.tile(ew.astype(jnp.float32), (1, B))
+        + jnp.repeat(rec_rows.astype(jnp.float32), K, axis=0)
+    )
+    return _tail_reference_flat(x0, w2k, b2_w, ls_w, lb_w, mask_p, K, B, h)
+
+
+def _tail_sum_flat_kernel(K, B, with_messages, g_ref, ew_ref, rec_ref,
+                          w2k_ref, b2w_ref, lsw_ref, lbw_ref, onesk_ref,
+                          mask_ref, *out_refs):
+    dt = g_ref.dtype
+    ew_w = _lane_tile(ew_ref[...].astype(jnp.float32), B)  # (TILE_E, W)
+    rec = rec_ref[...].astype(jnp.float32)  # (TILE_V, W)
+    tile_v, W = rec.shape
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    x = jax.nn.silu(g_ref[...].astype(jnp.float32) + ew_w + rec_rep)
+    x = (
+        jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
+        + b2w_ref[...]
+    )
+    msg = _group_ln_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    if with_messages:
+        out_refs[0][...] = msg.astype(dt)
+    masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
+    out_refs[-1][...] = masked.sum(axis=1).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def edge_tail_sum_flat(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
+                       mask_p, K: int, interpret: bool = False,
+                       with_messages: bool = False):
+    """Fused flat edge-MLP tail.
+
+    gathered: (M, W) sender transforms per edge (W = B*h, batch in lanes).
+    ew: (M, h) static edge product e@We + b0 (shared across batch).
+    rec_rows: (N_virt, W) receiver transforms per virtual row.
+    mask_p: (N_virt, K) dense-slot validity.
+    Returns (messages (M, W) | None, virt (N_virt, W)).
+    """
+    return _edge_tail_sum_flat_impl(
+        gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p, K,
+        interpret, with_messages,
+    )
+
+
+def _flat_consts(w2, b2, ln_scale, ln_bias, B):
+    h = w2.shape[0]
+    eye = jnp.eye(B, dtype=jnp.float32)
+    w2k = jnp.kron(eye, w2.astype(jnp.float32))
+    ones_k = jnp.kron(eye, jnp.full((h, h), 1.0 / h, jnp.float32))
+    b2_w = jnp.tile(b2.astype(jnp.float32).reshape(1, h), (1, B))
+    ls_w = jnp.tile(ln_scale.astype(jnp.float32).reshape(1, h), (1, B))
+    lb_w = jnp.tile(ln_bias.astype(jnp.float32).reshape(1, h), (1, B))
+    return w2k, ones_k, b2_w, ls_w, lb_w
+
+
+def _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
+                             ln_bias, mask_p, K, interpret, with_messages):
+    M, W = gathered.shape
+    h = ew.shape[-1]
+    B = W // h
+    n_virt = M // K
+    w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+
+    TILE_V = _pick_tile_v(n_virt, K)
+    if n_virt % TILE_V or TILE_V < 8:
+        msg, virt = _sum_reference_flat(
+            gathered, ew, rec_rows, w2k, b2_w, ls_w, lb_w, mask_p, K, B
+        )
+        return (msg if with_messages else None), virt
+    TILE_E = TILE_V * K
+    dt = gathered.dtype
+    msg_shape = [jax.ShapeDtypeStruct((M, W), dt)]
+    msg_spec = [pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                             memory_space=pltpu.VMEM)]
+    if not with_messages:
+        msg_shape, msg_spec = [], []
+    outs = pl.pallas_call(
+        functools.partial(_tail_sum_flat_kernel, K, B, with_messages),
+        grid=(n_virt // TILE_V,),
+        in_specs=[
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            msg_spec + [pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                                     memory_space=pltpu.VMEM)]
+        ),
+        out_shape=tuple(msg_shape + [jax.ShapeDtypeStruct((n_virt, W), dt)]),
+        interpret=interpret,
+    )(gathered, ew, rec_rows, w2k, b2_w, ls_w, lb_w, ones_k, mask_p)
+    if with_messages:
+        return outs[0], outs[1]
+    return None, outs[0]
+
+
+def _edge_tail_sum_flat_fwd(gathered, ew, rec_rows, w2, b2, ln_scale,
+                            ln_bias, mask_p, K, interpret, with_messages):
+    out = _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
+                                   ln_bias, mask_p, K, interpret,
+                                   with_messages)
+    return out, (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p)
+
+
+def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
+    gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p = res
+    g_msg, g_virt = grads
+    if g_msg is None or not with_messages:
+        g_msg = jnp.zeros(gathered.shape, gathered.dtype)
+    B = gathered.shape[-1] // ew.shape[-1]
+
+    def fwd(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p):
+        w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+        return _sum_reference_flat(gathered, ew, rec_rows, w2k, b2_w, ls_w,
+                                   lb_w, mask_p, K, B)
+
+    _, vjp = jax.vjp(fwd, gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
+                     mask_p)
+    return vjp((g_msg, g_virt))
+
+
+edge_tail_sum_flat.defvjp(_edge_tail_sum_flat_fwd, _edge_tail_sum_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full interaction layer (update_edges=True): edge residual + aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, wek_ref, b0w_ref,
+                       w2k_ref, b2w_ref, lsw_ref, lbw_ref, onesk_ref,
+                       mask_ref, edge_out_ref, virt_ref):
+    dt = edge_ref.dtype
+    e = edge_ref[...].astype(jnp.float32)  # (TILE_E, W)
+    ew = jnp.dot(e, wek_ref[...], preferred_element_type=jnp.float32)
+    rec = rec_ref[...].astype(jnp.float32)
+    tile_v, W = rec.shape
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    x = jax.nn.silu(
+        ew + g_ref[...].astype(jnp.float32) + rec_rep + b0w_ref[...]
+    )
+    x = (
+        jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
+        + b2w_ref[...]
+    )
+    msg = _group_ln_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    edge_out_ref[...] = (e + msg).astype(dt)
+    masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
+    virt_ref[...] = masked.sum(axis=1).astype(dt)
+
+
+def _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek, b0_w, w2k,
+                          b2_w, ls_w, lb_w, mask_p, K, B, h):
+    e = edge_rep.astype(jnp.float32)
+    ew = jnp.dot(e, w_ek, preferred_element_type=jnp.float32)
+    x0 = (
+        ew + gathered.astype(jnp.float32)
+        + jnp.repeat(rec_rows.astype(jnp.float32), K, axis=0) + b0_w
+    )
+    msg, virt = _tail_reference_flat(x0, w2k, b2_w, ls_w, lb_w, mask_p,
+                                     K, B, h)
+    return (e + msg).astype(edge_rep.dtype), virt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def edge_layer_flat(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2,
+                    ln_scale, ln_bias, K: int, interpret: bool = False):
+    """Fused flat residual edge update (update_edges=True interaction nets).
+
+    edge_rep (M, W) evolving edge state; gathered (M, W) sender transforms;
+    rec_rows (N_virt, W); mask_p (N_virt, K).
+    Returns (edge_out = edge_rep + messages, virt).
+    """
+    return _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e,
+                                 b0, w2, b2, ln_scale, ln_bias, K, interpret)
+
+
+def _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
+                          b2, ln_scale, ln_bias, K, interpret):
+    M, W = edge_rep.shape
+    h = w2.shape[0]
+    B = W // h
+    n_virt = M // K
+    w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32), w_e.astype(jnp.float32))
+    b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+
+    TILE_V = _pick_tile_v(n_virt, K)
+    if n_virt % TILE_V or TILE_V < 8:
+        return _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek,
+                                     b0_w, w2k, b2_w, ls_w, lb_w, mask_p,
+                                     K, B, h)
+    TILE_E = TILE_V * K
+    dt = edge_rep.dtype
+    edge_out, virt = pl.pallas_call(
+        functools.partial(_layer_flat_kernel, K, B),
+        grid=(n_virt // TILE_V,),
+        in_specs=[
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((n_virt, W), dt),
+        ),
+        interpret=interpret,
+    )(edge_rep, gathered, rec_rows, w_ek, b0_w, w2k, b2_w, ls_w, lb_w,
+      ones_k, mask_p)
+    return edge_out, virt
+
+
+def _edge_layer_flat_fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
+                         b2, ln_scale, ln_bias, K, interpret):
+    out = _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e,
+                                b0, w2, b2, ln_scale, ln_bias, K, interpret)
+    return out, (edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2,
+                 ln_scale, ln_bias)
+
+
+def _edge_layer_flat_bwd(K, interpret, res, grads):
+    (edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2, ln_scale,
+     ln_bias) = res
+    g_edge, g_virt = grads
+    h = w2.shape[0]
+    B = edge_rep.shape[-1] // h
+
+    def fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2, ln_scale,
+            ln_bias):
+        w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                        w_e.astype(jnp.float32))
+        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+        return _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek,
+                                     b0_w, w2k, b2_w, ls_w, lb_w, mask_p,
+                                     K, B, h)
+
+    _, vjp = jax.vjp(fwd, edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
+                     b2, ln_scale, ln_bias)
+    return vjp((g_edge, g_virt))
+
+
+edge_layer_flat.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)

@@ -1,0 +1,301 @@
+"""Flat-lane (M, B*h) kernel path: parity with the batched path.
+
+These run the interpret-mode Pallas kernels on CPU — the same code the TPU
+compiles — and compare against the (B, M, h) batched implementations
+(themselves torch-parity-tested in test_ops.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import neural_lam_tpu.ops.message_passing as mp
+from neural_lam_tpu.ops.message_passing import (
+    EdgeSet,
+    apply_interaction_net,
+    expand_edge_rep,
+    init_interaction_net,
+)
+
+
+@pytest.fixture
+def dense_edges():
+    rng = np.random.default_rng(0)
+    N_send, N_rec, M = 700, 600, 5000
+    return EdgeSet.from_local(
+        rng.integers(0, N_send, M), rng.integers(0, N_rec, M),
+        rng.standard_normal((M, 3)).astype(np.float32), N_send, N_rec,
+        dense=True,
+    )
+
+
+def _reps(es, B=4, h=64, seed=1):
+    rng = np.random.default_rng(seed)
+    send_rep = jnp.asarray(rng.standard_normal((B, es.num_send, h)),
+                           jnp.float32)
+    rec_rep = jnp.asarray(rng.standard_normal((B, es.num_rec, h)),
+                          jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((es.num_edges, h)), jnp.float32)
+    return send_rep, rec_rep, emb
+
+
+def test_flat_kernels_vs_references(dense_edges, monkeypatch):
+    """edge_tail_sum_flat / edge_layer_flat (interpret) == flat XLA refs
+    == batched kernels transposed."""
+    from neural_lam_tpu.ops import pallas_edge_flat as pef
+    from neural_lam_tpu.ops.pallas_edge import edge_layer, edge_tail_sum
+
+    es = dense_edges
+    B, h = 4, 64
+    K = es.dense_k
+    W = B * h
+    rng = np.random.default_rng(2)
+    M, Nv = es.num_edges, es.num_virt
+    gathered_b = jnp.asarray(rng.standard_normal((B, M, h)) * 0.3,
+                             jnp.float32)
+    rec_rows_b = jnp.asarray(rng.standard_normal((B, Nv, h)) * 0.3,
+                             jnp.float32)
+    ew = jnp.asarray(rng.standard_normal((M, h)) * 0.3, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, h)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((h,)) * 0.2, jnp.float32)
+    ls = jnp.asarray(1 + rng.standard_normal((h,)) * 0.1, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((h,)) * 0.1, jnp.float32)
+    gathered_f = jnp.transpose(gathered_b, (1, 0, 2)).reshape(M, W)
+    rec_rows_f = jnp.transpose(rec_rows_b, (1, 0, 2)).reshape(Nv, W)
+    mask_p = es.mask.reshape(Nv, K)
+
+    # --- tail (static-ew) kernel ---
+    msg_f, virt_f = pef.edge_tail_sum_flat(
+        gathered_f, ew, rec_rows_f, w2, b2, ls, lb, mask_p, K,
+        interpret=True, with_messages=True,
+    )
+    w2k, _, b2_w, ls_w, lb_w = pef._flat_consts(w2, b2, ls, lb, B)
+    ref_msg, ref_virt = pef._sum_reference_flat(
+        gathered_f, ew, rec_rows_f, w2k, b2_w, ls_w, lb_w, mask_p, K, B
+    )
+    np.testing.assert_allclose(np.asarray(msg_f), np.asarray(ref_msg),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(virt_f), np.asarray(ref_virt),
+                               atol=1e-4)
+    # vs batched kernel (transposed layouts)
+    _, virt_b = edge_tail_sum(gathered_b, ew, rec_rows_b, w2, b2, ls, lb,
+                              es.mask, K, True, False)
+    virt_f_as_b = jnp.transpose(virt_f.reshape(Nv, B, h), (1, 0, 2))
+    np.testing.assert_allclose(np.asarray(virt_f_as_b), np.asarray(virt_b),
+                               atol=1e-4)
+
+    # --- layer (update_edges) kernel ---
+    edge_f = jnp.tile(ew, (1, B))
+    edge_b = jnp.broadcast_to(ew[None], (B, M, h))
+    w_e = jnp.asarray(rng.standard_normal((h, h)) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal((h,)) * 0.2, jnp.float32)
+    edge_out_f, virt2_f = pef.edge_layer_flat(
+        edge_f, gathered_f, rec_rows_f, mask_p, w_e, b0, w2, b2, ls, lb,
+        K, interpret=True,
+    )
+    edge_out_b, virt2_b = edge_layer(
+        edge_b, gathered_b, None, rec_rows_b, es.mask, w_e, b0, w2, b2,
+        ls, lb, K, in_gather=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(edge_out_f.reshape(M, B, h), (1, 0, 2))),
+        np.asarray(edge_out_b), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(virt2_f.reshape(Nv, B, h), (1, 0, 2))),
+        np.asarray(virt2_b), atol=1e-4,
+    )
+
+    # grads of the flat kernels flow (custom VJP recompute path)
+    def loss(args):
+        g, e, r = args
+        m, v = pef.edge_tail_sum_flat(g, e, r, w2, b2, ls, lb, mask_p, K,
+                                      True, True)
+        return (m ** 2).sum() + (v ** 2).sum()
+
+    grads = jax.grad(loss)((gathered_f, ew, rec_rows_f))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in grads)
+
+
+@pytest.mark.parametrize("update_edges", [True, False])
+def test_apply_inet_flat_vs_batched(dense_edges, monkeypatch, update_edges):
+    """apply_interaction_net flat dispatch == batched path, fwd + grads."""
+    es = dense_edges
+    B, h = 4, 64
+    send_rep, rec_rep, emb = _reps(es, B, h)
+    params = init_interaction_net(jax.random.PRNGKey(0), h)
+    edge_rep_b = jnp.broadcast_to(emb[None], (B,) + emb.shape)
+
+    def run(p, mode):
+        monkeypatch.setattr(mp, "_PALLAS_MODE", mode)
+        if update_edges:
+            edge = (expand_edge_rep(es, emb, B) if mode == "interpret"
+                    else edge_rep_b)
+            r, e = apply_interaction_net(p, es, send_rep, rec_rep, edge)
+            if e.ndim == 2:
+                e = jnp.transpose(e.reshape(es.num_edges, B, h), (1, 0, 2))
+            return r, e
+        if mode == "interpret":
+            w0 = p["edge_mlp"]["layers"][0]["w"]
+            b0 = p["edge_mlp"]["layers"][0]["b"]
+            ew = jnp.dot(emb, w0[:h]) + b0
+            r = apply_interaction_net(p, es, send_rep, rec_rep,
+                                      update_edges=False, ew=ew)
+        else:
+            r = apply_interaction_net(p, es, send_rep, rec_rep,
+                                      edge_rep=edge_rep_b,
+                                      update_edges=False)
+        return (r,)
+
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    assert mp.flat_eligible(es, B, h) is False  # mode off on CPU
+    out_b = run(params, "off")
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    assert mp.flat_eligible(es, B, h)
+    out_f = run(params, "interpret")
+    for a, b in zip(out_f, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+    def loss(p, mode):
+        outs = run(p, mode)
+        return sum((o ** 2).sum() for o in outs)
+
+    g_f = jax.grad(loss)(params, "interpret")
+    g_b = jax.grad(loss)(params, "off")
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_b)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-5)
+
+
+def test_flat_bf16_compute_dtype(dense_edges, monkeypatch):
+    """Flat path with compute_dtype=bfloat16 stays near the fp32 result."""
+    es = dense_edges
+    B, h = 4, 64
+    send_rep, rec_rep, emb = _reps(es, B, h)
+    params = init_interaction_net(jax.random.PRNGKey(0), h)
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    edge = expand_edge_rep(es, emb, B)
+    r32, _ = apply_interaction_net(params, es, send_rep, rec_rep, edge)
+    r16, _ = apply_interaction_net(
+        params, es, send_rep, rec_rep, edge.astype(jnp.bfloat16),
+        compute_dtype=jnp.bfloat16,
+    )
+    rel = (np.abs(np.asarray(r16, np.float32) - np.asarray(r32)).mean()
+           / np.abs(np.asarray(r32)).mean())
+    assert np.isfinite(rel) and rel < 2e-2, rel
+
+
+def test_graph_lam_flat_predict(monkeypatch, tmp_path):
+    """Full GraphLAM predict_step + grad through the flat path (h=64, B=2)
+    matches the batched path."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    datastore = DummyDatastore(grid_shape=(20, 20), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    bundle = create_graph(str(tmp_path), datastore.get_xy("state",
+                                                          stacked=False),
+                          n_max_levels=None, hierarchical=False)
+    graph = graph_from_bundle(bundle)
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=2)
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+
+    B = 2  # W = 128
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "off")
+    out_off, _ = model.predict_step(params, prev, prevprev, forcing)
+
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    out_flat, _ = model.predict_step(params, prev, prevprev, forcing)
+    np.testing.assert_allclose(np.asarray(out_flat), np.asarray(out_off),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(p):
+        o, _ = model.predict_step(p, prev, prevprev, forcing)
+        return (o ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("model_name", ["hi_lam", "hi_lam_parallel"])
+def test_hierarchical_flat_predict(monkeypatch, tmp_path, model_name):
+    """Hierarchical models through the flat path (h=64, B=2) match the
+    batched path (mixed flat/batched chunks per level exercise the
+    hi_lam_parallel accumulator)."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    datastore = DummyDatastore(grid_shape=(30, 30), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    bundle = create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=2, hierarchical=True,
+    )
+    graph = graph_from_bundle(bundle)
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
+    model = MODELS[model_name](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+
+    B = 2  # W = 128
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "off")
+    out_off, _ = model.predict_step(params, prev, prevprev, forcing)
+
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    out_flat, _ = model.predict_step(params, prev, prevprev, forcing)
+    np.testing.assert_allclose(np.asarray(out_flat), np.asarray(out_off),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(p):
+        o, _ = model.predict_step(p, prev, prevprev, forcing)
+        return (o ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
