@@ -54,6 +54,13 @@ def _pick_tile_v(n_virt: int, K: int, target_rows: int | None = None) -> int:
     return tile
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM limit (default 16 MiB) so larger tiles
+    fit: v5e has 128 MiB physical VMEM and the flat kernels stream 2-4 MiB
+    blocks with several live (rows, 256) f32 intermediates."""
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _lane_tile(x, B):
     """(rows, h) -> (rows, B*h) by repeating along lanes."""
     return jnp.concatenate([x] * B, axis=-1)
@@ -191,6 +198,7 @@ def _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
         ),
         out_shape=tuple(msg_shape + [jax.ShapeDtypeStruct((n_virt, W), dt)]),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(gathered, ew, rec_rows, w2k, b2_w, ls_w, lb_w, ones_k, mask_p)
     if with_messages:
         return outs[0], outs[1]
@@ -328,6 +336,7 @@ def _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
             jax.ShapeDtypeStruct((n_virt, W), dt),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(edge_rep, gathered, rec_rows, w_ek, b0_w, w2k, b2_w, ls_w, lb_w,
       ones_k, mask_p)
     return edge_out, virt

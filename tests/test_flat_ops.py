@@ -299,3 +299,70 @@ def test_hierarchical_flat_predict(monkeypatch, tmp_path, model_name):
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
+    """Flat kernels inside the grid-sharded shard_map (the TPU multichip
+    path) match the unsharded batched model, incl. psum'd partial
+    aggregations of flat edge chunks."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.dataset import WeatherDataset, collate
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+    from neural_lam_tpu.parallel.grid_sharded import spatialize
+    from neural_lam_tpu.parallel.mesh import make_mesh
+
+    datastore = DummyDatastore(grid_shape=(30, 28), n_timesteps=40)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=None, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=2)
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    batch = tuple(jnp.asarray(b)
+                  for b in collate([ds[i] for i in range(4)]))
+    init_states, _, forcing, _ = batch
+
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "off")
+    out_ref, _ = jax.jit(model.predict_step)(
+        params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+    )
+
+    # 2 data x 2 space: per-shard batch 2 -> W = 128, flat eligible
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    mesh = make_mesh(n_data=2, n_space=2)
+    sp = spatialize(model, mesh)
+    out_sp, _ = jax.jit(sp.predict_step)(
+        params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+    )
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss(m, p):
+        o, _ = m.predict_step(p, init_states[:, 1], init_states[:, 0],
+                              forcing[:, 0])
+        return (o ** 2).mean()
+
+    g_sp = jax.grad(lambda p: loss(sp, p))(params)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "off")
+    g_ref = jax.grad(lambda p: loss(model, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-4)
