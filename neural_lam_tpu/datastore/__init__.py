@@ -17,6 +17,9 @@ def register_datastore(cls):
     return cls
 
 
+from .dummy_global import DummyGlobalDatastore  # noqa: E402,F401 (registers)
+
+
 def init_datastore(datastore_kind: str, config_path) -> BaseDatastore:
     """Instantiate a datastore by registry short-name
     (ref: datastore/__init__.py:16-26)."""

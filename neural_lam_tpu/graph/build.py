@@ -267,14 +267,31 @@ def _build_hierarchical(level_n, level_pos, level_edges):
 
 def create_graph_from_datastore(datastore, output_root_path: str,
                                 n_max_levels: int | None = None,
-                                hierarchical: bool = False) -> GraphBundle:
+                                hierarchical: bool = False,
+                                mesh: str = "lattice",
+                                refinements: int = 3) -> GraphBundle:
     """Build the graph for a regular-grid datastore
-    (ref: create_graph.py:538-558)."""
+    (ref: create_graph.py:538-558). mesh="global_icosahedral" builds a
+    spherical mesh instead (datastore must be global with get_xy in
+    [lon, lat] degrees; see graph/global_mesh.py)."""
     from ..datastore.base import BaseRegularGridDatastore
 
     if not isinstance(datastore, BaseRegularGridDatastore):
         raise NotImplementedError(
             "Only graph creation for BaseRegularGridDatastore is supported"
+        )
+    if mesh == "global_icosahedral":
+        from .global_mesh import create_global_graph
+
+        assert getattr(datastore, "is_global", False), (
+            "global_icosahedral mesh needs a global datastore "
+            "(get_xy in [lon, lat] degrees)"
+        )
+        latlon = datastore.get_xy(category="state", stacked=True)
+        return create_global_graph(
+            graph_dir_path=output_root_path, latlon_deg=latlon,
+            refinements=refinements, n_levels=n_max_levels,
+            hierarchical=hierarchical,
         )
     xy = datastore.get_xy(category="state", stacked=False)
     return create_graph(
@@ -300,6 +317,13 @@ def cli(input_args=None):
                              "levels, from bottom up (default: no limit)")
     parser.add_argument("--hierarchical", action="store_true",
                         help="Generate hierarchical mesh graph")
+    parser.add_argument("--mesh", type=str, default="lattice",
+                        choices=["lattice", "global_icosahedral"],
+                        help="Mesh family: LAM lattice (reference) or a "
+                             "global icosahedral sphere mesh")
+    parser.add_argument("--refinements", type=int, default=3,
+                        help="Icosahedron subdivision count for the finest "
+                             "level (global_icosahedral only)")
     parser.add_argument("--plot", action="store_true",
                         help="Save a 3D figure of the generated graph next "
                              "to it (ref create_graph.py renders each level "
@@ -314,6 +338,8 @@ def cli(input_args=None):
         output_root_path=out_dir,
         n_max_levels=args.levels,
         hierarchical=args.hierarchical,
+        mesh=args.mesh,
+        refinements=args.refinements,
     )
     if args.plot:
         from ..graph.storage import load_graph

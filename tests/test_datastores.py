@@ -38,6 +38,9 @@ def stores(tmp_path_factory):
     stats_main(meps_cfg, step_length=2)
     out["npyfilesmeps"] = DATASTORES["npyfilesmeps"](config_path=meps_cfg)
     out["dummydata"] = DATASTORES["dummydata"](n_points_1d=10, n_timesteps=20)
+    out["dummydata_global"] = DATASTORES["dummydata_global"](
+        n_lon=12, n_lat=8, n_timesteps=20
+    )
     return out
 
 
@@ -102,7 +105,11 @@ def test_boundary_mask(stores, datastore_name):
     mask = ds.boundary_mask.values
     assert mask.reshape(-1).shape == (ds.num_grid_points,)
     assert set(np.unique(mask)) <= {0.0, 1.0}
-    assert 0 < mask.sum() < ds.num_grid_points
+    if getattr(ds, "is_global", False):
+        # global domains have no LAM boundary
+        assert mask.sum() == 0
+    else:
+        assert 0 < mask.sum() < ds.num_grid_points
 
 
 @pytest.mark.parametrize("datastore_name", DATASTORE_NAMES)
