@@ -149,12 +149,106 @@ class BaseGraphModel(ARModelBase):
             update_edges=False, compute_dtype=cd, psum_axis=psum_axis,
         )
 
+    def _flat_grid_eligible(self, params, ctx, batch_size: int) -> bool:
+        """Whether the fully-fused flat-grid decode path applies: flat
+        kernels on for both g2m and m2g, virt_identity m2g, reference
+        2-layer MLP structure (see ops/pallas_grid_update.py)."""
+        from ..ops.message_passing import flat_eligible
+        from ..ops.pallas_grid_update import grid_update_applicable
+
+        h = self.args.hidden_dim
+        g = self.graph
+        return (
+            "ew" in ctx.get("g2m", {})
+            and "ew" in ctx.get("m2g", {})
+            and grid_update_applicable(params, g.m2g, batch_size, h)
+            and flat_eligible(g.g2m, batch_size, h)
+            and len(params["g2m_gnn"]["edge_mlp"]["layers"]) == 2
+            and params["g2m_gnn"]["edge_mlp"]["ln"] is not None
+        )
+
+    def _finish_output(self, net_output, prev_state):
+        """Split std head, rescale the delta, residual over prev_state
+        (ref: base_graph_model.py:160-177)."""
+        if self.output_std:
+            pred_delta_mean, pred_std_raw = jnp.split(net_output, 2, axis=-1)
+            pred_std = jax.nn.softplus(pred_std_raw)
+        else:
+            pred_delta_mean = net_output
+            pred_std = None
+        rescaled_delta_mean = (
+            pred_delta_mean * self.statics.diff_std + self.statics.diff_mean
+        )
+        return prev_state + rescaled_delta_mean, pred_std
+
+    def _predict_step_flat_grid(self, params, prev_state, prev_prev_state,
+                                forcing, ctx, batch_size):
+        """Fused flat-grid predict step: the grid side lives in flat
+        (N, B*h) lane layout end to end — grid embedder emits flat, g2m
+        consumes the flat sender directly, and the whole decoder
+        (encoding_grid_mlp + m2g GNN + output_map) runs as ONE Pallas
+        kernel pass (ops/pallas_grid_update.py). Mathematically identical
+        to the batched path; engaged when `_flat_grid_eligible`."""
+        from ..ops.message_passing import (
+            _apply_inet_flat,
+            _pallas_mode,
+            apply_mlp_concat_flat,
+            node_transform_flat,
+            unflatten_nodes,
+        )
+        from ..ops.pallas_grid_update import (
+            grid_update_flat,
+            pack_grid_update_params,
+        )
+
+        cd = self.compute_dtype
+        B = batch_size
+        h = self.args.hidden_dim
+        ge_f = apply_mlp_concat_flat(
+            params["grid_embedder"],
+            [prev_state, prev_prev_state, forcing,
+             self.statics.grid_static_features],
+            compute_dtype=cd,
+        )  # (N_grid, B*h)
+
+        mesh_rep = _apply_inet_flat(
+            params["g2m_gnn"], self.graph.g2m, ge_f,
+            expand_to_batch(ctx["mesh_emb"], B),
+            update_edges=False, aggr="sum", compute_dtype=cd,
+            ew=ctx["g2m"]["ew"], psum_axis=self._g2m_psum_axis,
+        )  # (B, N_mesh, h)
+
+        mesh_rep = self.process_step(params, mesh_rep, B, ctx=ctx)
+
+        m2g = self.graph.m2g
+        w0m = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"]
+        send_tf = node_transform_flat(mesh_rep, w0m[h:2 * h], cd)
+        if cd is not None:
+            send_tf = send_tf.astype(cd)
+            ge_f = ge_f.astype(cd)
+        gathered = jnp.take(send_tf, m2g.senders, axis=0)
+        net_f = grid_update_flat(
+            gathered, ctx["m2g"]["ew"], ge_f,
+            m2g.mask.reshape(m2g.num_virt, m2g.dense_k),
+            pack_grid_update_params(params), m2g.dense_k,
+            _pallas_mode() == "interpret",
+        )  # (num_virt, B*d_out)
+        net_f = jax.lax.slice_in_dim(net_f, 0, m2g.num_rec, axis=0)
+        net_output = unflatten_nodes(net_f, B)  # (B, N_grid, d_out)
+        return self._finish_output(net_output, prev_state)
+
     def predict_step(self, params, prev_state, prev_prev_state, forcing,
                      ctx=None):
         batch_size = prev_state.shape[0]
         cd = self.compute_dtype
         if ctx is None:
             ctx = self.precompute_rollout_ctx(params)
+
+        if self._flat_grid_eligible(params, ctx, batch_size):
+            return self._predict_step_flat_grid(
+                params, prev_state, prev_prev_state, forcing, ctx,
+                batch_size,
+            )
 
         grid_emb = apply_mlp_concat(
             params["grid_embedder"],
@@ -182,14 +276,4 @@ class BaseGraphModel(ARModelBase):
         net_output = apply_mlp(params["output_map"], grid_rep,
                                compute_dtype=cd)  # (B, N_grid, d_out)
 
-        if self.output_std:
-            pred_delta_mean, pred_std_raw = jnp.split(net_output, 2, axis=-1)
-            pred_std = jax.nn.softplus(pred_std_raw)
-        else:
-            pred_delta_mean = net_output
-            pred_std = None
-
-        rescaled_delta_mean = (
-            pred_delta_mean * self.statics.diff_std + self.statics.diff_mean
-        )
-        return prev_state + rescaled_delta_mean, pred_std
+        return self._finish_output(net_output, prev_state)

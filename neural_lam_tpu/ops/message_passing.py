@@ -254,6 +254,61 @@ def node_transform_flat(x, w, compute_dtype=None):
     return t.reshape(t.shape[0], t.shape[1] * t.shape[2])
 
 
+def node_transform_from_flat(x_f, w, batch_size: int, compute_dtype=None):
+    """Flat (N, B*h_in) @ kron(I_B, w) -> flat (N, B*h_out): per-batch-group
+    transform of an already-flat node array (4x the naive FLOPs from the
+    kron zero blocks, but stays in flat layout with no transpose)."""
+    wk = jnp.kron(
+        jnp.eye(batch_size, dtype=jnp.float32), w.astype(jnp.float32)
+    )
+    if compute_dtype is not None and jax.default_backend() != "cpu":
+        x_f = x_f.astype(compute_dtype)
+        wk = wk.astype(compute_dtype)
+    else:
+        x_f = x_f.astype(jnp.float32)
+    return jnp.dot(x_f, wk, preferred_element_type=jnp.float32)
+
+
+def apply_mlp_concat_flat(params: dict, parts: list, *, compute_dtype=None):
+    """apply_mlp_concat emitting flat (N, B*h) node-major output.
+
+    parts: (B, N, d_i) batched or (N, d_i) shared-across-batch arrays.
+    The first layer decomposes per part; every matmul writes node-major
+    ('bnd,dk->nbk'), so no (B, N, h) intermediate or transpose is ever
+    materialized. Math matches apply_mlp_concat (fp32 accumulation,
+    LN over each batch group's h lanes)."""
+    layers = params["layers"]
+    w0 = layers[0]["w"]
+    b0 = layers[0]["b"]
+    offset = 0
+    acc = None
+    for p in parts:
+        d = p.shape[-1]
+        w_slice = w0[offset:offset + d]
+        if p.ndim == 3:
+            t = _einsum_f32acc("bnd,dk->nbk", p, w_slice, compute_dtype)
+        else:
+            t = _einsum_f32acc("nd,dk->nk", p, w_slice,
+                               compute_dtype)[:, None, :]
+        acc = t if acc is None else acc + t
+        offset += d
+    x = acc + b0.astype(jnp.float32)  # (N, B, h)
+    for i in range(1, len(layers)):
+        x = jax.nn.silu(x)
+        x = (
+            _einsum_f32acc("nbk,kj->nbj", x, layers[i]["w"], compute_dtype)
+            + layers[i]["b"].astype(jnp.float32)
+        )
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    if params["ln"] is not None:
+        from .mlp import layer_norm as _ln
+
+        x = _ln(x, params["ln"]["scale"], params["ln"]["bias"])
+    N, B, h = x.shape
+    return x.reshape(N, B * h)
+
+
 def unflatten_nodes(x_f, batch_size: int):
     """(N, B*h) -> (B, N, h)."""
     N, W = x_f.shape
@@ -332,8 +387,10 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
                     compute_dtype=None, need_edge_out=True):
     """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
 
-    send_rep/rec_rep in (B, N, h); edge state either static `ew` (M, h)
-    (rollout-invariant GNNs) or evolving flat `edge_rep_flat` (M, B*h).
+    rec_rep in (B, N, h); send_rep either (B, N, h) batched or already
+    flat (N_send, B*h) node-major (2-dim). Edge state either static `ew`
+    (M, h) (rollout-invariant GNNs) or evolving flat `edge_rep_flat`
+    (M, B*h).
     """
     mode = _pallas_mode()
     interp = mode == "interpret"
@@ -343,7 +400,12 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
     cd = compute_dtype
 
-    send_tf = node_transform_flat(send_rep, w_j, cd)
+    if send_rep.ndim == 2:
+        send_tf = node_transform_from_flat(
+            send_rep, w_j, rec_rep.shape[0], cd
+        )
+    else:
+        send_tf = node_transform_flat(send_rep, w_j, cd)
     rec_tf = node_transform_flat(rec_rep, w_i, cd)
     if cd is not None:
         # cast before the big gather: half the bytes moved

@@ -366,3 +366,119 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
         scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-4)
+
+
+def test_grid_update_flat_kernel(monkeypatch):
+    """Fused grid-update kernel (interpret) == XLA reference, fwd + grads,
+    including ragged grid rows (N < num_virt)."""
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    rng = np.random.default_rng(5)
+    B, h, K, d_out = 2, 64, 4, 9
+    N_rec, N_send = 500, 90
+    W = B * h
+    # exact-K receivers -> virt_identity
+    senders = rng.integers(0, N_send, N_rec * K)
+    receivers = np.repeat(np.arange(N_rec), K)
+    es = EdgeSet.from_local(
+        senders, receivers, rng.standard_normal((N_rec * K, 3)), N_send,
+        N_rec, dense=True, dense_cap=K,
+    )
+    assert es.virt_identity and es.num_virt > N_rec  # padded rows ragged
+    M = es.num_edges
+    gathered = jnp.asarray(rng.standard_normal((M, W)) * 0.3, jnp.float32)
+    ew = jnp.asarray(rng.standard_normal((M, h)) * 0.3, jnp.float32)
+    ge = jnp.asarray(rng.standard_normal((N_rec, W)) * 0.3, jnp.float32)
+    mask_p = es.mask.reshape(es.num_virt, K)
+
+    def mk(d1, d2=None):
+        if d2 is None:
+            return jnp.asarray(rng.standard_normal((d1,)) * 0.1, jnp.float32)
+        return jnp.asarray(rng.standard_normal((d1, d2)) * 0.1, jnp.float32)
+
+    pp = {
+        "w_i": mk(h, h), "w2": mk(h, h), "b2": mk(h),
+        "e_ls": 1.0 + mk(h), "e_lb": mk(h),
+        "enc_w0": mk(h, h), "enc_b0": mk(h), "enc_w1": mk(h, h),
+        "enc_b1": mk(h), "enc_ls": 1.0 + mk(h), "enc_lb": mk(h),
+        "a_w0": mk(2 * h, h), "a_b0": mk(h), "a_w1": mk(h, h),
+        "a_b1": mk(h), "a_ls": 1.0 + mk(h), "a_lb": mk(h),
+        "o_w0": mk(h, h), "o_b0": mk(h), "o_w1": mk(h, d_out),
+        "o_b1": mk(d_out),
+    }
+    out_k = pgu.grid_update_flat(gathered, ew, ge, mask_p, pp, K,
+                                 interpret=True)
+    out_r = pgu._grid_update_reference(gathered, ew, ge, mask_p, pp, K, B)
+    assert out_k.shape == (es.num_virt, B * d_out)
+    np.testing.assert_allclose(np.asarray(out_k)[:N_rec],
+                               np.asarray(out_r)[:N_rec],
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_k(args):
+        g, e, x, p = args
+        o = pgu.grid_update_flat(g, e, x, mask_p, p, K, True)
+        return (o[:N_rec] ** 2).sum()
+
+    def loss_r(args):
+        g, e, x, p = args
+        o = pgu._grid_update_reference(g, e, x, mask_p, p, K, B)
+        return (o[:N_rec] ** 2).sum()
+
+    gk = jax.grad(loss_k)((gathered, ew, ge, pp))
+    gr = jax.grad(loss_r)((gathered, ew, ge, pp))
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-5)
+
+
+def test_fused_decoder_branch_engages(monkeypatch, tmp_path):
+    """The fused flat-grid decode branch actually runs inside
+    GraphLAM.predict_step when eligible."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    datastore = DummyDatastore(grid_shape=(20, 20), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=None, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+
+    calls = []
+    orig = pgu.grid_update_flat
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pgu, "grid_update_flat", spy)
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    model.predict_step(
+        params,
+        jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32),
+    )
+    assert calls, "fused decoder branch did not engage"
