@@ -31,6 +31,85 @@ STAGES = [
     "full-step",          # 6
 ]
 
+# flat-grid fused path (the path the TPU actually runs since the fused
+# decoder landed): grid embed emits flat, enc+m2g+output are one kernel
+FLAT_STAGES = [
+    "harness-floor",      # 0
+    "+grid_embed_flat",   # 1
+    "+g2m_flat",          # 2
+    "+processor",         # 3
+    "+m2g_gather",        # 4: mesh send transform + edge gather
+    "+decode_kernel",     # 5: fused grid-update kernel (flat out)
+    "full-step",          # 6: + slice/unflatten/rescale/residual
+]
+
+
+def flat_variant_step(m, params, ctx, prev_state, prev_prev_state, forcing,
+                      stage):
+    import jax.numpy as jnp
+
+    from neural_lam_tpu.models.base_graph_model import expand_to_batch
+    from neural_lam_tpu.ops.message_passing import (
+        _apply_inet_flat,
+        apply_mlp_concat_flat,
+        node_transform_flat,
+    )
+
+    cd = m.compute_dtype
+    B = prev_state.shape[0]
+    h = m.args.hidden_dim
+
+    def out_of(*xs):
+        s = sum(x.sum().astype(jnp.float32) for x in xs)
+        return prev_state * (1.0 + s * 1e-30)
+
+    if stage == 0:
+        return out_of(prev_state)
+    ge_f = apply_mlp_concat_flat(
+        params["grid_embedder"],
+        [prev_state, prev_prev_state, forcing,
+         m.statics.grid_static_features],
+        compute_dtype=cd,
+    )
+    if stage == 1:
+        return out_of(ge_f)
+    mesh_rep = _apply_inet_flat(
+        params["g2m_gnn"], m.graph.g2m, ge_f,
+        expand_to_batch(ctx["mesh_emb"], B),
+        update_edges=False, aggr="sum", compute_dtype=cd,
+        ew=ctx["g2m"]["ew"],
+    )
+    if stage == 2:
+        return out_of(mesh_rep, ge_f)
+    mesh_rep = m.process_step(params, mesh_rep, B, ctx=ctx)
+    if stage == 3:
+        return out_of(mesh_rep, ge_f)
+    w0m = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"]
+    send_tf = node_transform_flat(mesh_rep, w0m[h:2 * h], cd)
+    if cd is not None:
+        send_tf = send_tf.astype(cd)
+        ge_f = ge_f.astype(cd)
+    gathered = jnp.take(send_tf, m.graph.m2g.senders, axis=0)
+    if stage == 4:
+        return out_of(gathered, ge_f)
+    if stage == 5:
+        from neural_lam_tpu.ops.pallas_grid_update import (
+            grid_update_flat,
+            pack_grid_update_params,
+        )
+
+        m2g = m.graph.m2g
+        net_f = grid_update_flat(
+            gathered, ctx["m2g"]["ew"], ge_f,
+            m2g.mask.reshape(m2g.num_virt, m2g.dense_k),
+            pack_grid_update_params(params), m2g.dense_k, False,
+        )
+        return out_of(net_f)
+    out, _ = m._predict_step_flat_grid(
+        params, prev_state, prev_prev_state, forcing, ctx, B
+    )
+    return out
+
 
 def main():
     import jax
@@ -102,6 +181,13 @@ def main():
         rescaled = net_output * m.statics.diff_std + m.statics.diff_mean
         return prev_state + rescaled
 
+    dummy_ctx = model.precompute_rollout_ctx(params)
+    use_flat = model._flat_grid_eligible(params, dummy_ctx, BATCH)
+    stages = FLAT_STAGES if use_flat else STAGES
+    step_fn = flat_variant_step if use_flat else variant_step
+    print(f"path: {'flat-grid fused' if use_flat else 'batched'}",
+          file=sys.stderr)
+
     def make(K, stage):
         def many(arrays, params, a, b, c):
             m = model.with_arrays(arrays)
@@ -109,7 +195,7 @@ def main():
 
             def body(carry, _):
                 p, pp = carry
-                new = variant_step(m, params, ctx, p, pp, c, stage)
+                new = step_fn(m, params, ctx, p, pp, c, stage)
                 return (new, p), ()
 
             (fin, _), _ = jax.lax.scan(body, (a, b), None, length=K)
@@ -119,7 +205,7 @@ def main():
 
     arrays = model.arrays()
     results = {}
-    for stage, name in enumerate(STAGES):
+    for stage, name in enumerate(stages):
         per = {}
         for K in (1, K_BIG):
             f = make(K, stage)
