@@ -31,8 +31,10 @@ NX, NY = 268, 238
 N_STATE, N_FORCING, N_STATIC = 17, 6, 4
 
 
-def build_meps_zarr(root, n_t=24, seed=0):
-    """MEPS-scale synthetic MDP dataset; returns the config path."""
+def build_meps_zarr(root, n_t=24, seed=0, compressor="default"):
+    """MEPS-scale synthetic MDP dataset; returns the config path.
+    compressor: "default" (blosc-lz4) or None (training-ready raw
+    chunks, the create_dataset --compression none mode)."""
     import yaml
 
     from neural_lam_tpu.datastore.zarr_reader import (
@@ -66,13 +68,13 @@ def build_meps_zarr(root, n_t=24, seed=0):
         axis=0,
     )
     static = rng.standard_normal((n_grid, N_STATIC)).astype(np.float32)
-    write_zarr_array(zarr_path, "state", state,
+    write_zarr_array(zarr_path, "state", state, compressor=compressor,
                      dims=["time", "grid_index", "state_feature"],
                      chunks=[1, n_grid, N_STATE])
-    write_zarr_array(zarr_path, "forcing", forcing,
+    write_zarr_array(zarr_path, "forcing", forcing, compressor=compressor,
                      dims=["time", "grid_index", "forcing_feature"],
                      chunks=[1, n_grid, N_FORCING])
-    write_zarr_array(zarr_path, "static", static,
+    write_zarr_array(zarr_path, "static", static, compressor=compressor,
                      dims=["grid_index", "static_feature"])
     for cat, nf in [("state", N_STATE), ("forcing", N_FORCING),
                     ("static", N_STATIC)]:
@@ -215,6 +217,20 @@ def measure_pipeline(n_t=24, batch_size=4, ar_steps=3,
                     os.environ.pop("NLT_NO_NATIVE", None)
                 native._lib, native._tried = None, False
         results["num_workers"] = workers
+
+        if not quick:
+            # training-ready uncompressed layout (create_dataset
+            # --compression none): removes the blosc decode ceiling
+            root_u = root / "uncompressed"
+            cfg_u = build_meps_zarr(root_u, n_t=n_t, compressor=None)
+            os.sync()
+            results["read_MBps_uncompressed"] = round(
+                _measure_raw_read(cfg_u), 1
+            )
+            cold, warm = _measure_loader(cfg_u, batch_size, ar_steps,
+                                         num_workers=workers)
+            results["samples_per_s_uncompressed"] = round(cold, 1)
+            results["samples_per_s_uncompressed_cached"] = round(warm, 1)
 
         if device_step_ms:
             # one training sample = ar_steps predict steps, fwd+bwd costs

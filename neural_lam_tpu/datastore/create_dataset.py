@@ -214,8 +214,24 @@ def _process_input(name: str, spec: dict, category: str) -> _InputResult:
     return res
 
 
-def create_dataset(config_path, force: bool = False) -> Path:
-    """Run the pipeline; returns the path of the written zarr."""
+# training-ready codec choices for the big category arrays. "none" writes
+# raw chunks: ~4x larger on disk but removes the decode-bandwidth ceiling
+# of the training loader (blosc-lz4 decodes at ~0.5 GB/s/core; raw chunks
+# read at disk/page-cache speed) — see bench_input.py --compression
+_COMPRESSORS = {
+    "lz4": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    "zstd": {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 1},
+    "none": None,
+}
+
+
+def create_dataset(config_path, force: bool = False,
+                   compression: str | None = None) -> Path:
+    """Run the pipeline; returns the path of the written zarr.
+
+    compression overrides the config's `output.compression` ("lz4"
+    default, "zstd", or "none" for training-ready uncompressed chunks).
+    """
     config_path = Path(config_path)
     with open(config_path) as f:
         config = yaml.safe_load(f)
@@ -226,6 +242,13 @@ def create_dataset(config_path, force: bool = False) -> Path:
         )
 
     output = config["output"]
+    comp_name = compression or output.get("compression", "lz4")
+    if comp_name not in _COMPRESSORS:
+        raise ValueError(
+            f"unknown compression {comp_name!r} "
+            f"(choices: {sorted(_COMPRESSORS)})"
+        )
+    cat_compressor = _COMPRESSORS[comp_name]
     out_vars = output["variables"]
     chunking = output.get("chunking", {})
     splitting = output.get("splitting", {})
@@ -316,7 +339,8 @@ def create_dataset(config_path, force: bool = False) -> Path:
         chunks = ([min(t_chunk, data.shape[0])] if has_time else []) + list(
             data.shape[1 if has_time else 0:]
         )
-        write_zarr_array(out_path, cat, data, dims=dims, chunks=chunks)
+        write_zarr_array(out_path, cat, data, dims=dims, chunks=chunks,
+                         compressor=cat_compressor)
         feat = f"{cat}_feature"
         write_zarr_array(out_path, feat, np.array(names, dtype=object),
                          dims=[feat], compressor=None)
@@ -389,8 +413,14 @@ def main(argv=None):
     parser.add_argument("config_path", help="datastore config yaml")
     parser.add_argument("--force", action="store_true",
                         help="overwrite an existing output zarr")
+    parser.add_argument("--compression", choices=sorted(_COMPRESSORS),
+                        default=None,
+                        help="override output.compression: lz4 (default), "
+                             "zstd, or none (training-ready raw chunks — "
+                             "~4x disk, no decode ceiling in the loader)")
     args = parser.parse_args(argv)
-    out = create_dataset(args.config_path, force=args.force)
+    out = create_dataset(args.config_path, force=args.force,
+                        compression=args.compression)
     print(f"wrote {out}")
 
 

@@ -256,6 +256,36 @@ def test_autocreate_on_first_use(built, tmp_path):
     assert ds.get_vars_names("state") == ["u100m", "v100m"]
 
 
+def test_compression_none_identical_values(built, tmp_path):
+    """--compression none writes raw (training-ready) chunks with
+    byte-identical array contents to the default lz4 output."""
+    root, config_path, out, *_ = built
+    import shutil
+
+    new_root = tmp_path / "raw"
+    shutil.copytree(root, new_root, ignore=shutil.ignore_patterns(
+        "danra.datastore.zarr"
+    ))
+    with open(new_root / "danra.datastore.yaml") as f:
+        cfg = yaml.safe_load(f)
+    for spec in cfg["inputs"].values():
+        spec["path"] = spec["path"].replace(str(root), str(new_root))
+    with open(new_root / "danra.datastore.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    out_raw = create_dataset(new_root / "danra.datastore.yaml",
+                             compression="none")
+    g_lz4, g_raw = ZarrGroup(out), ZarrGroup(out_raw)
+    for name in ["state", "forcing", "static", "state__train__mean"]:
+        np.testing.assert_array_equal(
+            g_raw[name].read_full(), g_lz4[name].read_full()
+        )
+    assert g_raw["state"].compressor is None
+    assert g_lz4["state"].compressor is not None
+    with pytest.raises(ValueError, match="unknown compression"):
+        create_dataset(new_root / "danra.datastore.yaml",
+                       compression="gzip9", force=True)
+
+
 def test_remote_path_rejected(built, tmp_path):
     root, config_path, _, _, _, _, _, _ = built
     with open(config_path) as f:
