@@ -75,6 +75,69 @@ def _group_ln_f32(x, ones_k, ls_w, lb_w):
     return cent * jax.lax.rsqrt(var + LN_EPS) * ls_w + lb_w
 
 
+# ---------------------------------------------------------------------------
+# Shared pieces for the analytic backward kernels (used here and by
+# pallas_grid_update). Differentiating the flat-XLA recomputes through
+# jax.vjp costs 6-24x the forward kernels at bench scale
+# (probes/decode_bwd.py); the backward kernels recompute the forward chain
+# per tile in VMEM and chain gradients analytically, accumulating parameter
+# gradients across the sequential TPU grid into revisited output blocks.
+#
+# Caveat: the kernel backward returns ZERO cotangent for the dense-slot
+# mask (graph structure, never a trained quantity); the NLT_NO_BWD_KERNEL
+# fallback returns the true mask cotangent via jax.vjp.
+# ---------------------------------------------------------------------------
+
+
+def _silu_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _dotT(a, b):
+    """a^T @ b without materializing the transpose (contract dim 0)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _group_ln_parts(x, ones_k):
+    """Forward LN pieces per 64-lane group: (c_hat, inv)."""
+    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
+    cent = x - mean
+    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return cent * inv, inv
+
+
+def _group_ln_bwd(d_chat, c_hat, inv, ones_k):
+    """d wrt LN input given d wrt c_hat (pre scale/bias)."""
+    t1 = jnp.dot(d_chat, ones_k, preferred_element_type=jnp.float32)
+    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
+    return inv * (d_chat - t1 - c_hat * t2)
+
+
+def _block_diag_sum(acc, B, h, w_cols):
+    """Sum the B diagonal (h, w_cols) blocks of a kron-widened wgrad."""
+    a = acc.reshape(B, h, acc.shape[1])
+    out = jnp.zeros((h, w_cols), jnp.float32)
+    for b in range(B):
+        out = out + jax.lax.dynamic_slice(
+            a[b], (0, b * w_cols), (h, w_cols)
+        )
+    return out
+
+
+def _group_row_sum(row, B, h):
+    """(1, B*h) lane-tiled bias grad -> (h,) summed over batch groups."""
+    return row.reshape(B, h).sum(axis=0)
+
+
+def _fold_eye(h, B):
+    """(W, h) lane-group folder: d_x0 @ fold_eye sums batch groups."""
+    return jnp.tile(jnp.eye(h, dtype=jnp.float32), (B, 1))
+
+
 def _tail_reference_flat(x0, w2k, b2_w, ls_w, lb_w, mask_p, K, B, h):
     """Plain-XLA flat reference (also the VJP recompute). x0 (M, W)."""
     M, W = x0.shape
@@ -213,21 +276,149 @@ def _edge_tail_sum_flat_fwd(gathered, ew, rec_rows, w2, b2, ln_scale,
     return out, (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p)
 
 
+def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
+                     gmsg_ref, w2k_ref, b2w_ref, lsw_ref, w2kT_ref,
+                     foldeye_ref, onesk_ref, mask_ref,
+                     dg_ref, dew_ref, drec_ref, bias_acc_ref, w2acc_ref):
+    f32 = jnp.float32
+    ones = onesk_ref[...]
+    rec = rec_ref[...].astype(f32)
+    tile_v, W = rec.shape
+    # forward recompute
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    ew_w = _lane_tile(ew_ref[...].astype(f32), B)
+    x0 = g_ref[...].astype(f32) + ew_w + rec_rep
+    x1 = jax.nn.silu(x0)
+    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
+    chat, inv = _group_ln_parts(x2, ones)
+    mask = mask_ref[...]
+    # backward
+    d_virt = gvirt_ref[...].astype(f32)
+    d_msg = (
+        jnp.broadcast_to(d_virt[:, None, :], (tile_v, K, W))
+        * mask[..., None]
+    ).reshape(tile_v * K, W)
+    if has_gmsg:
+        d_msg = d_msg + gmsg_ref[...].astype(f32)
+    bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
+    bias_lb = d_msg.sum(axis=0, keepdims=True)
+    d_x2 = _group_ln_bwd(d_msg * lsw_ref[...], chat, inv, ones)
+    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
+    w2_acc = _dotT(x1, d_x2)
+    bias_b2 = d_x2.sum(axis=0, keepdims=True)
+    d_x0 = d_x1 * _silu_grad(x0)
+    dg_ref[...] = d_x0.astype(dg_ref.dtype)
+    dew_ref[...] = jnp.dot(
+        d_x0, foldeye_ref[...], preferred_element_type=f32
+    ).astype(dew_ref.dtype)
+    drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
+        drec_ref.dtype
+    )
+    pad_rows = bias_acc_ref.shape[0] - 3
+    bias_tile = jnp.concatenate(
+        [bias_b2, bias_ls, bias_lb, jnp.zeros((pad_rows, W), f32)], axis=0
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bias_acc_ref[...] = bias_tile
+        w2acc_ref[...] = w2_acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        bias_acc_ref[...] += bias_tile
+        w2acc_ref[...] += w2_acc
+
+
 def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
+    import os
+
     gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p = res
     g_msg, g_virt = grads
-    if g_msg is None or not with_messages:
-        g_msg = jnp.zeros(gathered.shape, gathered.dtype)
-    B = gathered.shape[-1] // ew.shape[-1]
+    M, W = gathered.shape
+    h = ew.shape[-1]
+    B = W // h
+    n_virt = M // K
+    TILE_V = _pick_tile_v(n_virt, K)
+    if (n_virt % TILE_V or TILE_V < 8
+            or os.environ.get("NLT_NO_BWD_KERNEL")):
+        if g_msg is None or not with_messages:
+            g_msg = jnp.zeros(gathered.shape, gathered.dtype)
 
-    def fwd(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p):
-        w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
-        return _sum_reference_flat(gathered, ew, rec_rows, w2k, b2_w, ls_w,
-                                   lb_w, mask_p, K, B)
+        def fwd(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p):
+            w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale,
+                                                    ln_bias, B)
+            return _sum_reference_flat(gathered, ew, rec_rows, w2k, b2_w,
+                                       ls_w, lb_w, mask_p, K, B)
 
-    _, vjp = jax.vjp(fwd, gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
-                     mask_p)
-    return vjp((g_msg, g_virt))
+        _, vjp = jax.vjp(fwd, gathered, ew, rec_rows, w2, b2, ln_scale,
+                         ln_bias, mask_p)
+        return vjp((g_msg, g_virt))
+
+    has_gmsg = bool(with_messages) and g_msg is not None
+    if not has_gmsg:
+        # zero-strength operand keeps the arg list static for the kernel
+        g_msg = jnp.zeros((8, W), gathered.dtype)
+    w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    TILE_E = TILE_V * K
+    dt = gathered.dtype
+    gmsg_spec = (
+        pl.BlockSpec((TILE_E, W), lambda v: (v, 0), memory_space=pltpu.VMEM)
+        if has_gmsg
+        else pl.BlockSpec((8, W), lambda v: (0, 0), memory_space=pltpu.VMEM)
+    )
+    outs = pl.pallas_call(
+        functools.partial(_tail_bwd_kernel, K, B, has_gmsg),
+        grid=(n_virt // TILE_V,),
+        in_specs=[
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            gmsg_spec,
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, h), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((M, h), ew.dtype),
+            jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
+            jax.ShapeDtypeStruct((8, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(gathered, ew, rec_rows, g_virt, g_msg, w2k, b2_w, ls_w, w2k.T,
+      _fold_eye(h, B), ones_k, mask_p)
+    d_gathered, d_ew, d_rec, bias_acc, w2_acc = outs
+    d_w2 = _block_diag_sum(w2_acc, B, h, h).astype(w2.dtype)
+    d_b2 = _group_row_sum(bias_acc[0][None], B, h).astype(b2.dtype)
+    d_ls = _group_row_sum(bias_acc[1][None], B, h).astype(ln_scale.dtype)
+    d_lb = _group_row_sum(bias_acc[2][None], B, h).astype(ln_bias.dtype)
+    return (d_gathered, d_ew, d_rec, d_w2, d_b2, d_ls, d_lb,
+            jnp.zeros_like(mask_p))
 
 
 edge_tail_sum_flat.defvjp(_edge_tail_sum_flat_fwd, _edge_tail_sum_flat_bwd)
@@ -350,26 +541,146 @@ def _edge_layer_flat_fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
                  ln_scale, ln_bias)
 
 
+def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
+                      wek_ref, b0w_ref, w2k_ref, b2w_ref, lsw_ref,
+                      wekT_ref, w2kT_ref, foldeye_ref, onesk_ref, mask_ref,
+                      de_ref, dg_ref, drec_ref, bias_acc_ref, weacc_ref,
+                      w2acc_ref):
+    f32 = jnp.float32
+    ones = onesk_ref[...]
+    e = e_ref[...].astype(f32)
+    rec = rec_ref[...].astype(f32)
+    tile_v, W = rec.shape
+    # forward recompute
+    ew = jnp.dot(e, wek_ref[...], preferred_element_type=f32)
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    x0 = ew + g_ref[...].astype(f32) + rec_rep + b0w_ref[...]
+    x1 = jax.nn.silu(x0)
+    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
+    chat, inv = _group_ln_parts(x2, ones)
+    mask = mask_ref[...]
+    # backward
+    d_edge_out = gedge_ref[...].astype(f32)
+    d_virt = gvirt_ref[...].astype(f32)
+    d_msg = d_edge_out + (
+        jnp.broadcast_to(d_virt[:, None, :], (tile_v, K, W))
+        * mask[..., None]
+    ).reshape(tile_v * K, W)
+    bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
+    bias_lb = d_msg.sum(axis=0, keepdims=True)
+    d_x2 = _group_ln_bwd(d_msg * lsw_ref[...], chat, inv, ones)
+    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
+    w2_acc = _dotT(x1, d_x2)
+    bias_b2 = d_x2.sum(axis=0, keepdims=True)
+    d_x0 = d_x1 * _silu_grad(x0)
+    dg_ref[...] = d_x0.astype(dg_ref.dtype)
+    drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
+        drec_ref.dtype
+    )
+    d_e = d_edge_out + jnp.dot(d_x0, wekT_ref[...],
+                               preferred_element_type=f32)
+    de_ref[...] = d_e.astype(de_ref.dtype)
+    we_acc = _dotT(e, d_x0)
+    bias_b0 = d_x0.sum(axis=0, keepdims=True)
+    pad_rows = bias_acc_ref.shape[0] - 4
+    bias_tile = jnp.concatenate(
+        [bias_b0, bias_b2, bias_ls, bias_lb,
+         jnp.zeros((pad_rows, W), f32)], axis=0
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bias_acc_ref[...] = bias_tile
+        weacc_ref[...] = we_acc
+        w2acc_ref[...] = w2_acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        bias_acc_ref[...] += bias_tile
+        weacc_ref[...] += we_acc
+        w2acc_ref[...] += w2_acc
+
+
 def _edge_layer_flat_bwd(K, interpret, res, grads):
+    import os
+
     (edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2, ln_scale,
      ln_bias) = res
     g_edge, g_virt = grads
     h = w2.shape[0]
-    B = edge_rep.shape[-1] // h
+    M, W = edge_rep.shape
+    B = W // h
+    n_virt = M // K
+    TILE_V = _pick_tile_v(n_virt, K)
+    if (n_virt % TILE_V or TILE_V < 8
+            or os.environ.get("NLT_NO_BWD_KERNEL")):
+        def fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2,
+                ln_scale, ln_bias):
+            w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale,
+                                                    ln_bias, B)
+            w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                            w_e.astype(jnp.float32))
+            b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+            return _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek,
+                                         b0_w, w2k, b2_w, ls_w, lb_w,
+                                         mask_p, K, B, h)
 
-    def fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2, ln_scale,
-            ln_bias):
-        w2k, _, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
-        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
-                        w_e.astype(jnp.float32))
-        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
-        return _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek,
-                                     b0_w, w2k, b2_w, ls_w, lb_w, mask_p,
-                                     K, B, h)
+        _, vjp = jax.vjp(fwd, edge_rep, gathered, rec_rows, mask_p, w_e, b0,
+                         w2, b2, ln_scale, ln_bias)
+        return vjp((g_edge, g_virt))
 
-    _, vjp = jax.vjp(fwd, edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
-                     b2, ln_scale, ln_bias)
-    return vjp((g_edge, g_virt))
+    if g_edge is None:
+        g_edge = jnp.zeros_like(edge_rep)
+    if g_virt is None:
+        g_virt = jnp.zeros((n_virt, W), edge_rep.dtype)
+    w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32), w_e.astype(jnp.float32))
+    b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    TILE_E = TILE_V * K
+    dt = edge_rep.dtype
+    tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                               memory_space=pltpu.VMEM)
+    tile_v_spec = pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                               memory_space=pltpu.VMEM)
+    cw = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_layer_bwd_kernel, K, B),
+        grid=(n_virt // TILE_V,),
+        in_specs=[
+            tile_e_spec, tile_e_spec, tile_v_spec, tile_e_spec, tile_v_spec,
+            cw((W, W)), cw((1, W)), cw((W, W)), cw((1, W)), cw((1, W)),
+            cw((W, W)), cw((W, W)), cw((W, h)), cw((W, W)),
+            pl.BlockSpec((TILE_V, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            tile_e_spec, tile_e_spec, tile_v_spec,
+            cw((8, W)), cw((W, W)), cw((W, W)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((M, W), gathered.dtype),
+            jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
+            jax.ShapeDtypeStruct((8, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(edge_rep, gathered, rec_rows, g_edge, g_virt, w_ek, b0_w, w2k, b2_w,
+      ls_w, w_ek.T, w2k.T, _fold_eye(h, B), ones_k, mask_p)
+    d_e, d_g, d_rec, bias_acc, we_acc, w2_acc = outs
+    d_w_e = _block_diag_sum(we_acc, B, h, h).astype(w_e.dtype)
+    d_b0 = _group_row_sum(bias_acc[0][None], B, h).astype(b0.dtype)
+    d_w2 = _block_diag_sum(w2_acc, B, h, h).astype(w2.dtype)
+    d_b2 = _group_row_sum(bias_acc[1][None], B, h).astype(b2.dtype)
+    d_ls = _group_row_sum(bias_acc[2][None], B, h).astype(ln_scale.dtype)
+    d_lb = _group_row_sum(bias_acc[3][None], B, h).astype(ln_bias.dtype)
+    return (d_e, d_g, d_rec, jnp.zeros_like(mask_p), d_w_e, d_b0, d_w2,
+            d_b2, d_ls, d_lb)
 
 
 edge_layer_flat.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)

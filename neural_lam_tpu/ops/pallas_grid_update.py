@@ -272,16 +272,340 @@ def _grid_update_fwd(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
     return out, (gathered, ew, grid_emb_f, mask_p, pp)
 
 
+# ---------------------------------------------------------------------------
+# Analytic backward kernel.
+#
+# Differentiating the flat-XLA recompute (`_grid_update_reference`) through
+# jax.vjp costs ~59 ms at the bench scale — 24x the 2.5 ms forward kernel —
+# because XLA materializes every (M, W) per-edge intermediate in HBM and the
+# kron-widened matmuls run far off MXU peak (probes/decode_bwd.py). The
+# backward below recomputes the forward chain per tile in VMEM and chains
+# the gradients analytically in the same pass; parameter gradients are
+# accumulated across the sequential TPU grid into revisited output blocks
+# (constant index_map), then reduced from the kron-widened (W, W) layout
+# back to raw (h, h) shapes outside the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _silu_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _dotT(a, b):
+    """a^T @ b without materializing the transpose (contract dim 0)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _group_ln_parts(x, ones_k):
+    """Forward LN pieces per 64-lane group: (c_hat, inv)."""
+    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
+    cent = x - mean
+    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return cent * inv, inv
+
+
+def _group_ln_bwd(d_chat, c_hat, inv, ones_k):
+    """d wrt LN input given d wrt c_hat (pre scale/bias)."""
+    t1 = jnp.dot(d_chat, ones_k, preferred_element_type=jnp.float32)
+    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
+    return inv * (d_chat - t1 - c_hat * t2)
+
+
+# rows of the stacked bias-gradient accumulator (last row spare)
+_BIAS_ROWS = ("enc_b0", "enc_b1", "enc_ls", "enc_lb", "b2", "e_ls", "e_lb",
+              "a_b0", "a_b1", "a_ls", "a_lb", "o_b0", "o_b1")
+_W_ACCS = ("enc_w0", "enc_w1", "w_i", "w2", "a_wr", "a_wa", "a_w1", "o_w0",
+           "o_w1")
+
+
+def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
+                            # forward consts
+                            w_ik, enc_w0k, enc_b0w, enc_w1k, enc_b1w,
+                            enc_lsw, enc_lbw, w2k, b2w, e_lsw, e_lbw, a_wrk,
+                            a_wak, a_b0w, a_b1w, a_w1k, a_lsw, a_lbw, o_w0k,
+                            o_b0w, o_w1k, o_b1w, ones_k,
+                            # transposed weights + lane-group folder
+                            w_ikT, enc_w0kT, enc_w1kT, w2kT, a_wrkT, a_wakT,
+                            a_w1kT, o_w0kT, o_w1kT, fold_eye,
+                            # outputs
+                            dg_ref, dew_ref, dge_ref, bias_acc_ref,
+                            *wacc_refs):
+    f32 = jnp.float32
+    ones = ones_k[...]
+    ge = ge_ref[...].astype(f32)
+    tile_v, W = ge.shape
+
+    # ---- forward recompute (mirrors _grid_update_kernel) ----
+    t1p = jnp.dot(ge, enc_w0k[...], preferred_element_type=f32) + enc_b0w[...]
+    t1 = jax.nn.silu(t1p)
+    t2 = jnp.dot(t1, enc_w1k[...], preferred_element_type=f32) + enc_b1w[...]
+    chat_e, inv_e = _group_ln_parts(t2, ones)
+    gr = ge + chat_e * enc_lsw[...] + enc_lbw[...]
+    rec = jnp.dot(gr, w_ik[...], preferred_element_type=f32)
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    ew_w = _lane_tile(ew_ref[...].astype(f32), B)
+    x0 = g_ref[...].astype(f32) + ew_w + rec_rep
+    x1 = jax.nn.silu(x0)
+    x2 = jnp.dot(x1, w2k[...], preferred_element_type=f32) + b2w[...]
+    chat_x, inv_x = _group_ln_parts(x2, ones)
+    msg = chat_x * e_lsw[...] + e_lbw[...]
+    mask = mask_ref[...]
+    agg = (msg.reshape(tile_v, K, W) * mask[..., None]).sum(axis=1)
+    u0p = (
+        jnp.dot(gr, a_wrk[...], preferred_element_type=f32)
+        + jnp.dot(agg, a_wak[...], preferred_element_type=f32)
+        + a_b0w[...]
+    )
+    u1 = jax.nn.silu(u0p)
+    u2 = jnp.dot(u1, a_w1k[...], preferred_element_type=f32) + a_b1w[...]
+    chat_u, inv_u = _group_ln_parts(u2, ones)
+    rec_out = gr + chat_u * a_lsw[...] + a_lbw[...]
+    y0p = jnp.dot(rec_out, o_w0k[...], preferred_element_type=f32) \
+        + o_b0w[...]
+    y = jax.nn.silu(y0p)
+
+    # ---- backward chain ----
+    acc = {}
+    bias = {}
+    d_out = dout_ref[...].astype(f32)  # (tile_v, w_out)
+    w_out = d_out.shape[-1]
+    d_y = jnp.dot(d_out, o_w1kT[...], preferred_element_type=f32)
+    acc["o_w1"] = _dotT(y, d_out)
+    bias["o_b1"] = d_out.sum(axis=0, keepdims=True)
+    d_y0p = d_y * _silu_grad(y0p)
+    d_rec_out = jnp.dot(d_y0p, o_w0kT[...], preferred_element_type=f32)
+    acc["o_w0"] = _dotT(rec_out, d_y0p)
+    bias["o_b0"] = d_y0p.sum(axis=0, keepdims=True)
+    d_gr = d_rec_out
+    d_ln_u = d_rec_out
+    bias["a_ls"] = (d_ln_u * chat_u).sum(axis=0, keepdims=True)
+    bias["a_lb"] = d_ln_u.sum(axis=0, keepdims=True)
+    d_u2 = _group_ln_bwd(d_ln_u * a_lsw[...], chat_u, inv_u, ones)
+    d_u1 = jnp.dot(d_u2, a_w1kT[...], preferred_element_type=f32)
+    acc["a_w1"] = _dotT(u1, d_u2)
+    bias["a_b1"] = d_u2.sum(axis=0, keepdims=True)
+    d_u0p = d_u1 * _silu_grad(u0p)
+    d_gr = d_gr + jnp.dot(d_u0p, a_wrkT[...], preferred_element_type=f32)
+    d_agg = jnp.dot(d_u0p, a_wakT[...], preferred_element_type=f32)
+    acc["a_wr"] = _dotT(gr, d_u0p)
+    acc["a_wa"] = _dotT(agg, d_u0p)
+    bias["a_b0"] = d_u0p.sum(axis=0, keepdims=True)
+    d_msg = (
+        jnp.broadcast_to(d_agg[:, None, :], (tile_v, K, W))
+        * mask[..., None]
+    ).reshape(tile_v * K, W)
+    bias["e_ls"] = (d_msg * chat_x).sum(axis=0, keepdims=True)
+    bias["e_lb"] = d_msg.sum(axis=0, keepdims=True)
+    d_x2 = _group_ln_bwd(d_msg * e_lsw[...], chat_x, inv_x, ones)
+    d_x1 = jnp.dot(d_x2, w2kT[...], preferred_element_type=f32)
+    acc["w2"] = _dotT(x1, d_x2)
+    bias["b2"] = d_x2.sum(axis=0, keepdims=True)
+    d_x0 = d_x1 * _silu_grad(x0)
+    dg_ref[...] = d_x0.astype(dg_ref.dtype)
+    dew_ref[...] = jnp.dot(
+        d_x0, fold_eye[...], preferred_element_type=f32
+    ).astype(dew_ref.dtype)
+    d_rec = d_x0.reshape(tile_v, K, W).sum(axis=1)
+    d_gr = d_gr + jnp.dot(d_rec, w_ikT[...], preferred_element_type=f32)
+    acc["w_i"] = _dotT(gr, d_rec)
+    d_ge = d_gr
+    d_ln_e = d_gr
+    bias["enc_ls"] = (d_ln_e * chat_e).sum(axis=0, keepdims=True)
+    bias["enc_lb"] = d_ln_e.sum(axis=0, keepdims=True)
+    d_t2 = _group_ln_bwd(d_ln_e * enc_lsw[...], chat_e, inv_e, ones)
+    d_t1 = jnp.dot(d_t2, enc_w1kT[...], preferred_element_type=f32)
+    acc["enc_w1"] = _dotT(t1, d_t2)
+    bias["enc_b1"] = d_t2.sum(axis=0, keepdims=True)
+    d_t1p = d_t1 * _silu_grad(t1p)
+    d_ge = d_ge + jnp.dot(d_t1p, enc_w0kT[...], preferred_element_type=f32)
+    acc["enc_w0"] = _dotT(ge, d_t1p)
+    bias["enc_b0"] = d_t1p.sum(axis=0, keepdims=True)
+    dge_ref[...] = d_ge.astype(dge_ref.dtype)
+
+    # ---- parameter-gradient accumulation across the sequential grid ----
+    n_bias = len(_BIAS_ROWS)
+    bias_rows = []
+    for name in _BIAS_ROWS:
+        row = bias[name]
+        if row.shape[-1] != W:
+            row = jnp.pad(row, ((0, 0), (0, W - row.shape[-1])))
+        bias_rows.append(row)
+    bias_tile = jnp.concatenate(
+        bias_rows + [jnp.zeros((bias_acc_ref.shape[0] - n_bias, W), f32)],
+        axis=0,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bias_acc_ref[...] = bias_tile
+        for name, ref in zip(_W_ACCS, wacc_refs):
+            ref[...] = acc[name]
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        bias_acc_ref[...] += bias_tile
+        for name, ref in zip(_W_ACCS, wacc_refs):
+            ref[...] += acc[name]
+
+
+def _block_diag_sum(acc, B, h, w_cols):
+    """Sum the B diagonal (h, w_cols) blocks of a kron-widened wgrad."""
+    rows = acc.shape[0]
+    a = acc.reshape(B, h, acc.shape[1])
+    out = jnp.zeros((h, w_cols), jnp.float32)
+    for b in range(B):
+        out = out + jax.lax.dynamic_slice(
+            a[b], (0, b * w_cols), (h, w_cols)
+        )
+    del rows
+    return out
+
+
+def _group_row_sum(row, B, h):
+    """(1, B*h) lane-tiled bias grad -> (h,) summed over batch groups."""
+    return row.reshape(B, h).sum(axis=0)
+
+
 def _grid_update_bwd(K, interpret, res, g_out):
     gathered, ew, grid_emb_f, mask_p, pp = res
-    B = gathered.shape[-1] // ew.shape[-1]
+    M, W = gathered.shape
+    h = ew.shape[-1]
+    B = W // h
+    n_virt = M // K
+    d_out = pp["o_w1"].shape[1]
+    w_out = _round_up(B * d_out, 128)
+    n_rows = grid_emb_f.shape[0]
 
-    def fwd(gathered, ew, grid_emb_f, mask_p, pp):
-        return _grid_update_reference(gathered, ew, grid_emb_f, mask_p, pp,
-                                      K, B)
+    import os
 
-    _, vjp = jax.vjp(fwd, gathered, ew, grid_emb_f, mask_p, pp)
-    return vjp(g_out)
+    TILE_V = _pick_tile_v(n_virt, K)
+    if (n_virt % TILE_V or TILE_V < 8
+            or os.environ.get("NLT_NO_BWD_KERNEL")):
+        def fwd(gathered, ew, grid_emb_f, mask_p, pp):
+            return _grid_update_reference(gathered, ew, grid_emb_f, mask_p,
+                                          pp, K, B)
+
+        _, vjp = jax.vjp(fwd, gathered, ew, grid_emb_f, mask_p, pp)
+        return vjp(g_out)
+
+    consts = _prep_consts(pp, B)
+    tr = {
+        "w_ikT": consts["w_ik"].T,
+        "enc_w0kT": consts["enc_w0k"].T,
+        "enc_w1kT": consts["enc_w1k"].T,
+        "w2kT": consts["w2k"].T,
+        "a_wrkT": consts["a_wrk"].T,
+        "a_wakT": consts["a_wak"].T,
+        "a_w1kT": consts["a_w1k"].T,
+        "o_w0kT": consts["o_w0k"].T,
+        "o_w1kT": consts["o_w1k"].T,
+        "fold_eye": jnp.tile(jnp.eye(h, dtype=jnp.float32), (B, 1)),
+    }
+    _TR_NAMES = ("w_ikT", "enc_w0kT", "enc_w1kT", "w2kT", "a_wrkT", "a_wakT",
+                 "a_w1kT", "o_w0kT", "o_w1kT", "fold_eye")
+
+    # pad d_out lanes and ge rows like the forward
+    if g_out.shape[-1] != w_out:
+        g_out = jnp.pad(g_out, ((0, 0), (0, w_out - g_out.shape[-1])))
+    ge = grid_emb_f
+    if n_rows < n_virt:
+        ge = jnp.pad(ge, ((0, n_virt - n_rows), (0, 0)))
+
+    TILE_E = TILE_V * K
+    dt = gathered.dtype
+    n_bias_rows = _round_up(len(_BIAS_ROWS), 8)
+    full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    const_specs = [full(consts[n].shape) for n in _CONST_NAMES]
+    tr_specs = [full(tr[n].shape) for n in _TR_NAMES]
+    wacc_shapes = {
+        "enc_w0": (W, W), "enc_w1": (W, W), "w_i": (W, W), "w2": (W, W),
+        "a_wr": (W, W), "a_wa": (W, W), "a_w1": (W, W), "o_w0": (W, W),
+        "o_w1": (W, w_out),
+    }
+    outs = pl.pallas_call(
+        functools.partial(_grid_update_bwd_kernel, K, B),
+        grid=(n_virt // TILE_V,),
+        in_specs=[
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, w_out), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs + tr_specs,
+        out_specs=(
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bias_rows, W), lambda v: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(wacc_shapes[n], lambda v: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for n in _W_ACCS
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((M, h), ew.dtype),
+            jax.ShapeDtypeStruct((n_virt, W), grid_emb_f.dtype),
+            jax.ShapeDtypeStruct((n_bias_rows, W), jnp.float32),
+        ) + tuple(
+            jax.ShapeDtypeStruct(wacc_shapes[n], jnp.float32)
+            for n in _W_ACCS
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(gathered, ew, ge, mask_p, g_out,
+      *[consts[n] for n in _CONST_NAMES], *[tr[n] for n in _TR_NAMES])
+
+    d_gathered, d_ew, d_ge_full, bias_acc = outs[:4]
+    waccs = dict(zip(_W_ACCS, outs[4:]))
+    if n_rows < n_virt:
+        d_ge_full = jax.lax.slice_in_dim(d_ge_full, 0, n_rows, axis=0)
+
+    bias = {name: bias_acc[i] for i, name in enumerate(_BIAS_ROWS)}
+    d_pp = {
+        "w_i": _block_diag_sum(waccs["w_i"], B, h, h),
+        "w2": _block_diag_sum(waccs["w2"], B, h, h),
+        "b2": _group_row_sum(bias["b2"][None], B, h),
+        "e_ls": _group_row_sum(bias["e_ls"][None], B, h),
+        "e_lb": _group_row_sum(bias["e_lb"][None], B, h),
+        "enc_w0": _block_diag_sum(waccs["enc_w0"], B, h, h),
+        "enc_b0": _group_row_sum(bias["enc_b0"][None], B, h),
+        "enc_w1": _block_diag_sum(waccs["enc_w1"], B, h, h),
+        "enc_b1": _group_row_sum(bias["enc_b1"][None], B, h),
+        "enc_ls": _group_row_sum(bias["enc_ls"][None], B, h),
+        "enc_lb": _group_row_sum(bias["enc_lb"][None], B, h),
+        "a_w0": jnp.concatenate(
+            [_block_diag_sum(waccs["a_wr"], B, h, h),
+             _block_diag_sum(waccs["a_wa"], B, h, h)], axis=0
+        ),
+        "a_b0": _group_row_sum(bias["a_b0"][None], B, h),
+        "a_w1": _block_diag_sum(waccs["a_w1"], B, h, h),
+        "a_b1": _group_row_sum(bias["a_b1"][None], B, h),
+        "a_ls": _group_row_sum(bias["a_ls"][None], B, h),
+        "a_lb": _group_row_sum(bias["a_lb"][None], B, h),
+        "o_w0": _block_diag_sum(waccs["o_w0"], B, h, h),
+        "o_b0": _group_row_sum(bias["o_b0"][None], B, h),
+        "o_w1": _block_diag_sum(waccs["o_w1"], B, h, d_out),
+        "o_b1": bias["o_b1"][:B * d_out].reshape(B, d_out).sum(axis=0),
+    }
+    d_pp = {k: v.astype(pp[k].dtype) for k, v in d_pp.items()}
+    return (d_gathered, d_ew, d_ge_full, jnp.zeros_like(mask_p), d_pp)
 
 
 grid_update_flat.defvjp(_grid_update_fwd, _grid_update_bwd)

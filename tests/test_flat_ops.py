@@ -482,3 +482,93 @@ def test_fused_decoder_branch_engages(monkeypatch, tmp_path):
         jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32),
     )
     assert calls, "fused decoder branch did not engage"
+
+
+def test_analytic_bwd_kernels_match_vjp(dense_edges, monkeypatch):
+    """The analytic backward kernels (tail / layer / grid-update) produce
+    the same input AND parameter gradients as jax.vjp through the flat XLA
+    references (the NLT_NO_BWD_KERNEL fallback path)."""
+    from neural_lam_tpu.ops import pallas_edge_flat as pef
+    from neural_lam_tpu.ops.pallas_grid_update import grid_update_flat
+
+    es = dense_edges
+    B, h = 4, 64
+    K = es.dense_k
+    W = B * h
+    M, Nv = es.num_edges, es.num_virt
+    rng = np.random.default_rng(7)
+
+    def arr(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+
+    gathered, ew, rec = arr(M, W), arr(M, h), arr(Nv, W)
+    mask_p = es.mask.reshape(Nv, K)
+    w2, b2 = arr(h, h), arr(h)
+    ls = jnp.asarray(1 + rng.standard_normal((h,)) * 0.1, jnp.float32)
+    lb = arr(h)
+    ct_v, ct_m = arr(Nv, W), arr(M, W)
+
+    def rel(a, b):
+        return float(jnp.max(jnp.abs(a - b))
+                     / (jnp.max(jnp.abs(b)) + 1e-9))
+
+    # --- tail ---
+    def tail_loss(g, e, r, w2, b2, ls, lb):
+        msg, v = pef.edge_tail_sum_flat(g, e, r, w2, b2, ls, lb, mask_p, K,
+                                        True, True)
+        return (v * ct_v).sum() + (msg * ct_m).sum()
+
+    args = (gathered, ew, rec, w2, b2, ls, lb)
+    g_kernel = jax.grad(tail_loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.setenv("NLT_NO_BWD_KERNEL", "1")
+    g_fallback = jax.grad(tail_loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.delenv("NLT_NO_BWD_KERNEL")
+    assert max(rel(a, b) for a, b in zip(g_kernel, g_fallback)) < 1e-5
+
+    # --- layer ---
+    e_rep, w_e, b0 = arr(M, W), arr(h, h), arr(h)
+
+    def layer_loss(er, g, r, w_e, b0, w2, b2, ls, lb):
+        eo, v = pef.edge_layer_flat(er, g, r, mask_p, w_e, b0, w2, b2, ls,
+                                    lb, K, True)
+        return (v * ct_v).sum() + (eo * ct_m).sum()
+
+    largs = (e_rep, gathered, rec, w_e, b0, w2, b2, ls, lb)
+    g_kernel = jax.grad(layer_loss, argnums=tuple(range(9)))(*largs)
+    monkeypatch.setenv("NLT_NO_BWD_KERNEL", "1")
+    g_fallback = jax.grad(layer_loss, argnums=tuple(range(9)))(*largs)
+    monkeypatch.delenv("NLT_NO_BWD_KERNEL")
+    assert max(rel(a, b) for a, b in zip(g_kernel, g_fallback)) < 1e-5
+
+    # --- fused grid update (virt-identity style inputs) ---
+    d_out = 17
+    pp = {
+        "w_i": arr(h, h), "w2": arr(h, h), "b2": arr(h),
+        "e_ls": ls, "e_lb": lb,
+        "enc_w0": arr(h, h), "enc_b0": arr(h),
+        "enc_w1": arr(h, h), "enc_b1": arr(h),
+        "enc_ls": jnp.asarray(1 + rng.standard_normal((h,)) * 0.1,
+                              jnp.float32),
+        "enc_lb": arr(h),
+        "a_w0": arr(2 * h, h), "a_b0": arr(h),
+        "a_w1": arr(h, h), "a_b1": arr(h),
+        "a_ls": jnp.asarray(1 + rng.standard_normal((h,)) * 0.1,
+                            jnp.float32),
+        "a_lb": arr(h),
+        "o_w0": arr(h, h), "o_b0": arr(h),
+        "o_w1": arr(h, d_out), "o_b1": arr(d_out),
+    }
+    ge = arr(Nv - 16, W)  # exercise ge row padding
+    ct_o = arr(Nv, B * d_out)
+
+    def grid_loss(g, e, x, p):
+        return (grid_update_flat(g, e, x, mask_p, p, K, True) * ct_o).sum()
+
+    gargs = (gathered, ew, ge, pp)
+    g_kernel = jax.grad(grid_loss, argnums=(0, 1, 2, 3))(*gargs)
+    monkeypatch.setenv("NLT_NO_BWD_KERNEL", "1")
+    g_fallback = jax.grad(grid_loss, argnums=(0, 1, 2, 3))(*gargs)
+    monkeypatch.delenv("NLT_NO_BWD_KERNEL")
+    flat_k = jax.tree_util.tree_leaves(g_kernel)
+    flat_f = jax.tree_util.tree_leaves(g_fallback)
+    assert max(rel(a, b) for a, b in zip(flat_k, flat_f)) < 1e-5
