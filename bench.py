@@ -70,6 +70,62 @@ def measure_steps_ms(model, params, prev, prevprev, forcing):
     return (results[K_BIG] - results[1]) / (K_BIG - 1) * 1e3
 
 
+def measure_train_step_ms(model, params, prev, prevprev, forcing,
+                          k_big=10, n_trials=5):
+    """Full training-step (fwd + bwd + AdamW) ms via scan-K differencing;
+    (params, opt_state) ride the scan carry so every iteration performs a
+    real optimizer update and nothing is hoisted."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    B, n, d = prev.shape
+    ar_steps = 1
+    init_states = jnp.stack([prevprev, prev], axis=1)
+    target = jnp.broadcast_to(prev[:, None], (B, ar_steps, n, d))
+    forc = jnp.broadcast_to(
+        forcing[:, None], (B, ar_steps) + forcing.shape[1:]
+    )
+    times_arr = jnp.zeros((B, ar_steps), jnp.float32)
+    batch = (init_states, target, forc, times_arr)
+    optimizer = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    arrays = model.arrays()
+
+    def make(K):
+        def many(arrays, params, opt_state, batch):
+            m = model.with_arrays(arrays)
+
+            def body(carry, _):
+                p, o = carry
+                loss, grads = jax.value_and_grad(m.training_loss)(p, batch)
+                updates, o = optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), loss
+
+            (p, _), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=K)
+            return losses.sum() + sum(
+                x.sum().astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(p)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+            )
+
+        return jax.jit(many)
+
+    results = {}
+    for K in (1, k_big):
+        f = make(K)
+        float(f(arrays, params, opt_state, batch))
+        ts = []
+        for _ in range(n_trials):
+            t0 = time.time()
+            float(f(arrays, params, opt_state, batch))
+            ts.append(time.time() - t0)
+        results[K] = float(np.median(ts))
+    return (results[k_big] - results[1]) / (k_big - 1) * 1e3
+
+
 def main():
     import jax.numpy as jnp
 
@@ -138,6 +194,15 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
+
+    try:
+        ms_train = measure_train_step_ms(model, params, prev, prevprev,
+                                         forcing)
+        print(f"[bench] train step (fwd+bwd+AdamW, ar=1): "
+              f"{ms_train:.2f} ms, {BATCH * 1000.0 / ms_train:.1f} "
+              f"samples/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] train-step measurement failed: {e}", file=sys.stderr)
 
     try:
         # host-side input pipeline vs the device step budget (CPU only)

@@ -193,6 +193,7 @@ class BaseGraphModel(ARModelBase):
             _apply_inet_flat,
             _pallas_mode,
             apply_mlp_concat_flat,
+            gather_send_flat,
             node_transform_flat,
             unflatten_nodes,
         )
@@ -226,7 +227,7 @@ class BaseGraphModel(ARModelBase):
         if cd is not None:
             send_tf = send_tf.astype(cd)
             ge_f = ge_f.astype(cd)
-        gathered = jnp.take(send_tf, m2g.senders, axis=0)
+        gathered = gather_send_flat(send_tf, m2g)
         net_f = grid_update_flat(
             gathered, ctx["m2g"]["ew"], ge_f,
             m2g.mask.reshape(m2g.num_virt, m2g.dense_k),

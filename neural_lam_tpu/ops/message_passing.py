@@ -29,6 +29,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,12 @@ class EdgeSet:
     virt_identity: bool = dataclasses.field(
         default=False, metadata={"static": True}
     )
+    # Transposed dense layout (an EdgeSet whose "edges" are this set's edge
+    # SLOTS and whose "receivers" are this set's SENDER nodes). Used by the
+    # sender-gather custom VJP to turn the backward scatter-add into a dense
+    # gather + masked fold (scatter is the TPU's weak spot). None when not
+    # built (non-dense sets, hand-assembled shard chunks).
+    transposed: "EdgeSet | None" = None
 
     @property
     def num_edges(self) -> int:
@@ -95,7 +102,8 @@ class EdgeSet:
                    sort: bool = True, dense: bool = False,
                    dense_cap: int | None = None,
                    dense_force_k: int | None = None,
-                   dense_min_virt: int = 1):
+                   dense_min_virt: int = 1,
+                   build_transpose: bool = True):
         """Build an EdgeSet from already-local index arrays.
 
         sort=False keeps the given edge order (required for chunk-ordered
@@ -154,7 +162,25 @@ class EdgeSet:
             ])
             recv_p = np.repeat(virt_to_rec, K)
             table, _ = build_gather_table(recv_p, num_rec)
+            transposed = None
+            if build_transpose:
+                real = np.nonzero(mask[:, 0] > 0)[0]
+                if real.size:
+                    # transposed dense layout: "edges" are this set's slot
+                    # ids, "receivers" its sender nodes; cap near the mean
+                    # out-degree bounds padding for skewed degrees (m2g
+                    # senders cover ~40 grid slots each, g2m senders ~2)
+                    cap = int(min(8, max(
+                        1, -(-real.size // max(num_send, 1))
+                    )))
+                    transposed = EdgeSet.from_local(
+                        real.astype(np.int64), send_p[real],
+                        np.zeros((real.size, 0), np.float32),
+                        num_send=M_pad, num_rec=num_send, dense=True,
+                        dense_cap=cap, build_transpose=False,
+                    )
             return EdgeSet(
+                transposed=transposed,
                 senders=jnp.asarray(send_p),
                 receivers=jnp.asarray(recv_p),
                 features=jnp.asarray(feat_p),
@@ -331,6 +357,74 @@ def expand_edge_rep(edges: "EdgeSet", emb, batch_size: int):
     return jnp.broadcast_to(emb[None], (batch_size,) + emb.shape)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _gather_rows_T(table, senders, t_slots, t_mask_p, t_virt_to_rec,
+                   num_send: int, t_num_virt: int, t_k: int,
+                   t_virt_identity: bool):
+    """jnp.take(table, senders, axis=0) whose backward is scatter-free.
+
+    The VJP of a row gather is a scatter-add into the table — the TPU's
+    weak spot (XLA lowers it orders of magnitude below gather speed). With
+    the transposed dense layout (t_slots: per-sender edge-slot ids in
+    K-capped virtual rows), the backward becomes
+        d_table = fold(masked-sum_k take(d_out, t_slots))
+    — the same dense gather+fold pattern the forward aggregation uses."""
+    return jnp.take(table, senders, axis=0)
+
+
+def _gather_rows_T_fwd(table, senders, t_slots, t_mask_p, t_virt_to_rec,
+                       num_send, t_num_virt, t_k, t_virt_identity):
+    return jnp.take(table, senders, axis=0), (
+        senders, t_slots, t_mask_p, t_virt_to_rec
+    )
+
+
+def _gather_rows_T_bwd(num_send, t_num_virt, t_k, t_virt_identity, res,
+                       d_out):
+    senders, t_slots, t_mask_p, t_virt_to_rec = res
+    g = jnp.take(d_out, t_slots, axis=0)  # (Nv_T * K_T, W)
+    W = g.shape[-1]
+    virt = (
+        g.reshape(t_num_virt, t_k, W) * t_mask_p[..., None]
+    ).sum(axis=1)
+    if t_virt_identity and t_num_virt >= num_send:
+        d_table = jax.lax.slice_in_dim(virt, 0, num_send, axis=0)
+    else:
+        d_table = jax.ops.segment_sum(
+            virt, t_virt_to_rec, num_segments=num_send,
+            indices_are_sorted=True,
+        ).astype(d_out.dtype)
+
+    def _int0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (d_table.astype(d_out.dtype), _int0(senders), _int0(t_slots),
+            jnp.zeros_like(t_mask_p), _int0(t_virt_to_rec))
+
+
+_gather_rows_T.defvjp(_gather_rows_T_fwd, _gather_rows_T_bwd)
+
+
+def gather_send_flat(table, edges: "EdgeSet"):
+    """Sender-row gather for the flat path; scatter-free backward when the
+    edge set carries a transposed dense layout.
+
+    Contract: the cotangent arriving at masked padding slots must be zero.
+    Every in-model consumer guarantees this — padded messages are masked in
+    all aggregations and the final edge state of update_edges stacks is
+    dropped, so zero cotangents propagate to padded slots by induction.
+    Synthetic losses that sum raw edge outputs over padding slots would
+    violate it (multiply by `edges.mask` first)."""
+    t = edges.transposed
+    if t is None:
+        return jnp.take(table, edges.senders, axis=0)
+    return _gather_rows_T(
+        table, edges.senders, t.senders,
+        t.mask.reshape(t.num_virt, t.dense_k), t.virt_to_rec,
+        edges.num_send, t.num_virt, t.dense_k, t.virt_identity,
+    )
+
+
 def _gather_virt_rows_flat(rec_tf, edges: "EdgeSet"):
     """Flat (N_rec, W) -> (N_virt, W) virtual-row receiver transforms."""
     if edges.virt_identity:
@@ -411,7 +505,7 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
         # cast before the big gather: half the bytes moved
         send_tf = send_tf.astype(cd)
         rec_tf = rec_tf.astype(cd)
-    gathered = jnp.take(send_tf, edges.senders, axis=0)
+    gathered = gather_send_flat(send_tf, edges)
     rec_rows = _gather_virt_rows_flat(rec_tf, edges)
     mask_p = edges.mask.reshape(edges.num_virt, edges.dense_k)
     ln = edge_mlp_params["ln"]

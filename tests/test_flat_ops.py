@@ -135,6 +135,12 @@ def test_apply_inet_flat_vs_batched(dense_edges, monkeypatch, update_edges):
             r, e = apply_interaction_net(p, es, send_rep, rec_rep, edge)
             if e.ndim == 2:
                 e = jnp.transpose(e.reshape(es.num_edges, B, h), (1, 0, 2))
+            # padding slots (mask 0) never reach the loss in a real model —
+            # their messages are masked in every aggregation and the final
+            # edge state is dropped. The transposed-gather VJP
+            # (gather_send_flat) relies on that invariant, so the test loss
+            # must respect it too.
+            e = e * es.mask.reshape(-1)[None, :, None]
             return r, e
         if mode == "interpret":
             w0 = p["edge_mlp"]["layers"][0]["w"]
