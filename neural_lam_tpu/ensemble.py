@@ -27,7 +27,10 @@ def sample_rollout(model, params, init_states, forcing_features, true_states,
     init_states (B, 2, N, d); forcing (B, T, N, d_f); true_states (B, T, N, d)
     (used only for boundary forcing). Returns (B, n_members, T, N, d).
     """
-    assert model.output_std, "ensemble sampling needs an output_std model"
+    is_latent = bool(getattr(model, "is_latent", False))
+    assert model.output_std or is_latent, (
+        "ensemble sampling needs an output_std or latent-variable model"
+    )
     statics = model.statics
     B = init_states.shape[0]
 
@@ -38,15 +41,31 @@ def sample_rollout(model, params, init_states, forcing_features, true_states,
     init_r = rep(init_states)
     forcing_r = rep(forcing_features)
     true_r = rep(true_states)
+    ctx = model.precompute_rollout_ctx(params)
 
     def step(carry, xs):
         prev_prev_state, prev_state, key = carry
         forcing, border_state = xs
         key, sub = jax.random.split(key)
-        mean, std = model.predict_step(params, prev_state, prev_prev_state,
-                                       forcing)
-        eps = jax.random.normal(sub, mean.shape, mean.dtype)
-        sampled = mean + std * eps
+        if is_latent:
+            # Graph-EFM-style members: one prior latent draw per member
+            # per step; the decoder mean is the member state
+            eps_z = jax.random.normal(
+                sub,
+                (prev_state.shape[0], model.num_mesh_nodes,
+                 model.latent_dim),
+                jnp.float32,
+            )
+            ctx_t = {**ctx, "latent_eps": eps_z}
+            sampled, _ = model.predict_step(
+                params, prev_state, prev_prev_state, forcing, ctx=ctx_t
+            )
+        else:
+            mean, std = model.predict_step(
+                params, prev_state, prev_prev_state, forcing, ctx=ctx
+            )
+            eps = jax.random.normal(sub, mean.shape, mean.dtype)
+            sampled = mean + std * eps
         new_state = (
             statics.boundary_mask * border_state
             + statics.interior_mask * sampled

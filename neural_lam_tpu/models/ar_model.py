@@ -55,6 +55,10 @@ class ModelArgs:
     n_example_pred: int = 1
     # numerics: None = fp32 everywhere; "bfloat16" = bf16 matmuls (fp32 accum)
     compute_dtype: str | None = None
+    # latent-variable models (graph_efm): per-mesh-node latent width and
+    # ELBO KL weight
+    latent_dim: int = 32
+    kl_beta: float = 1e-3
 
 
 @jax.tree_util.register_dataclass
@@ -223,8 +227,11 @@ class ARModelBase:
         )
         return prediction, target_states, pred_std, batch_times
 
-    def training_loss(self, params, batch):
-        """Mean loss over batch and unrolled steps (ref: ar_model.py:287-309)."""
+    def training_loss(self, params, batch, rng=None):
+        """Mean loss over batch and unrolled steps (ref: ar_model.py:287-309).
+
+        rng is accepted (and ignored) so the trainer can pass a per-step key
+        uniformly; latent models (graph_efm) consume it."""
         prediction, target, pred_std, _ = self.common_step(params, batch)
         return jnp.mean(
             self.loss_fn(

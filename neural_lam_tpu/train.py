@@ -159,15 +159,22 @@ class Trainer:
         model_arrays = model.arrays()
         optimizer = self.optimizer
 
+        base_key = jax.random.PRNGKey(flags.seed)
+
         @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def train_step(arrays, params, opt_state, batch):
+        def train_step(arrays, params, opt_state, batch, step):
             m = model.with_arrays(arrays)
-            loss, grads = jax.value_and_grad(m.training_loss)(params, batch)
+            rng = jax.random.fold_in(base_key, step)
+            loss, grads = jax.value_and_grad(m.training_loss)(
+                params, batch, rng
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._train_step = lambda p, o, b: train_step(model_arrays, p, o, b)
+        self._train_step = lambda p, o, b: train_step(
+            model_arrays, p, o, b, jnp.asarray(self.global_step, jnp.int32)
+        )
         self._eval_step = jit_model_method(model, "eval_step_metrics")
 
     # --- setup ---
@@ -582,6 +589,10 @@ def main(input_args=None):
     parser.add_argument("--mesh_aggr", type=str, default="sum",
                         choices=["sum", "mean"])
     parser.add_argument("--output_std", action="store_true")
+    parser.add_argument("--latent_dim", type=int, default=32,
+                        help="graph_efm: per-mesh-node latent width")
+    parser.add_argument("--kl_beta", type=float, default=1e-3,
+                        help="graph_efm: ELBO KL weight")
     # training hyper-params (ref: train_model.py:135-166)
     parser.add_argument("--ar_steps_train", type=int, default=1)
     parser.add_argument("--ar_steps_eval", type=int, default=10)
@@ -648,6 +659,8 @@ def main(input_args=None):
         restore_opt=args.restore_opt,
         n_example_pred=args.n_example_pred,
         compute_dtype="bfloat16" if args.precision.startswith("bf16") else None,
+        latent_dim=args.latent_dim,
+        kl_beta=args.kl_beta,
     )
     flags = TrainFlags(
         epochs=args.epochs,
@@ -713,7 +726,8 @@ def main(input_args=None):
             print(trainer.validate(datamodule, params))
         else:
             print(trainer.test(datamodule, params))
-            if args.ensemble_members > 0 and args.output_std:
+            if args.ensemble_members > 0 and (
+                    args.output_std or getattr(model, "is_latent", False)):
                 print(trainer.evaluate_ensemble(
                     datamodule, params, n_members=args.ensemble_members
                 ))

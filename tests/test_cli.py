@@ -14,7 +14,8 @@ def test_imports():
     from neural_lam_tpu.models import MODELS
 
     assert neural_lam_tpu.__version__ is not None
-    assert set(MODELS) == {"graph_lam", "hi_lam", "hi_lam_parallel"}
+    assert set(MODELS) == {"graph_lam", "hi_lam", "hi_lam_parallel",
+                           "graph_efm"}
 
 
 def _write_dummy_config(tmp_path):
