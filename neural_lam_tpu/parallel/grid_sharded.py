@@ -58,7 +58,9 @@ def _real_edges(es: EdgeSet):
 
 def _stack_edgesets(sets: list) -> EdgeSet:
     """Stack per-shard dense EdgeSets (padding to common sizes) into one
-    EdgeSet pytree with a leading shard axis."""
+    EdgeSet pytree with a leading shard axis. A stacked TRANSPOSED layout
+    (uniform K across shards) rides along so the scatter-free gather
+    backward (gather_send_flat) also engages inside shard_map bodies."""
     K = sets[0].dense_k
     assert all(es.dense_k == K for es in sets), "uniform dense_k required"
     m_max = max(es.num_edges for es in sets)
@@ -66,6 +68,7 @@ def _stack_edgesets(sets: list) -> EdgeSet:
     m_max = max(m_max, v_max * K)
     v_max = m_max // K
     num_rec = sets[0].num_rec
+    num_send = sets[0].num_send
 
     def pad_set(es):
         senders = _pad_axis(np.asarray(es.senders), m_max)
@@ -78,6 +81,45 @@ def _stack_edgesets(sets: list) -> EdgeSet:
         return senders, recv, feats, mask, virt
 
     padded = [pad_set(es) for es in sets]
+
+    # rebuild each shard's transposed layout against the PADDED slot space
+    # with one uniform K_T, then pad/stack those too
+    n_real = [int((p[3][:, 0] > 0).sum()) for p in padded]
+    k_t = int(min(8, max(1, -(-max(n_real) // max(num_send, 1)))))
+    t_sets = []
+    for p, nr in zip(padded, n_real):
+        real = np.nonzero(p[3][:, 0] > 0)[0]
+        t_sets.append(EdgeSet.from_local(
+            real.astype(np.int64), p[0][real],
+            np.zeros((nr, 0), np.float32), num_send=m_max,
+            num_rec=num_send, dense=True, dense_force_k=k_t,
+            build_transpose=False,
+        ))
+    tv_max = max(es.num_virt for es in t_sets)
+    t_padded = [
+        (
+            _pad_axis(np.asarray(es.senders), tv_max * k_t),
+            _pad_axis(np.asarray(es.mask), tv_max * k_t),
+            _pad_axis(np.asarray(es.virt_to_rec), tv_max,
+                      fill=num_send - 1),
+        )
+        for es in t_sets
+    ]
+    transposed = EdgeSet(
+        senders=jnp.asarray(np.stack([p[0] for p in t_padded])),
+        receivers=jnp.asarray(
+            np.stack([np.repeat(p[2], k_t) for p in t_padded])
+        ),
+        features=jnp.zeros((len(sets), tv_max * k_t, 0), jnp.float32),
+        gather_table=jnp.zeros((len(sets), 1, 1), jnp.int32),
+        mask=jnp.asarray(np.stack([p[1] for p in t_padded])),
+        virt_to_rec=jnp.asarray(np.stack([p[2] for p in t_padded])),
+        num_send=m_max,
+        num_rec=num_send,
+        dense_k=k_t,
+        num_virt=tv_max,
+        virt_identity=False,
+    )
     return EdgeSet(
         senders=jnp.asarray(np.stack([p[0] for p in padded])),
         receivers=jnp.asarray(np.stack([p[1] for p in padded])),
@@ -85,16 +127,20 @@ def _stack_edgesets(sets: list) -> EdgeSet:
         gather_table=jnp.zeros((len(sets), 1, 1), jnp.int32),  # unused (dense)
         mask=jnp.asarray(np.stack([p[3] for p in padded])),
         virt_to_rec=jnp.asarray(np.stack([p[4] for p in padded])),
-        num_send=sets[0].num_send,
+        num_send=num_send,
         num_rec=num_rec,
         dense_k=K,
         num_virt=v_max,
         virt_identity=False,
+        transposed=transposed,
     )
 
 
 def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
     """Strip the leading shard axis inside the shard_map body."""
+    transposed = es.transposed
+    if transposed is not None:
+        transposed = _unstack_edgeset(transposed)
     return dataclasses.replace(
         es,
         senders=es.senders[0],
@@ -103,6 +149,7 @@ def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
         gather_table=es.gather_table[0],
         mask=es.mask[0],
         virt_to_rec=es.virt_to_rec[0],
+        transposed=transposed,
     )
 
 
