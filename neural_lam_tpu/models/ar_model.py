@@ -59,6 +59,8 @@ class ModelArgs:
     # ELBO KL weight
     latent_dim: int = 32
     kl_beta: float = 1e-3
+    # members per training sample for --loss crps_ens fine-tuning
+    crps_members: int = 4
 
 
 @jax.tree_util.register_dataclass

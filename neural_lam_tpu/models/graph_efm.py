@@ -50,9 +50,19 @@ class GraphEFM(GraphLAM):
     is_latent = True
 
     def __init__(self, args, config, datastore, graph=None):
+        import dataclasses
+
+        # --loss crps_ens selects the paper's second training stage:
+        # fair-CRPS over prior-sampled ensemble rollouts (no posterior /
+        # KL). Eval paths keep a pointwise loss (wmse) for the inherited
+        # metric machinery.
+        self.crps_train = getattr(args, "loss", "") == "crps_ens"
+        if self.crps_train:
+            args = dataclasses.replace(args, loss="wmse")
         super().__init__(args, config, datastore, graph)
         self.latent_dim = int(getattr(args, "latent_dim", 32) or 32)
         self.kl_beta = float(getattr(args, "kl_beta", 1e-3))
+        self.crps_members = int(getattr(args, "crps_members", 4))
 
     # --- parameters ---
 
@@ -152,6 +162,23 @@ class GraphEFM(GraphLAM):
 
     # --- training (per-step ELBO over the AR unroll) ---
 
+    def _crps_training_loss(self, params, batch, rng):
+        """Fine-tuning stage: fair-ensemble CRPS over prior-sampled
+        rollouts (arXiv:2406.04759's CRPS training; no posterior, no KL).
+        sample_rollout is pure jax, so this is differentiable end to end
+        through every member's own trajectory."""
+        from ..ensemble import crps_ensemble, sample_rollout
+
+        init_states, target_states, forcing_features, _ = batch
+        ens = sample_rollout(
+            self, params, init_states, forcing_features, target_states,
+            rng, n_members=self.crps_members,
+        )
+        crps = crps_ensemble(
+            ens, target_states, mask=self.interior_mask_bool()
+        )
+        return jnp.mean(crps)
+
     def training_loss(self, params, batch, rng=None):
         init_states, target_states, forcing_features, batch_times = batch
         B, T = target_states.shape[:2]
@@ -162,6 +189,8 @@ class GraphEFM(GraphLAM):
             # key: fold the batch times in so different batches differ
             seed = jnp.sum(batch_times.astype(jnp.float32)).astype(jnp.int32)
             rng = jax.random.fold_in(jax.random.PRNGKey(17), seed)
+        if self.crps_train:
+            return self._crps_training_loss(params, batch, rng)
         mask = self.interior_mask_bool()
 
         def step(carry, xs):

@@ -593,6 +593,9 @@ def main(input_args=None):
                         help="graph_efm: per-mesh-node latent width")
     parser.add_argument("--kl_beta", type=float, default=1e-3,
                         help="graph_efm: ELBO KL weight")
+    parser.add_argument("--crps_members", type=int, default=4,
+                        help="graph_efm with --loss crps_ens: ensemble "
+                             "members per training sample")
     # training hyper-params (ref: train_model.py:135-166)
     parser.add_argument("--ar_steps_train", type=int, default=1)
     parser.add_argument("--ar_steps_eval", type=int, default=10)
@@ -661,6 +664,7 @@ def main(input_args=None):
         compute_dtype="bfloat16" if args.precision.startswith("bf16") else None,
         latent_dim=args.latent_dim,
         kl_beta=args.kl_beta,
+        crps_members=args.crps_members,
     )
     flags = TrainFlags(
         epochs=args.epochs,

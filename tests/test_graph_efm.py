@@ -155,3 +155,28 @@ def test_train_cli_graph_efm(tmp_path):
             "--save_dir", str(tmp_path / "m"), "--run_name", "efm_eval",
             "--n_example_pred", "0")
     assert "crps" in r.stdout
+
+
+def test_crps_finetune_loss(efm_setup):
+    """--loss crps_ens: fair-CRPS over prior-sampled rollouts, no KL."""
+    import copy
+
+    model, params, batch = efm_setup
+    # flip the training-stage flags on a copy (what the ctor does for
+    # --loss crps_ens)
+    m = copy.copy(model)
+    m.crps_train = True
+    m.crps_members = 3
+    rng = jax.random.PRNGKey(11)
+    loss, grads = jax.value_and_grad(m.training_loss)(params, batch, rng)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # gradient reaches the prior and processor but NOT the posterior
+    # (prior-only sampling)
+    for name in ("prior_gnn", "prior_head", "latent_map", "processor"):
+        total = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads[name]))
+        assert total > 0, f"no gradient reached params[{name!r}]"
+    for name in ("post_gnn", "post_head", "post_target_embedder"):
+        total = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads[name]))
+        assert total == 0, f"posterior params[{name!r}] got gradient"
