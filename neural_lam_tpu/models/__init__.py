@@ -1,6 +1,6 @@
 """Model registry (ref: neural_lam/train_model.py:19-23)."""
 
-from .graph_efm import GraphEFM
+from .graph_efm import GraphEFM, HiEFM
 from .graph_lam import GraphLAM
 from .hi_lam import HiLAM
 from .hi_lam_parallel import HiLAMParallel
@@ -10,4 +10,5 @@ MODELS = {
     "graph_lam": GraphLAM,
     "hi_lam": HiLAM,
     "hi_lam_parallel": HiLAMParallel,
+    "hi_efm": HiEFM,
 }

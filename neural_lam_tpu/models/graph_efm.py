@@ -1,4 +1,4 @@
-"""Graph-EFM-style latent-variable ensemble model (flat mesh).
+"""Graph-EFM-style latent-variable ensemble models.
 
 Goes beyond the reference repo (which has no latent-variable model; its
 probabilistic story is the Gaussian output head, ref:
@@ -7,21 +7,23 @@ graph-based ensemble forecasting recipe of Oskarsson et al. 2024
 (arXiv:2406.04759, "probabilistic weather forecasting with hierarchical
 graph neural networks"), built from this repo's TPU-native pieces:
 
-* A latent random field z lives on the mesh nodes, d_z per node.
-* Prior p(z | X_t, X_{t-1}): one interaction-net round over the m2m edge
-  set on the encoded mesh representation, then an MLP head emitting
-  (mu, sigma_raw); sigma = softplus(sigma_raw) + eps.
+* A latent random field z lives on the (bottom-level) mesh nodes, d_z per
+  node.
+* Prior p(z | X_t, X_{t-1}): one interaction-net round over the
+  bottom-level m2m edge set on the encoded mesh representation, then an
+  MLP head emitting (mu, sigma_raw); sigma = softplus(sigma_raw) + eps.
 * Variational posterior q(z | X_t, X_{t-1}, Y): the TARGET state is
   embedded and encoded to the mesh through a dedicated g2m interaction
   net; the posterior GNN runs on mesh_rep + target_mesh and emits its own
   (mu, sigma).
 * The sampled z (reparametrized) is mapped back to hidden width and added
-  to the mesh representation before the processor stack.
-* Training maximizes a per-step ELBO over the AR unroll:
+  to the bottom-level mesh representation before the processor
+  (GraphLAM's processor stack, or HiLAM's init/sweep/read-out pipeline).
+* Stage 1 training maximizes a per-step ELBO over the AR unroll:
       loss = recon + kl_beta * mean KL(q || p)
-  where recon is the configured loss (nll with --output_std gives the
-  proper Gaussian decoder likelihood; wmse works as a beta-VAE-style
-  objective).
+  (recon = the configured loss; nll with --output_std is the proper
+  Gaussian decoder likelihood). Stage 2 (--loss crps_ens) fine-tunes with
+  fair-ensemble CRPS over prior-sampled member rollouts.
 * Ensembles: draw z ~ p per member per step (ensemble.sample_rollout);
   deterministic eval uses the prior mean (eps = 0), so every inherited
   val/test metric path works unchanged.
@@ -31,27 +33,35 @@ Latent plumbing rides the rollout ctx dict: callers place "latent_eps"
 `process_step` deposits the step's KL under "_latent_kl". The dict is
 just a container for traced values inside one jit trace — no Python
 state survives between steps.
+
+Model registry names: `graph_efm` (flat multiscale mesh, incl. the global
+icosahedral builder) and `hi_efm` (hierarchical mesh, the paper's
+configuration).
 """
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
-from ..ops.message_passing import apply_interaction_net, init_interaction_net
+from ..ops.message_passing import init_interaction_net
 from ..ops.mlp import apply_mlp, init_mlp
 from .base_graph_model import expand_to_batch
 from .graph_lam import GraphLAM
+from .hi_lam import HiLAM
 
 _SIGMA_FLOOR = 1e-4
 
 
-class GraphEFM(GraphLAM):
+class LatentMeshMixin:
+    """Latent-field machinery shared by GraphEFM / HiEFM. Mix in BEFORE
+    the base model class so process_step wraps the family's processor."""
+
     is_latent = True
 
     def __init__(self, args, config, datastore, graph=None):
-        import dataclasses
-
         # --loss crps_ens selects the paper's second training stage:
         # fair-CRPS over prior-sampled ensemble rollouts (no posterior /
         # KL). Eval paths keep a pointwise loss (wmse) for the inherited
@@ -61,17 +71,30 @@ class GraphEFM(GraphLAM):
             args = dataclasses.replace(args, loss="wmse")
         super().__init__(args, config, datastore, graph)
         self.latent_dim = int(getattr(args, "latent_dim", 32) or 32)
+        # the latent field lives on the BOTTOM mesh level (= all mesh
+        # nodes for flat models; hierarchical num_mesh_nodes counts every
+        # level)
+        self.latent_num_nodes = int(self.graph.level_sizes[0])
         self.kl_beta = float(getattr(args, "kl_beta", 1e-3))
         self.crps_members = int(getattr(args, "crps_members", 4))
+
+    @property
+    def _latent_edges(self):
+        """Bottom-level m2m edge set (the only m2m set for flat models)."""
+        return self.graph.m2m[0]
 
     # --- parameters ---
 
     def init_extra_params(self, key) -> dict:
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 9)
         params = super().init_extra_params(keys[0])
         h, hl = self.args.hidden_dim, self.args.hidden_layers
         d_z = self.latent_dim
+        m2m_dim = self._latent_edges.features.shape[1]
         params.update({
+            "latent_m2m_embedder": init_mlp(
+                keys[8], [m2m_dim] + self.mlp_blueprint_end
+            ),
             "prior_gnn": init_interaction_net(keys[1], h, hidden_layers=hl),
             "prior_head": init_mlp(
                 keys[2], [h] * (hl + 1) + [2 * d_z], layer_norm=False
@@ -93,10 +116,12 @@ class GraphEFM(GraphLAM):
         ctx = super().precompute_process_ctx(params)
         # static edge products for the extra update_edges=False GNNs
         ctx["prior_m2m"] = self._static_edge_ctx(
-            params["prior_gnn"], params["m2m_embedder"], self.m2m
+            params["prior_gnn"], params["latent_m2m_embedder"],
+            self._latent_edges,
         )
         ctx["post_m2m"] = self._static_edge_ctx(
-            params["post_gnn"], params["m2m_embedder"], self.m2m
+            params["post_gnn"], params["latent_m2m_embedder"],
+            self._latent_edges,
         )
         ctx["post_g2m"] = self._static_edge_ctx(
             params["post_g2m_gnn"], params["g2m_embedder"], self.graph.g2m
@@ -106,9 +131,9 @@ class GraphEFM(GraphLAM):
     # --- latent machinery ---
 
     def _gauss_head(self, gnn_params, head_params, edge_ctx, mesh_rep, B):
-        """One m2m interaction round + MLP head -> (mu, sigma)."""
+        """One bottom-m2m interaction round + MLP head -> (mu, sigma)."""
         rep = self._inet_static(
-            gnn_params, self.m2m, mesh_rep, mesh_rep, edge_ctx, B,
+            gnn_params, self._latent_edges, mesh_rep, mesh_rep, edge_ctx, B,
             psum_axis=self._mesh_psum_axis,
         )
         out = apply_mlp(head_params, rep, compute_dtype=self.compute_dtype)
@@ -160,7 +185,7 @@ class GraphEFM(GraphLAM):
         )
         return super().process_step(params, mesh_rep, B, ctx=ctx)
 
-    # --- training (per-step ELBO over the AR unroll) ---
+    # --- training ---
 
     def _crps_training_loss(self, params, batch, rng):
         """Fine-tuning stage: fair-ensemble CRPS over prior-sampled
@@ -180,6 +205,8 @@ class GraphEFM(GraphLAM):
         return jnp.mean(crps)
 
     def training_loss(self, params, batch, rng=None):
+        """Per-step ELBO over the AR unroll (stage 1), or fair-CRPS
+        (stage 2 with --loss crps_ens)."""
         init_states, target_states, forcing_features, batch_times = batch
         B, T = target_states.shape[:2]
         statics = self.statics
@@ -198,7 +225,7 @@ class GraphEFM(GraphLAM):
             forcing_t, target_t = xs
             key, k_eps = jax.random.split(key)
             eps = jax.random.normal(
-                k_eps, (B, self.num_mesh_nodes, self.latent_dim),
+                k_eps, (B, self.latent_num_nodes, self.latent_dim),
                 jnp.float32,
             )
             ctx_t = {
@@ -233,3 +260,16 @@ class GraphEFM(GraphLAM):
             self.loss_fn(prediction, target_states, pred_std, mask=mask)
         )
         return recon + self.kl_beta * jnp.mean(kls)
+
+
+class GraphEFM(LatentMeshMixin, GraphLAM):
+    """Flat-mesh latent-variable model (works with the global icosahedral
+    builder for the prob_model_global configuration)."""
+
+
+class HiEFM(LatentMeshMixin, HiLAM):
+    """Hierarchical latent-variable model — the configuration of
+    arXiv:2406.04759. The latent field lives on the bottom mesh level
+    (num_mesh_nodes is already the bottom-level count for hierarchical
+    models) and is injected before the init sweep; the prior/posterior
+    GNNs run over the bottom-level m2m edge set."""

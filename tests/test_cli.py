@@ -15,7 +15,7 @@ def test_imports():
 
     assert neural_lam_tpu.__version__ is not None
     assert set(MODELS) == {"graph_lam", "hi_lam", "hi_lam_parallel",
-                           "graph_efm"}
+                           "graph_efm", "hi_efm"}
 
 
 def _write_dummy_config(tmp_path):

@@ -180,3 +180,39 @@ def test_crps_finetune_loss(efm_setup):
         total = sum(float(jnp.abs(g).sum())
                     for g in jax.tree_util.tree_leaves(grads[name]))
         assert total == 0, f"posterior params[{name!r}] got gradient"
+
+
+def test_hi_efm_elbo_and_sampling(tmp_path):
+    """Hierarchical latent model: ELBO grads reach the latent params and
+    prior-sampled members spread, on a 2-level mesh."""
+    datastore = DummyDatastore(n_points_1d=27, n_timesteps=40)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path / "g"), datastore.get_xy("state", stacked=False),
+        n_max_levels=2, hierarchical=True,
+    ))
+    args = ModelArgs(hidden_dim=8, processor_layers=1, latent_dim=4,
+                     kl_beta=1e-2)
+    model = MODELS["hi_efm"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = WeatherDataset(datastore, split="train", ar_steps=2)
+    batch = tuple(jnp.asarray(b) for b in collate([ds[0], ds[1]]))
+
+    loss, grads = jax.value_and_grad(model.training_loss)(
+        params, batch, jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(loss))
+    for name in ("prior_gnn", "post_gnn", "latent_map"):
+        total = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads[name]))
+        assert total > 0, f"no gradient reached params[{name!r}]"
+
+    init_states, target_states, forcing, _ = batch
+    ens = sample_rollout(model, params, init_states, forcing, target_states,
+                         jax.random.PRNGKey(1), n_members=3)
+    interior = np.asarray(model.interior_mask_bool())
+    assert np.asarray(ens.std(axis=1))[:, :, interior].max() > 0
+    assert np.all(np.isfinite(np.asarray(ens)))
