@@ -89,6 +89,8 @@ def main():
         ("graph_lam_meps_bf16", "graph_lam", False, None, 4, 4, "bfloat16"),
         ("hi_lam_meps_3level", "hi_lam", True, 3, 4, 4, None),
         ("hi_lam_parallel_meps_ar19", "hi_lam_parallel", True, 3, 19, 4, None),
+        # latent ensemble family: deterministic prior-mean rollout cost
+        ("graph_efm_meps_ar4", "graph_efm", False, None, 4, 4, None),
     ]
     records = []
     for name, model_name, hier, levels, ar, batch, cd in configs:

@@ -245,6 +245,14 @@ def spatialize(model, mesh: Mesh):
         "sharded mesh edge chunks psum partial sums; mean aggregation "
         "would divide by per-shard counts"
     )
+    if getattr(model, "is_latent", False):
+        raise NotImplementedError(
+            "latent-variable models (graph_efm/hi_efm) are not grid-"
+            "sharded yet: the sharded predict_step rebuilds its rollout "
+            "ctx per shard and would drop the latent draw / posterior "
+            "conditioning. Train them with data parallelism "
+            "(--spatial_shards 1)."
+        )
     n_space = mesh.shape["space"]
 
     sp = copy.copy(model)
