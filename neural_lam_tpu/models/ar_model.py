@@ -61,6 +61,9 @@ class ModelArgs:
     kl_beta: float = 1e-3
     # members per training sample for --loss crps_ens fine-tuning
     crps_members: int = 4
+    # gradient-checkpoint each predict step in the AR unroll (BPTT memory
+    # O(T + step) instead of O(T * step); ~one extra fwd per step)
+    remat: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -194,12 +197,24 @@ class ARModelBase:
         """
         statics = self.statics
         ctx = self.precompute_rollout_ctx(params)
+        predict = self.predict_step
+        if getattr(self.args, "remat", False):
+            # gradient checkpointing over the unroll: recompute each
+            # predict step in the backward pass instead of storing its
+            # activations — BPTT memory drops from O(T * step) to
+            # O(T + step), trading ~one extra forward per step. The
+            # reference stores everything (ref: ar_model.py:220-267).
+            predict = jax.checkpoint(
+                lambda p, s, ps, f, c: self.predict_step(p, s, ps, f,
+                                                         ctx=c),
+                static_argnums=(),
+            )
 
         def step(carry, xs):
             prev_prev_state, prev_state = carry
             forcing, border_state = xs
-            pred_state, pred_std = self.predict_step(
-                params, prev_state, prev_prev_state, forcing, ctx=ctx
+            pred_state, pred_std = predict(
+                params, prev_state, prev_prev_state, forcing, ctx
             )
             new_state = (
                 statics.boundary_mask * border_state

@@ -478,7 +478,7 @@ def _aggr_mlp_mixed(params: dict, rec_rep, aggregated_f, compute_dtype=None):
 
 def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
                     rec_rep, edge_rep_flat=None, *, ew=None,
-                    compute_dtype=None, need_edge_out=True):
+                    compute_dtype=None):
     """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
 
     rec_rep in (B, N, h); send_rep either (B, N, h) batched or already
@@ -540,7 +540,7 @@ def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
     cd = compute_dtype
     edge_out, virt = edge_round_flat(
         params["edge_mlp"], edges, send_rep, rec_rep, edge_rep_flat,
-        ew=ew, compute_dtype=cd, need_edge_out=update_edges,
+        ew=ew, compute_dtype=cd,
     )
 
     aggregated = _fold_virt_flat(edges, virt)

@@ -41,10 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mlp import LN_EPS
 from .pallas_edge_flat import (
+    _block_diag_sum,
     _compiler_params,
+    _dotT,
+    _group_ln_bwd,
     _group_ln_f32,
+    _group_ln_parts,
+    _group_row_sum,
     _lane_tile,
     _pick_tile_v,
+    _silu_grad,
 )
 
 
@@ -287,32 +293,8 @@ def _grid_update_fwd(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _silu_grad(x):
-    s = jax.nn.sigmoid(x)
-    return s * (1.0 + x * (1.0 - s))
 
 
-def _dotT(a, b):
-    """a^T @ b without materializing the transpose (contract dim 0)."""
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
-def _group_ln_parts(x, ones_k):
-    """Forward LN pieces per 64-lane group: (c_hat, inv)."""
-    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
-    cent = x - mean
-    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
-    inv = jax.lax.rsqrt(var + LN_EPS)
-    return cent * inv, inv
-
-
-def _group_ln_bwd(d_chat, c_hat, inv, ones_k):
-    """d wrt LN input given d wrt c_hat (pre scale/bias)."""
-    t1 = jnp.dot(d_chat, ones_k, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
-    return inv * (d_chat - t1 - c_hat * t2)
 
 
 # rows of the stacked bias-gradient accumulator (last row spare)
@@ -454,22 +436,6 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
             ref[...] += acc[name]
 
 
-def _block_diag_sum(acc, B, h, w_cols):
-    """Sum the B diagonal (h, w_cols) blocks of a kron-widened wgrad."""
-    rows = acc.shape[0]
-    a = acc.reshape(B, h, acc.shape[1])
-    out = jnp.zeros((h, w_cols), jnp.float32)
-    for b in range(B):
-        out = out + jax.lax.dynamic_slice(
-            a[b], (0, b * w_cols), (h, w_cols)
-        )
-    del rows
-    return out
-
-
-def _group_row_sum(row, B, h):
-    """(1, B*h) lane-tiled bias grad -> (h,) summed over batch groups."""
-    return row.reshape(B, h).sum(axis=0)
 
 
 def _grid_update_bwd(K, interpret, res, g_out):

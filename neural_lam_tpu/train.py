@@ -593,6 +593,9 @@ def main(input_args=None):
                         help="graph_efm: per-mesh-node latent width")
     parser.add_argument("--kl_beta", type=float, default=1e-3,
                         help="graph_efm: ELBO KL weight")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient-checkpoint each unroll step "
+                             "(memory for compute in long-AR training)")
     parser.add_argument("--crps_members", type=int, default=4,
                         help="graph_efm with --loss crps_ens: ensemble "
                              "members per training sample")
@@ -665,6 +668,7 @@ def main(input_args=None):
         latent_dim=args.latent_dim,
         kl_beta=args.kl_beta,
         crps_members=args.crps_members,
+        remat=args.remat,
     )
     flags = TrainFlags(
         epochs=args.epochs,
