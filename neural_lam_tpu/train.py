@@ -130,8 +130,16 @@ class Trainer:
         self.rank = jax.process_index()
         self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
         self.run_dir.mkdir(parents=True, exist_ok=True)
+        # run config = model args + train flags (the reference stores all
+        # argparse args + datastore config in the wandb run config,
+        # ref: train_model.py:271-275)
+        run_config = {
+            **{f"model.{k}": v for k, v in vars(model.args).items()},
+            **{f"train.{k}": v for k, v in vars(flags).items()},
+        }
         self.logger = MetricsLogger(
             self.run_dir, rank=self.rank, run_name=flags.run_name,
+            config=run_config,
             val_steps=getattr(model.args, "val_steps_to_log", ()),
         )
         if mesh is None:
