@@ -9,7 +9,9 @@ train loop:
   performed in the reference.
 
 Optimizer: AdamW(lr, betas=(0.9, 0.95)) with torch's default weight decay
-0.01 applied to all parameters (ref: ar_model.py:191-195); no LR scheduler.
+0.01 applied to all parameters (ref: ar_model.py:191-195). The reference
+trains at constant LR with no scheduler; --lr_schedule adds optional
+cosine / warmup-cosine schedules on top.
 Checkpoints: `min_val_loss` (monitoring val_mean_loss) + `last`
 (ref: train_model.py:264-270). Metrics go to stdout and
 <run_dir>/metrics.jsonl; test artifacts (error-map csv/pdf, spatial loss
@@ -61,6 +63,11 @@ class TrainFlags:
     logger: str = "jsonl"
     run_name: str = "run"
     save_dir: str = "saved_models"
+    # LR schedule (beyond the reference, which trains at constant LR with
+    # no scheduler): "constant" | "cosine" | "warmup_cosine"
+    lr_schedule: str = "constant"
+    warmup_steps: int = 1000
+    decay_steps: int = 100_000
 
 
 class MetricsLogger:
@@ -156,8 +163,17 @@ class Trainer:
             )
         else:
             self._eval_mesh = mesh
+        lr = model.args.lr
+        if flags.lr_schedule == "cosine":
+            lr = optax.cosine_decay_schedule(lr, flags.decay_steps)
+        elif flags.lr_schedule == "warmup_cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, lr, flags.warmup_steps, flags.decay_steps
+            )
+        elif flags.lr_schedule != "constant":
+            raise ValueError(f"unknown lr_schedule {flags.lr_schedule!r}")
         self.optimizer = optax.adamw(
-            model.args.lr, b1=0.9, b2=0.95, weight_decay=0.01
+            lr, b1=0.9, b2=0.95, weight_decay=0.01
         )
         self.global_step = 0
         self.best_val_loss = float("inf")
@@ -612,6 +628,10 @@ def main(input_args=None):
     parser.add_argument("--ar_steps_eval", type=int, default=10)
     parser.add_argument("--loss", type=str, default="wmse")
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr_schedule", default="constant",
+                        choices=["constant", "cosine", "warmup_cosine"])
+    parser.add_argument("--warmup_steps", type=int, default=1000)
+    parser.add_argument("--decay_steps", type=int, default=100_000)
     parser.add_argument("--val_interval", type=int, default=1)
     parser.add_argument("--num_past_forcing_steps", type=int, default=1)
     parser.add_argument("--num_future_forcing_steps", type=int, default=1)
@@ -681,6 +701,9 @@ def main(input_args=None):
     flags = TrainFlags(
         epochs=args.epochs,
         batch_size=args.batch_size,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
         ar_steps_train=args.ar_steps_train,
         ar_steps_eval=args.ar_steps_eval,
         val_interval=args.val_interval,
