@@ -68,6 +68,11 @@ class TrainFlags:
     lr_schedule: str = "constant"
     warmup_steps: int = 1000
     decay_steps: int = 100_000
+    # capture a jax.profiler trace of steps [start, start+N) into
+    # <run_dir>/profile (0 = off). SURVEY.md §5: the reference has no
+    # profiling story at all.
+    profile_steps: int = 0
+    profile_start: int = 3
 
 
 class MetricsLogger:
@@ -203,6 +208,29 @@ class Trainer:
 
     # --- setup ---
 
+    def _maybe_profile(self):
+        """Start/stop a jax.profiler trace around the configured train-step
+        window; failures (e.g. a runtime without profiler support) degrade
+        to a logged warning, never a crash."""
+        flags = self.flags
+        if not flags.profile_steps or self.rank != 0:
+            return
+        try:
+            if self.global_step == flags.profile_start:
+                jax.profiler.start_trace(str(self.run_dir / "profile"))
+                self._profiling = True
+            elif (getattr(self, "_profiling", False)
+                  and self.global_step
+                  >= flags.profile_start + flags.profile_steps):
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f"profiler trace written to "
+                      f"{self.run_dir / 'profile'}", flush=True)
+        except Exception as e:
+            self._profiling = False
+            self.flags = dataclasses.replace(flags, profile_steps=0)
+            print(f"profiling unavailable on this runtime: {e}", flush=True)
+
     def init_state(self, seed=None):
         seed = self.flags.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -255,6 +283,7 @@ class Trainer:
             for batch in loader:
                 batch = shard_batch(tuple(jnp.asarray(b) for b in batch),
                                     self.mesh)
+                self._maybe_profile()
                 params, opt_state, loss = self._train_step(
                     params, opt_state, batch
                 )
@@ -632,6 +661,9 @@ def main(input_args=None):
                         choices=["constant", "cosine", "warmup_cosine"])
     parser.add_argument("--warmup_steps", type=int, default=1000)
     parser.add_argument("--decay_steps", type=int, default=100_000)
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N train "
+                             "steps into <run_dir>/profile")
     parser.add_argument("--val_interval", type=int, default=1)
     parser.add_argument("--num_past_forcing_steps", type=int, default=1)
     parser.add_argument("--num_future_forcing_steps", type=int, default=1)
@@ -704,6 +736,7 @@ def main(input_args=None):
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
+        profile_steps=args.profile_steps,
         ar_steps_train=args.ar_steps_train,
         ar_steps_eval=args.ar_steps_eval,
         val_interval=args.val_interval,
