@@ -114,3 +114,32 @@ def test_predict_times_not_truncated(tmp_path):
     np.testing.assert_array_equal(t, expected)
     assert t[0] > np.datetime64("2020-01-01"), t
     assert np.all(np.diff(t) > np.timedelta64(0, "ns"))
+
+
+def test_export_roundtrip(tmp_path):
+    """Exported StableHLO artifact reproduces predict_step exactly."""
+    from neural_lam_tpu.export import load_exported, main as export_main
+
+    cfg, ds, model, params = _setup(tmp_path)
+    out = tmp_path / "model.jaxexp"
+    export_main([
+        "--config_path", str(cfg), "--model", "graph_lam", "--graph", "g1",
+        "--hidden_dim", "8", "--processor_layers", "1",
+        "--load", str(tmp_path / "ckpt" / "best"),
+        "--batch_size", "2", "--out", str(out),
+    ])
+    assert out.exists() and out.with_suffix(".jaxexp.json").exists()
+    import json as _json
+
+    meta = _json.loads(out.with_suffix(".jaxexp.json").read_text())
+    assert meta["n_grid"] == ds.num_grid_points
+    step = load_exported(out)
+
+    w = WeatherDataset(ds, split="test", ar_steps=2)
+    batch = tuple(jnp.asarray(b) for b in collate([w[0], w[1]]))
+    init_states, _, forcing, _ = batch
+    got, _ = step(init_states[:, 1], init_states[:, 0], forcing[:, 0])
+    ref, _ = jax.jit(model.predict_step)(
+        params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
