@@ -80,16 +80,11 @@ def load_exported(path):
 
 
 def main(argv=None):
+    from .predict import add_model_flags
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config_path", required=True)
-    parser.add_argument("--model", default="graph_lam")
-    parser.add_argument("--graph", default="multiscale")
-    parser.add_argument("--hidden_dim", type=int, default=64)
-    parser.add_argument("--hidden_layers", type=int, default=1)
-    parser.add_argument("--processor_layers", type=int, default=4)
-    parser.add_argument("--output_std", action="store_true")
-    parser.add_argument("--latent_dim", type=int, default=32)
-    parser.add_argument("--precision", default="32")
+    add_model_flags(parser)
     parser.add_argument("--load", required=True)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--out", required=True, help="output .jaxexp path")

@@ -753,31 +753,24 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
         )
         if two_layer_ln and send_rep.ndim == 3:
             B, h = send_rep.shape[0], send_rep.shape[-1]
-            if update_edges and edge_rep is not None and edge_rep.ndim == 2 \
-                    and edge_rep.shape[-1] == B * h \
-                    and flat_eligible(edges, B, h):
+            # the flat path takes either a flat (M, B*h) evolving edge
+            # state (updated when update_edges, read-only otherwise —
+            # e.g. hierarchical read-out sweeps) or a static ew (M, h)
+            flat_edge = (
+                edge_rep if (edge_rep is not None and edge_rep.ndim == 2
+                             and edge_rep.shape[-1] == B * h)
+                else None
+            )
+            static_ew = (ew if (not update_edges and flat_edge is None
+                                and ew is not None and ew.ndim == 2)
+                         else None)
+            if ((flat_edge is not None or static_ew is not None)
+                    and flat_eligible(edges, B, h)):
                 return _apply_inet_flat(
-                    params, edges, send_rep, rec_rep, edge_rep,
-                    update_edges=True, aggr=aggr,
-                    compute_dtype=compute_dtype, psum_axis=psum_axis,
-                )
-            if not update_edges and ew is not None and ew.ndim == 2 \
-                    and flat_eligible(edges, B, h):
-                return _apply_inet_flat(
-                    params, edges, send_rep, rec_rep, None,
-                    update_edges=False, aggr=aggr,
-                    compute_dtype=compute_dtype, ew=ew,
+                    params, edges, send_rep, rec_rep, flat_edge,
+                    update_edges=update_edges, aggr=aggr,
+                    compute_dtype=compute_dtype, ew=static_ew,
                     psum_axis=psum_axis,
-                )
-            if not update_edges and edge_rep is not None \
-                    and edge_rep.ndim == 2 and edge_rep.shape[-1] == B * h \
-                    and flat_eligible(edges, B, h):
-                # evolving flat edge state consumed without updating it
-                # (e.g. hierarchical read-out sweeps)
-                return _apply_inet_flat(
-                    params, edges, send_rep, rec_rep, edge_rep,
-                    update_edges=False, aggr=aggr,
-                    compute_dtype=compute_dtype, psum_axis=psum_axis,
                 )
         fused_layer = (
             update_edges and mode != "off"

@@ -451,7 +451,10 @@ def _grid_update_bwd(K, interpret, res, g_out):
     import os
 
     TILE_V = _pick_tile_v(n_virt, K)
-    if (n_virt % TILE_V or TILE_V < 8
+    # w_out > W (possible when d_out > h, e.g. many state vars with
+    # --output_std) would need a wider bias accumulator than the (.., W)
+    # blocks used below — take the jax.vjp fallback for that rare shape
+    if (n_virt % TILE_V or TILE_V < 8 or w_out > W
             or os.environ.get("NLT_NO_BWD_KERNEL")):
         def fwd(gathered, ew, grid_emb_f, mask_p, pp):
             return _grid_update_reference(gathered, ew, grid_emb_f, mask_p,

@@ -26,6 +26,25 @@ from pathlib import Path
 import numpy as np
 
 
+def add_model_flags(parser):
+    """Architecture flags shared by the predict and export CLIs. They must
+    reconstruct the SAME model the checkpoint was trained with —
+    structural mismatches fail loudly at restore, but parameter-free knobs
+    (mesh_aggr) would silently change the math if dropped."""
+    parser.add_argument("--model", default="graph_lam")
+    parser.add_argument("--graph", default="multiscale")
+    parser.add_argument("--hidden_dim", type=int, default=64)
+    parser.add_argument("--hidden_layers", type=int, default=1)
+    parser.add_argument("--processor_layers", type=int, default=4)
+    parser.add_argument("--mesh_aggr", default="sum",
+                        choices=["sum", "mean"])
+    parser.add_argument("--output_std", action="store_true")
+    parser.add_argument("--latent_dim", type=int, default=32)
+    parser.add_argument("--num_past_forcing_steps", type=int, default=1)
+    parser.add_argument("--num_future_forcing_steps", type=int, default=1)
+    parser.add_argument("--precision", default="32")
+
+
 def _build(args):
     import jax
 
@@ -42,8 +61,11 @@ def _build(args):
         hidden_dim=args.hidden_dim,
         hidden_layers=args.hidden_layers,
         processor_layers=args.processor_layers,
+        mesh_aggr=args.mesh_aggr,
         output_std=args.output_std,
         latent_dim=args.latent_dim,
+        num_past_forcing_steps=args.num_past_forcing_steps,
+        num_future_forcing_steps=args.num_future_forcing_steps,
         compute_dtype="bfloat16" if args.precision.startswith("bf16")
         else None,
     )
@@ -56,14 +78,7 @@ def _build(args):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config_path", required=True)
-    parser.add_argument("--model", default="graph_lam")
-    parser.add_argument("--graph", default="multiscale")
-    parser.add_argument("--hidden_dim", type=int, default=64)
-    parser.add_argument("--hidden_layers", type=int, default=1)
-    parser.add_argument("--processor_layers", type=int, default=4)
-    parser.add_argument("--output_std", action="store_true")
-    parser.add_argument("--latent_dim", type=int, default=32)
-    parser.add_argument("--precision", default="32")
+    add_model_flags(parser)
     parser.add_argument("--load", required=True,
                         help="checkpoint directory to restore")
     parser.add_argument("--split", default="test",

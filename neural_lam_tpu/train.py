@@ -231,6 +231,18 @@ class Trainer:
             self.flags = dataclasses.replace(flags, profile_steps=0)
             print(f"profiling unavailable on this runtime: {e}", flush=True)
 
+    def _finish_profile(self):
+        """Stop an open trace when training ends inside the profile
+        window (otherwise the trace is never written)."""
+        if getattr(self, "_profiling", False):
+            try:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to "
+                      f"{self.run_dir / 'profile'}", flush=True)
+            except Exception:
+                pass
+            self._profiling = False
+
     def init_state(self, seed=None):
         seed = self.flags.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -297,7 +309,11 @@ class Trainer:
                         {"step": self.global_step, "epoch": epoch,
                          "best_val_loss": self.best_val_loss},
                     )
-                if stop_requested["flag"]:
+                # multi-host: hosts may receive the signal at different
+                # batch indices; breaking mid-epoch would desynchronize
+                # the lockstep train-step collectives and deadlock. Defer
+                # the stop to the (synchronous) epoch boundary there.
+                if stop_requested["flag"] and not dist.is_multiprocess():
                     break
             dt = time.time() - t0
             train_loss = loss_sum / max(n_batches, 1)
@@ -329,9 +345,10 @@ class Trainer:
                                     opt_state, meta)
                 save_checkpoint(self.run_dir, "last", params, opt_state, meta)
             if stop_requested["flag"]:
-                # preemption save: single-host only semantics — in multi-host
-                # runs the scheduler signals every worker, and each reaches
-                # this collective save after finishing its current epoch
+                # preemption save; in multi-host runs the scheduler signals
+                # every worker and each reaches this collective save after
+                # finishing the current epoch (the per-batch break above is
+                # single-host only)
                 print("Preemption signal received: saving last checkpoint "
                       "and stopping.", flush=True)
                 save_checkpoint(
@@ -341,6 +358,7 @@ class Trainer:
                      "preempted": True},
                 )
                 break
+        self._finish_profile()
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
         return params, opt_state
@@ -365,17 +383,41 @@ class Trainer:
             return params
         return jax.tree_util.tree_map(dist.local_value, params)
 
+    def _zero_eval_batch(self, ar_steps):
+        """All-zeros batch with the eval shapes. Multi-host: a host whose
+        shard yields no batches must still reach the cross-host psum in
+        summarize() — it evaluates this batch with n_valid=0, contributing
+        correctly-shaped zero sums instead of raising (which would leave
+        the other hosts blocked in the collective)."""
+        m = self.model
+        B = self.flags.batch_size
+        N, d = m.num_grid_nodes, m.num_state_vars
+        d_f = m.grid_dim - 2 * d - m.grid_static_dim
+        z = np.zeros
+        return (z((B, 2, N, d), np.float32),
+                z((B, ar_steps, N, d), np.float32),
+                z((B, ar_steps, N, d_f), np.float32),
+                z((B, ar_steps), np.float32))
+
     def validate(self, datamodule, params):
         """Mean loss per unroll step + error-map stats over the val split
         (ref: ar_model.py:324-373)."""
         loader = datamodule.val_dataloader()
         params = self._eval_params(params)
         agg = _EvalAggregator()
+        n_batches = 0
         for batch in loader:
             batch, n_valid = self._pad_batch(batch)
             batch = shard_batch(tuple(jnp.asarray(b) for b in batch),
                                 self._eval_mesh)
             agg.add(self._eval_step(params, batch), n_valid)
+            n_batches += 1
+        if n_batches == 0 and dist.is_multiprocess():
+            zb = shard_batch(tuple(
+                jnp.asarray(b)
+                for b in self._zero_eval_batch(self.flags.ar_steps_eval)
+            ), self._eval_mesh)
+            agg.add(self._eval_step(params, zb), 0)
         return agg.summarize()
 
     def test(self, datamodule, params, make_plots=True):
@@ -394,6 +436,12 @@ class Trainer:
             jbatch = shard_batch(tuple(jnp.asarray(b) for b in batch),
                                  self._eval_mesh)
             agg.add(self._eval_step(params, jbatch), n_valid)
+        if example_batch is None and dist.is_multiprocess():
+            zb = shard_batch(tuple(
+                jnp.asarray(b)
+                for b in self._zero_eval_batch(self.flags.ar_steps_eval)
+            ), self._eval_mesh)
+            agg.add(self._eval_step(params, zb), 0)
         summary = agg.summarize()
         make_plots = make_plots and self.rank == 0
 
@@ -534,7 +582,15 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
         }
         n += n_valid
     if dist.is_multiprocess():
-        assert sums is not None, "every host needs >= 1 ensemble eval batch"
+        if sums is None:
+            # zero-shard host: contribute zero sums to the collective
+            zb = tuple(jnp.asarray(b) for b in self._zero_eval_batch(
+                self.flags.ar_steps_eval
+            ))
+            out = evaluate_ensemble(self.model, params, zb,
+                                    jax.random.PRNGKey(0), n_members,
+                                    per_sample=True)
+            sums = {k: np.asarray(v)[:0].sum(axis=0) for k, v in out.items()}
         merged = dist.psum_across_hosts(
             {**sums, "n": np.asarray(float(n))}
         )

@@ -578,3 +578,43 @@ def test_analytic_bwd_kernels_match_vjp(dense_edges, monkeypatch):
     flat_k = jax.tree_util.tree_leaves(g_kernel)
     flat_f = jax.tree_util.tree_leaves(g_fallback)
     assert max(rel(a, b) for a, b in zip(flat_k, flat_f)) < 1e-5
+
+
+def test_grid_update_bwd_wide_output(dense_edges):
+    """d_out > h (w_out > W) must not crash the backward: the bias
+    accumulator is W lanes wide, so that shape takes the jax.vjp
+    fallback (regression: negative jnp.pad at trace time)."""
+    from neural_lam_tpu.ops.pallas_grid_update import grid_update_flat
+
+    es = dense_edges
+    B, h, d_out = 4, 64, 80  # w_out = round_up(320, 128) = 384 > W = 256
+    K = es.dense_k
+    W = B * h
+    M, Nv = es.num_edges, es.num_virt
+    rng = np.random.default_rng(9)
+
+    def arr(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+
+    pp = {
+        "w_i": arr(h, h), "w2": arr(h, h), "b2": arr(h),
+        "e_ls": arr(h) + 1, "e_lb": arr(h),
+        "enc_w0": arr(h, h), "enc_b0": arr(h),
+        "enc_w1": arr(h, h), "enc_b1": arr(h),
+        "enc_ls": arr(h) + 1, "enc_lb": arr(h),
+        "a_w0": arr(2 * h, h), "a_b0": arr(h),
+        "a_w1": arr(h, h), "a_b1": arr(h),
+        "a_ls": arr(h) + 1, "a_lb": arr(h),
+        "o_w0": arr(h, h), "o_b0": arr(h),
+        "o_w1": arr(h, d_out), "o_b1": arr(d_out),
+    }
+    gathered, ew, ge = arr(M, W), arr(M, h), arr(Nv, W)
+    mask_p = es.mask.reshape(Nv, K)
+    ct = arr(Nv, B * d_out)
+
+    def loss(g, e, x, p):
+        return (grid_update_flat(g, e, x, mask_p, p, K, True) * ct).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(gathered, ew, ge, pp)
+    assert all(np.all(np.isfinite(np.asarray(t)))
+               for t in jax.tree_util.tree_leaves(grads))

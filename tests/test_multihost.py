@@ -120,3 +120,64 @@ def test_two_process_train_matches_single(tmp_path):
     # rank 0 wrote checkpoints; exactly one metrics file exists
     assert (tmp_path / "m2" / "multi" / "last").exists()
     assert (tmp_path / "m2" / "multi" / "min_val_loss").exists()
+
+
+@pytest.mark.slow
+def test_zero_eval_batch_host_does_not_deadlock(tmp_path):
+    """A host whose eval shard yields no full batch must contribute zero
+    sums to the cross-host merge instead of raising pre-psum (which left
+    the other hosts blocked in the collective). 40 timesteps -> ~5 val
+    samples: one full batch of 4 (host 0 + leftovers), none for host 1."""
+    with open(tmp_path / "dummy.yaml", "w") as f:
+        yaml.safe_dump(
+            {"n_points_1d": 10, "n_timesteps": 40, "root": "dsroot"}, f
+        )
+    cfg = tmp_path / "config.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"datastore": {"kind": "dummydata", "config_path": "dummy.yaml"}},
+            f,
+        )
+    subprocess.run(
+        [sys.executable, "-m", "neural_lam_tpu.graph.build",
+         "--config_path", str(cfg), "--name", "mh", "--levels", "1"],
+        env=_env(1), check=True, timeout=300,
+    )
+    single = subprocess.run(
+        _train_args(cfg, "single", tmp_path / "m1", 4),
+        env=_env(2), check=True, timeout=600,
+    )
+    assert single.returncode == 0
+
+    # eval-only from the single-process checkpoint: identical params, so
+    # the merged multi-host val loss must match exactly
+    ckpt = tmp_path / "m1" / "single" / "last"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _train_args(cfg, "multi", tmp_path / "m2", 4)
+            + ["--eval", "val", "--load", str(ckpt),
+               "--num_nodes", "2", "--node_rank", str(rank),
+               "--coordinator_address", f"localhost:{port}"],
+            env=_env(2),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    import re
+
+    m1 = _read_metrics(tmp_path / "m1" / "single")
+    # all val samples were consumed by host 0's shard; the merged result
+    # (printed by the eval CLI) must equal the single-process evaluation
+    out0 = outs[0] + outs[1]
+    m = re.search(r"'val_mean_loss': ([0-9.eE+-]+)", out0)
+    assert m, f"no val_mean_loss in output:\n{out0[-2000:]}"
+    np.testing.assert_allclose(float(m.group(1)), m1["val_mean_loss"],
+                               rtol=5e-5)
