@@ -16,4 +16,4 @@ cited in docstrings as ``ref: neural_lam/<file>:<lines>`` for parity checking.
 from . import config, metrics, loss_weighting  # noqa: F401
 from .dataset import WeatherDataset  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
