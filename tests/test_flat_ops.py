@@ -325,7 +325,10 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
     from neural_lam_tpu.parallel.grid_sharded import spatialize
     from neural_lam_tpu.parallel.mesh import make_mesh
 
-    datastore = DummyDatastore(grid_shape=(30, 28), n_timesteps=40)
+    # smallest config that still runs every sharded stage (g2m/m2g +
+    # m2m edge chunks + psums) through the interpret-mode kernels with
+    # grads: interpret is ~1000x device speed, so size dominates runtime
+    datastore = DummyDatastore(grid_shape=(24, 20), n_timesteps=40)
     config = NeuralLAMConfig(
         datastore=DatastoreSelection(kind="dummydata", config_path=""),
         training=TrainingConfig(),
@@ -334,7 +337,7 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
         str(tmp_path), datastore.get_xy("state", stacked=False),
         n_max_levels=None, hierarchical=False,
     ))
-    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=2)
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
     model = MODELS["graph_lam"](args, config, datastore, graph)
     params = model.init_params(jax.random.PRNGKey(0))
 
