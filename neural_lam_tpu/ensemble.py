@@ -105,13 +105,42 @@ def crps_ensemble(ens, target, mask=None, average_grid=True, sum_vars=True):
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
+def rank_histogram(ens, target, mask=None):
+    """Rank-histogram counts of the observation among ensemble members.
+
+    ens: (B, m, T, N, d); target: (B, T, N, d); mask: bool (N,) selecting
+    the grid points to count (interior). For each counted (point, var,
+    lead time) the observation's rank is the number of members strictly
+    below it (ties are measure-zero for continuous fields). Returns float
+    counts of shape (B, T, m + 1); a calibrated ensemble is uniform
+    across the m + 1 bins (Graph-EFM evaluates calibration this way).
+    """
+    m = ens.shape[1]
+    ranks = (ens < target[:, None]).sum(axis=1)  # (B, T, N, d) in [0, m]
+    if mask is None:
+        w = jnp.ones(ens.shape[-2], jnp.float32)
+    else:
+        w = mask.astype(jnp.float32)
+    # loop over the m+1 bins instead of one-hot: avoids a (B,T,N,d,m+1)
+    # intermediate at eval scale (N*d ~ 1e6)
+    counts = [
+        ((ranks == r) * w[:, None]).sum(axis=(-2, -1)) for r in range(m + 1)
+    ]
+    return jnp.stack(counts, axis=-1)  # (B, T, m + 1)
+
+
 def evaluate_ensemble(model, params, batch, key, n_members: int = 5,
                       per_sample: bool = False):
     """Per-lead-time ensemble metrics for one batch.
 
-    Returns dict with crps, spread, rmse of the ensemble mean — shape (T,),
-    or (B, T) with ``per_sample=True`` (used by the Trainer so padded tail
-    samples can be sliced off before averaging).
+    Returns dict with crps, spread, rmse of the ensemble mean, mean
+    ensemble variance (``ens_var``, ddof=1) and squared error of the
+    ensemble mean (``ens_se``) — shape (T,) — plus rank-histogram counts
+    ``rank_hist`` of shape (T, m + 1). With ``per_sample=True`` every
+    entry gains a leading B axis (used by the Trainer so padded tail
+    samples can be sliced off before averaging). The non-per-sample form
+    also derives the spread-skill ratio ``ssr`` =
+    sqrt((m+1)/m · ens_var / ens_se) — ≈ 1 for a calibrated ensemble.
     """
     init_states, target_states, forcing, _ = batch
     ens = sample_rollout(model, params, init_states, forcing, target_states,
@@ -123,7 +152,36 @@ def evaluate_ensemble(model, params, batch, key, n_members: int = 5,
     se = jnp.square(mean - target_states) * w[:, None]
     rmse = jnp.sqrt(se.sum(axis=-2) / w.sum()).mean(axis=-1)  # (B, T)
     spread_t = (spread * w[:, None]).sum(axis=-2).mean(axis=-1) / w.sum()
-    out = {"crps": crps, "ens_rmse": rmse, "spread": spread_t}
+    # masked grid+var means of ensemble variance (unbiased) and squared
+    # error of the ensemble mean — the two ingredients of the
+    # spread-skill ratio, aggregated separately so batches sum correctly
+    if n_members > 1:
+        var = ens.var(axis=1, ddof=1)  # (B, T, N, d)
+    else:
+        var = jnp.zeros_like(mean)
+    ens_var = (var * w[:, None]).sum(axis=-2).mean(axis=-1) / w.sum()
+    ens_se = se.sum(axis=-2).mean(axis=-1) / w.sum()  # (B, T)
+    out = {
+        "crps": crps, "ens_rmse": rmse, "spread": spread_t,
+        "ens_var": ens_var, "ens_se": ens_se,
+        "rank_hist": rank_histogram(ens, target_states, mask=mask),
+    }
     if not per_sample:
         out = {k: v.mean(axis=0) for k, v in out.items()}
+        out["ssr"] = spread_skill_ratio(out["ens_var"], out["ens_se"],
+                                        n_members)
     return out
+
+
+def spread_skill_ratio(ens_var, ens_se, n_members):
+    """sqrt((m+1)/m · var / se), the fair spread-skill ratio.
+
+    For a reliable m-member ensemble E[(mean - y)^2] = (m+1)/m · E[var]
+    (ddof=1 variance), so this ratio is ~1 when calibrated, <1 when
+    under-dispersed and >1 when over-dispersed.
+    """
+    import numpy as np
+
+    scale = (n_members + 1) / max(n_members, 1)
+    return np.sqrt(scale * np.asarray(ens_var)
+                   / np.maximum(np.asarray(ens_se), 1e-30))

@@ -596,9 +596,41 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
         )
         n = float(merged.pop("n"))
         sums = merged
-    result = {k: (v / max(n, 1)).tolist() for k, v in (sums or {}).items()}
+    from .ensemble import spread_skill_ratio
+
+    result = {k: v / max(n, 1) for k, v in (sums or {}).items()}
+    # spread-skill ratio from the aggregated variance / squared-error
+    # means (ratio of means, not mean of per-sample ratios)
+    if "ens_var" in result and "ens_se" in result:
+        result["ssr"] = spread_skill_ratio(
+            result["ens_var"], result["ens_se"], n_members
+        )
+    rank = result.pop("rank_hist", None)
+    result = {k: np.asarray(v).tolist() for k, v in result.items()}
+    if rank is not None and n > 0:
+        freq = rank / np.maximum(rank.sum(axis=-1, keepdims=True), 1.0)
+        np.save(self.run_dir / "ens_rank_hist.npy", freq)  # (T, m+1)
+        result["rank_hist"] = freq.tolist()
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(5, 3))
+            ax.bar(np.arange(freq.shape[-1]), freq.mean(axis=0))
+            ax.axhline(1.0 / freq.shape[-1], color="k", ls="--", lw=0.8)
+            ax.set_xlabel("rank of observation")
+            ax.set_ylabel("frequency")
+            ax.set_title(f"{n_members}-member rank histogram (all lead times)")
+            fig.tight_layout()
+            fig.savefig(self.run_dir / "ens_rank_hist.png")
+            self.logger.log_image("ens_rank_hist", fig)
+            plt.close(fig)
+        except Exception as exc:  # plotting must never fail an eval
+            print(f"rank-histogram plot failed: {exc}")
     self.logger.log({f"ens_{k}_mean": float(np.mean(v))
-                     for k, v in result.items()})
+                     for k, v in result.items() if k != "rank_hist"})
     return result
 
 

@@ -12,7 +12,9 @@ from neural_lam_tpu.datastore.dummy import DummyDatastore
 from neural_lam_tpu.ensemble import (
     crps_ensemble,
     evaluate_ensemble,
+    rank_histogram,
     sample_rollout,
+    spread_skill_ratio,
 )
 from neural_lam_tpu.graph.build import create_graph
 from neural_lam_tpu.graph.storage import graph_from_bundle
@@ -55,9 +57,15 @@ def test_ensemble_rollout_and_metrics(tmp_path):
 
     out = evaluate_ensemble(model, params, batch, jax.random.PRNGKey(2),
                             n_members=m)
-    for k in ("crps", "ens_rmse", "spread"):
+    for k in ("crps", "ens_rmse", "spread", "ens_var", "ens_se", "ssr"):
         assert out[k].shape == (T,)
         assert np.all(np.isfinite(np.asarray(out[k])))
+    # rank-histogram counts cover exactly the interior points x vars
+    assert out["rank_hist"].shape == (T, m + 1)
+    n_interior = int(np.asarray(model.interior_mask_bool()).sum())
+    np.testing.assert_allclose(
+        np.asarray(out["rank_hist"]).sum(axis=-1), n_interior * d, rtol=1e-6
+    )
 
     # per-sample variant (used by the Trainer to drop padded tail samples)
     # averages back to the default output
@@ -78,6 +86,45 @@ def test_ensemble_rollout_and_metrics(tmp_path):
                   mask=model.interior_mask_bool())
     np.testing.assert_allclose(np.asarray(crps1), np.asarray(mae_val),
                                rtol=1e-5)
+
+
+def test_rank_histogram_and_ssr_calibrated():
+    """Members and target iid from the same Gaussian -> uniform ranks,
+    spread-skill ratio ~ 1 (the defining property of both diagnostics)."""
+    key = jax.random.PRNGKey(0)
+    B, m, T, N, d = 2, 7, 3, 400, 2
+    k1, k2 = jax.random.split(key)
+    ens = jax.random.normal(k1, (B, m, T, N, d))
+    target = jax.random.normal(k2, (B, T, N, d))
+
+    hist = rank_histogram(ens, target)
+    assert hist.shape == (B, T, m + 1)
+    freq = np.asarray(hist).sum(axis=(0, 1))
+    freq = freq / freq.sum()
+    # ~4800 counts per bin; uniform to a few percent
+    np.testing.assert_allclose(freq, 1.0 / (m + 1), atol=0.02)
+
+    mean = ens.mean(axis=1)
+    var = (ens.var(axis=1, ddof=1)).mean()
+    se = jnp.square(mean - target).mean()
+    ssr = spread_skill_ratio(var, se, m)
+    np.testing.assert_allclose(ssr, 1.0, atol=0.05)
+
+    # an under-dispersed ensemble is flagged: shrink members toward their
+    # mean -> U-shaped histogram edges and ssr << 1
+    shrunk = mean[:, None] + 0.2 * (ens - mean[:, None])
+    ssr_lo = spread_skill_ratio(
+        shrunk.var(axis=1, ddof=1).mean(),
+        jnp.square(shrunk.mean(axis=1) - target).mean(), m,
+    )
+    assert float(ssr_lo) < 0.5
+    h2 = np.asarray(rank_histogram(shrunk, target)).sum(axis=(0, 1))
+    assert h2[0] + h2[-1] > 2.5 * (h2.sum() / (m + 1))
+
+    # masking: only masked-in points are counted
+    mask = jnp.zeros((N,), bool).at[:100].set(True)
+    hm = rank_histogram(ens, target, mask=mask)
+    np.testing.assert_allclose(np.asarray(hm).sum(axis=-1), 100 * d)
 
 
 def test_trainer_ensemble_eval(tmp_path):
@@ -105,3 +152,9 @@ def test_trainer_ensemble_eval(tmp_path):
     out = trainer.evaluate_ensemble(dm, params, n_members=3)
     assert "crps" in out and len(out["crps"]) == 2
     assert np.all(np.isfinite(out["crps"]))
+    assert len(out["ssr"]) == 2 and np.all(np.isfinite(out["ssr"]))
+    freq = np.asarray(out["rank_hist"])  # (T, m+1), normalized
+    assert freq.shape == (2, 4)
+    np.testing.assert_allclose(freq.sum(axis=-1), 1.0, rtol=1e-6)
+    assert (tmp_path / "run" / "ens_rank_hist.npy").exists()
+    assert (tmp_path / "run" / "ens_rank_hist.png").exists()
