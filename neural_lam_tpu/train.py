@@ -60,7 +60,7 @@ class TrainFlags:
     restore_opt: bool = False
     eval: str | None = None  # None | "val" | "test"
     ckpt_every_steps: int = 0  # extra periodic "last" checkpoints (0 = off)
-    logger: str = "jsonl"
+    wandb_project: str = "neural_lam_tpu"
     run_name: str = "run"
     save_dir: str = "saved_models"
     # LR schedule (beyond the reference, which trains at constant LR with
@@ -82,7 +82,8 @@ class MetricsLogger:
 
     def __init__(self, run_dir: Path, use_wandb: bool = True,
                  run_name: str | None = None, config: dict | None = None,
-                 rank: int = 0, val_steps=()):
+                 rank: int = 0, val_steps=(),
+                 project: str = "neural_lam_tpu"):
         self.rank = rank
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -96,7 +97,7 @@ class MetricsLogger:
                 import wandb
 
                 self._wandb = wandb
-                wandb.init(project="neural_lam_tpu", name=run_name,
+                wandb.init(project=project, name=run_name,
                            config=config or {}, dir=str(self.run_dir))
                 # summary-metric definitions (ref: utils.py:236-243)
                 wandb.define_metric("val_mean_loss", summary="min")
@@ -151,7 +152,7 @@ class Trainer:
         }
         self.logger = MetricsLogger(
             self.run_dir, rank=self.rank, run_name=flags.run_name,
-            config=run_config,
+            config=run_config, project=flags.wandb_project,
             val_steps=getattr(model.args, "val_steps_to_log", ()),
         )
         if mesh is None:
@@ -768,6 +769,10 @@ def main(input_args=None):
     parser.add_argument("--var_leads_metrics_watch", type=str, default="{}",
                         help="JSON dict var_index -> [lead steps] to watch")
     parser.add_argument("--run_name", type=str, default=None)
+    parser.add_argument("--wandb_project", type=str,
+                        default="neural_lam_tpu",
+                        help="W&B project to log to (when wandb is "
+                             "importable; ref: train_model.py:169)")
     parser.add_argument("--save_dir", type=str, default="saved_models")
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="shard grid nodes over this many devices "
@@ -838,6 +843,7 @@ def main(input_args=None):
         or f"{args.model}-{args.processor_layers}x{args.hidden_dim}-"
            f"{time.strftime('%m_%d_%H_%M')}",
         save_dir=args.save_dir,
+        wandb_project=args.wandb_project,
     )
 
     datamodule = WeatherDataModule(
