@@ -126,7 +126,40 @@ def measure_train_step_ms(model, params, prev, prevprev, forcing,
     return (results[k_big] - results[1]) / (k_big - 1) * 1e3
 
 
+def _backend_reachable(timeout_s=600.0):
+    """Probe backend init in a daemon thread.
+
+    The tunneled TPU runtime can wedge such that `jax.devices()` blocks
+    forever (pool claim held by a dead process); without this watchdog the
+    whole bench hangs instead of reporting."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "mesh_node_updates_per_s_per_chip",
+            "value": None,
+            "unit": "updates/s",
+            "vs_baseline": None,
+            "error": "device backend unreachable (init timed out; "
+                     "wedged TPU tunnel)",
+        }), flush=True)
+        sys.exit(1)
+
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
