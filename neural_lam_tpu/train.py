@@ -26,6 +26,7 @@ import functools
 import json
 import random
 import signal
+import threading
 import time
 from argparse import ArgumentParser
 from pathlib import Path
@@ -73,6 +74,63 @@ class TrainFlags:
     # profiling story at all.
     profile_steps: int = 0
     profile_start: int = 3
+    # overlap host->device batch transfer with the device step (flax-style
+    # prefetch_to_device; 0 = synchronous). The reference relies on torch
+    # DataLoader pin_memory+workers for the same overlap.
+    prefetch_batches: int = 2
+
+
+class DevicePrefetcher:
+    """Iterate `place(batch)` for each loader batch, converting/placing the
+    next `depth` batches on a daemon thread so host->device transfer
+    overlaps the device step. Order-preserving, so results are identical
+    to the synchronous loop. `close()` (idempotent) unblocks and retires
+    the worker — call it when leaving the loop early."""
+
+    def __init__(self, loader, place, depth: int = 2):
+        import queue
+
+        self._q = queue.Queue(maxsize=max(int(depth), 1))
+        self._stop = threading.Event()
+        self._queue_mod = queue
+        self._thread = threading.Thread(
+            target=self._work, args=(loader, place), daemon=True
+        )
+        self._thread.start()
+
+    def _work(self, loader, place):
+        try:
+            for b in loader:
+                item = ("item", place(b))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except self._queue_mod.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            self._q.put(("end", None))
+        except BaseException as e:  # re-raised on the consuming thread
+            self._q.put(("err", e))
+
+    def __iter__(self):
+        while True:
+            kind, val = self._q.get()
+            if kind == "item":
+                yield val
+            elif kind == "err":
+                raise val
+            else:
+                return
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
 
 
 class MetricsLogger:
@@ -287,35 +345,47 @@ class Trainer:
             except ValueError:
                 pass  # not in main thread
 
+        def place(batch):
+            return shard_batch(tuple(jnp.asarray(b) for b in batch),
+                               self.mesh)
+
         for epoch in range(flags.epochs):
             loader = datamodule.train_dataloader(seed=flags.seed)
             loader.set_epoch(epoch)
             t0 = time.time()
             n_batches = 0
             loss_sum = 0.0
-            for batch in loader:
-                batch = shard_batch(tuple(jnp.asarray(b) for b in batch),
-                                    self.mesh)
-                self._maybe_profile()
-                params, opt_state, loss = self._train_step(
-                    params, opt_state, batch
-                )
-                self.global_step += 1
-                n_batches += 1
-                loss_sum += dist.local_scalar(loss)
-                if (flags.ckpt_every_steps
-                        and self.global_step % flags.ckpt_every_steps == 0):
-                    save_checkpoint(
-                        self.run_dir, "last", params, opt_state,
-                        {"step": self.global_step, "epoch": epoch,
-                         "best_val_loss": self.best_val_loss},
+            if flags.prefetch_batches > 0:
+                batches = DevicePrefetcher(loader, place,
+                                           flags.prefetch_batches)
+            else:
+                batches = map(place, loader)
+            try:
+                for batch in batches:
+                    self._maybe_profile()
+                    params, opt_state, loss = self._train_step(
+                        params, opt_state, batch
                     )
-                # multi-host: hosts may receive the signal at different
-                # batch indices; breaking mid-epoch would desynchronize
-                # the lockstep train-step collectives and deadlock. Defer
-                # the stop to the (synchronous) epoch boundary there.
-                if stop_requested["flag"] and not dist.is_multiprocess():
-                    break
+                    self.global_step += 1
+                    n_batches += 1
+                    loss_sum += dist.local_scalar(loss)
+                    if (flags.ckpt_every_steps
+                            and self.global_step % flags.ckpt_every_steps
+                            == 0):
+                        save_checkpoint(
+                            self.run_dir, "last", params, opt_state,
+                            {"step": self.global_step, "epoch": epoch,
+                             "best_val_loss": self.best_val_loss},
+                        )
+                    # multi-host: hosts may receive the signal at different
+                    # batch indices; breaking mid-epoch would desynchronize
+                    # the lockstep train-step collectives and deadlock. Defer
+                    # the stop to the (synchronous) epoch boundary there.
+                    if stop_requested["flag"] and not dist.is_multiprocess():
+                        break
+            finally:
+                if isinstance(batches, DevicePrefetcher):
+                    batches.close()
             dt = time.time() - t0
             train_loss = loss_sum / max(n_batches, 1)
             self.logger.log(
@@ -756,6 +826,9 @@ def main(input_args=None):
     parser.add_argument("--val_interval", type=int, default=1)
     parser.add_argument("--num_past_forcing_steps", type=int, default=1)
     parser.add_argument("--num_future_forcing_steps", type=int, default=1)
+    parser.add_argument("--prefetch_batches", type=int, default=2,
+                        help="device-prefetch depth: batches transferred "
+                             "ahead of the step (0 = synchronous)")
     parser.add_argument("--num_workers", type=int, default=4,
                         help="loader worker threads (ref: torch DataLoader "
                         "num_workers); <=1 uses a single prefetch thread")
@@ -830,6 +903,7 @@ def main(input_args=None):
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
         profile_steps=args.profile_steps,
+        prefetch_batches=args.prefetch_batches,
         ar_steps_train=args.ar_steps_train,
         ar_steps_eval=args.ar_steps_eval,
         val_interval=args.val_interval,

@@ -23,6 +23,37 @@ from neural_lam_tpu.parallel.mesh import make_mesh
 from neural_lam_tpu.train import Trainer, TrainFlags
 
 
+def test_prefetch_matches_synchronous(tmp_path):
+    """Device prefetch is order-preserving: final params identical to the
+    synchronous loop (same seed, same batch order)."""
+    datastore = DummyDatastore(n_points_1d=10, n_timesteps=30)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    bundle = create_graph(str(tmp_path / "graph"),
+                          datastore.get_xy("state", stacked=False),
+                          n_max_levels=1, hierarchical=False)
+    graph = graph_from_bundle(bundle)
+    args = ModelArgs(hidden_dim=4, hidden_layers=1, processor_layers=1,
+                     val_steps_to_log=(1,))
+    mesh = make_mesh(n_data=1, n_space=1)
+
+    results = []
+    for depth in (0, 2):
+        model = MODELS["graph_lam"](args, config, datastore, graph)
+        dm = WeatherDataModule(datastore, ar_steps_train=1, ar_steps_eval=2,
+                               batch_size=2)
+        flags = TrainFlags(epochs=1, batch_size=2, val_interval=10,
+                           seed=3, prefetch_batches=depth)
+        trainer = Trainer(model, flags, run_dir=tmp_path / f"run{depth}",
+                          mesh=mesh)
+        params, _ = trainer.fit(dm)
+        results.append(jax.tree_util.tree_leaves(params))
+    for x, y in zip(*results):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_fit_and_test(tmp_path):
     datastore = DummyDatastore(n_points_1d=10, n_timesteps=40)
     config = NeuralLAMConfig(
