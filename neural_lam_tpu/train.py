@@ -307,6 +307,17 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         params = self.model.init_params(key)
         opt_state = self.optimizer.init(params)
+        if self.flags.load == "auto":
+            # scheduler-relaunch convenience: resume from this run's own
+            # "last" checkpoint when one exists (e.g. after preemption),
+            # otherwise start fresh — needs a stable --run_name
+            last = self.run_dir / "last"
+            self.flags = dataclasses.replace(
+                self.flags, load=str(last) if last.exists() else None
+            )
+            if self.flags.load is None:
+                print(f"--load auto: no checkpoint at {last}, "
+                      "starting fresh")
         if self.flags.load:
             tmpl_opt = opt_state if self.flags.restore_opt else None
             params, restored_opt, meta = load_checkpoint(
@@ -780,7 +791,11 @@ def main(input_args=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=4)
-    parser.add_argument("--load", type=str, help="checkpoint path to load")
+    parser.add_argument("--load", type=str,
+                        help="checkpoint path to load, or 'auto' to resume "
+                             "from <save_dir>/<run_name>/last when it "
+                             "exists (pair with --restore_opt for a true "
+                             "resume)")
     parser.add_argument("--restore_opt", action="store_true")
     parser.add_argument("--precision", type=str, default="32",
                         choices=["32", "bf16", "bf16-mixed"])

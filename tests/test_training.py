@@ -54,6 +54,42 @@ def test_prefetch_matches_synchronous(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_load_auto_resumes_own_run(tmp_path):
+    """--load auto: fresh start when no checkpoint, resume after one."""
+    datastore = DummyDatastore(n_points_1d=10, n_timesteps=30)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    bundle = create_graph(str(tmp_path / "graph"),
+                          datastore.get_xy("state", stacked=False),
+                          n_max_levels=1, hierarchical=False)
+    graph = graph_from_bundle(bundle)
+    args = ModelArgs(hidden_dim=4, hidden_layers=1, processor_layers=1,
+                     val_steps_to_log=(1,))
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    dm = WeatherDataModule(datastore, ar_steps_train=1, ar_steps_eval=2,
+                           batch_size=2)
+    mesh = make_mesh(n_data=1, n_space=1)
+    run_dir = tmp_path / "run"
+
+    flags = TrainFlags(epochs=1, batch_size=2, val_interval=1, seed=3,
+                       load="auto")
+    trainer = Trainer(model, flags, run_dir=run_dir, mesh=mesh)
+    # no checkpoint yet -> fresh start (load resolved to None)
+    trainer.fit(dm)
+    assert trainer.flags.load is None
+    assert (run_dir / "last").exists()
+    step1 = trainer.global_step
+
+    flags2 = TrainFlags(epochs=1, batch_size=2, val_interval=1, seed=3,
+                        load="auto", restore_opt=True)
+    trainer2 = Trainer(model, flags2, run_dir=run_dir, mesh=mesh)
+    trainer2.init_state()
+    assert trainer2.flags.load == str(run_dir / "last")
+    assert trainer2.global_step == step1
+
+
 def test_fit_and_test(tmp_path):
     datastore = DummyDatastore(n_points_1d=10, n_timesteps=40)
     config = NeuralLAMConfig(
