@@ -25,5 +25,5 @@ run train_step    python probes/train_step.py
 run train_step_bf16 python probes/train_step.py bf16
 run bench         python bench.py
 run benchmarks    python benchmarks.py
-echo "done; logs in $OUT"
 run compose_gap   python probes/compose_gap.py
+echo "done; logs in $OUT"
