@@ -96,9 +96,14 @@ def crps_ensemble(ens, target, mask=None, average_grid=True, sum_vars=True):
     m = ens.shape[1]
     skill = jnp.abs(ens - target[:, None]).mean(axis=1)  # (B, T, N, d)
     if m > 1:
-        # pairwise member spread, O(m^2) but m is small
-        diffs = jnp.abs(ens[:, :, None] - ens[:, None, :])  # (B, m, m, ...)
-        spread = diffs.sum(axis=(1, 2)) / (2.0 * m * (m - 1))
+        # sum_{i,j}|x_i - x_j| via the sorted identity
+        # 2 * sum_k (2k - 1 - m) x_(k)  (k 1-indexed): exact, O(m log m),
+        # and avoids the (B, m, m, T, N, d) pairwise tensor, which at
+        # full eval scale (m=5, MEPS grid) is ~8 GB
+        srt = jnp.sort(ens, axis=1)
+        coeff = (2.0 * jnp.arange(1, m + 1) - 1.0 - m).astype(ens.dtype)
+        pair_sum = 2.0 * jnp.tensordot(coeff, srt, axes=(0, 1))
+        spread = pair_sum / (2.0 * m * (m - 1))
     else:
         spread = jnp.zeros_like(skill)
     entry = skill - spread

@@ -88,6 +88,26 @@ def test_ensemble_rollout_and_metrics(tmp_path):
                                rtol=1e-5)
 
 
+def test_crps_sorted_matches_pairwise():
+    """The O(m log m) sorted spread identity equals the O(m^2) pairwise
+    definition sum_{i,j}|x_i - x_j| / (2 m (m-1))."""
+    key = jax.random.PRNGKey(3)
+    B, m, T, N, d = 2, 6, 2, 30, 3
+    k1, k2 = jax.random.split(key)
+    ens = jax.random.normal(k1, (B, m, T, N, d))
+    target = jax.random.normal(k2, (B, T, N, d))
+
+    got = crps_ensemble(ens, target)
+    skill = jnp.abs(ens - target[:, None]).mean(axis=1)
+    diffs = jnp.abs(ens[:, :, None] - ens[:, None, :])
+    spread = diffs.sum(axis=(1, 2)) / (2.0 * m * (m - 1))
+    from neural_lam_tpu.metrics import mask_and_reduce_metric
+
+    want = mask_and_reduce_metric(skill - spread, None, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rank_histogram_and_ssr_calibrated():
     """Members and target iid from the same Gaussian -> uniform ranks,
     spread-skill ratio ~ 1 (the defining property of both diagnostics)."""
