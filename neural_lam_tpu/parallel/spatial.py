@@ -76,12 +76,12 @@ class SpatialPartition:
     g2m_send_local: jax.Array  # (S, Eg) int32
     g2m_recv: jax.Array  # (S, Eg) int32 (global mesh)
     g2m_feat: jax.Array  # (S, Eg, 3)
-    g2m_table: jax.Array  # (S, N_mesh, Kg)
-    # m2m: balanced chunks
+    g2m_table: jax.Array  # (S, N_mesh[, _pad], Kg)
+    # m2m: balanced chunks ("psum") or receiver-block chunks ("rs")
     m2m_send: jax.Array  # (S, Emm)
-    m2m_recv: jax.Array  # (S, Emm)
+    m2m_recv: jax.Array  # (S, Emm); scheme "rs": LOCAL receiver indices
     m2m_feat: jax.Array  # (S, Emm, 3)
-    m2m_table: jax.Array  # (S, N_mesh, Kmm)
+    m2m_table: jax.Array  # (S, N_mesh, Kmm); "rs": (S, mblock, Kmm)
     # m2g: partitioned by receiver grid block
     m2g_send: jax.Array  # (S, Em)
     m2g_recv_local: jax.Array  # (S, Em)
@@ -94,6 +94,15 @@ class SpatialPartition:
     block: int = dataclasses.field(metadata={"static": True})
     num_grid: int = dataclasses.field(metadata={"static": True})
     num_mesh: int = dataclasses.field(metadata={"static": True})
+    # scheme "rs" (mesh-node sharding): owned mesh rows per shard
+    mblock: int = dataclasses.field(default=0, metadata={"static": True})
+    scheme: str = dataclasses.field(default="psum",
+                                    metadata={"static": True})
+
+    @property
+    def num_mesh_padded(self) -> int:
+        return self.mblock * self.n_shards if self.scheme == "rs" \
+            else self.num_mesh
 
     @property
     def num_grid_padded(self) -> int:
@@ -101,8 +110,19 @@ class SpatialPartition:
 
 
 def partition_graph(graph: LoadedGraph, n_shards: int,
-                    grid_static_features) -> SpatialPartition:
-    """Build the per-shard spatial partition of a flat (GraphLAM) graph."""
+                    grid_static_features,
+                    scheme: str = "psum") -> SpatialPartition:
+    """Build the per-shard spatial partition of a flat (GraphLAM) graph.
+
+    scheme "psum": mesh nodes replicated, edge chunks balanced, one psum
+    of the full (B, N_mesh, h) per GNN (the round-1 design).
+    scheme "rs" : mesh nodes SHARDED into contiguous blocks; m2m edges
+    partitioned by receiver owner, aggregation fully local; the g2m
+    partial is reduce-scattered to owners and sender transforms are
+    all-gathered per layer — half the collective bytes of a psum each,
+    and the aggr-MLPs run on owned rows only (see docs/SCALING.md).
+    """
+    assert scheme in ("psum", "rs")
     assert not graph.hierarchical, "spatial partitioning of flat graphs only"
     ng = graph.num_grid_nodes
     nm = graph.level_sizes[0]
@@ -118,10 +138,12 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         return send, recv, feat
     block = -(-ng // n_shards)
     ng_pad = block * n_shards
+    mblock = -(-nm // n_shards)
+    nm_pad = mblock * n_shards
 
-    def split_by_block(owner_idx, arrays):
+    def split_by_block(owner_idx, arrays, blk=block):
         """Group edge-array rows by owner block; pad each group to max."""
-        shard_of = np.asarray(owner_idx) // block
+        shard_of = np.asarray(owner_idx) // blk
         groups = [
             [a[shard_of == s] for a in arrays] for s in range(n_shards)
         ]
@@ -136,25 +158,48 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     ]).astype(np.int32)
     g2m_recv = np.stack([_pad_to(g[1], eg) for g in groups]).astype(np.int32)
     g2m_feat = np.stack([_pad_to(g[2], eg) for g in groups]).astype(np.float32)
-    g2m_table = _build_shard_tables([g[1] for g in groups], nm, eg)
-
-    # --- m2m (contiguous balanced chunks) ---
-    send, recv, feat = real_edges(graph.m2m[0])
-    E = send.shape[0]
-    bounds = [E * s // n_shards for s in range(n_shards + 1)]
-    emm = max(bounds[s + 1] - bounds[s] for s in range(n_shards))
-    m2m_send = np.stack([
-        _pad_to(send[bounds[s]:bounds[s + 1]], emm) for s in range(n_shards)
-    ]).astype(np.int32)
-    m2m_recv = np.stack([
-        _pad_to(recv[bounds[s]:bounds[s + 1]], emm) for s in range(n_shards)
-    ]).astype(np.int32)
-    m2m_feat = np.stack([
-        _pad_to(feat[bounds[s]:bounds[s + 1]], emm) for s in range(n_shards)
-    ]).astype(np.float32)
-    m2m_table = _build_shard_tables(
-        [recv[bounds[s]:bounds[s + 1]] for s in range(n_shards)], nm, emm
+    # "rs": table rows span nm_pad so the partial reduce-scatters evenly
+    g2m_table = _build_shard_tables(
+        [g[1] for g in groups], nm_pad if scheme == "rs" else nm, eg
     )
+
+    # --- m2m ---
+    send, recv, feat = real_edges(graph.m2m[0])
+    if scheme == "rs":
+        # partition by receiver owner block; aggregation is shard-local
+        groups, emm = split_by_block(recv, [send, recv, feat], blk=mblock)
+        m2m_send = np.stack(
+            [_pad_to(g[0], emm) for g in groups]
+        ).astype(np.int32)
+        m2m_recv = np.stack([
+            _pad_to(g[1] - s * mblock, emm) for s, g in enumerate(groups)
+        ]).astype(np.int32)
+        m2m_feat = np.stack(
+            [_pad_to(g[2], emm) for g in groups]
+        ).astype(np.float32)
+        m2m_table = _build_shard_tables(
+            [g[1] - s * mblock for s, g in enumerate(groups)], mblock, emm
+        )
+    else:
+        # contiguous balanced chunks, full-mesh tables, psum
+        E = send.shape[0]
+        bounds = [E * s // n_shards for s in range(n_shards + 1)]
+        emm = max(bounds[s + 1] - bounds[s] for s in range(n_shards))
+        m2m_send = np.stack([
+            _pad_to(send[bounds[s]:bounds[s + 1]], emm)
+            for s in range(n_shards)
+        ]).astype(np.int32)
+        m2m_recv = np.stack([
+            _pad_to(recv[bounds[s]:bounds[s + 1]], emm)
+            for s in range(n_shards)
+        ]).astype(np.int32)
+        m2m_feat = np.stack([
+            _pad_to(feat[bounds[s]:bounds[s + 1]], emm)
+            for s in range(n_shards)
+        ]).astype(np.float32)
+        m2m_table = _build_shard_tables(
+            [recv[bounds[s]:bounds[s + 1]] for s in range(n_shards)], nm, emm
+        )
 
     # --- m2g (partition by receiver grid node) ---
     send, recv, feat = real_edges(graph.m2g)
@@ -191,6 +236,8 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         block=int(block),
         num_grid=int(ng),
         num_mesh=int(nm),
+        mblock=int(mblock),
+        scheme=scheme,
     )
 
 
@@ -225,13 +272,15 @@ class SpatialGraphLAM(GraphLAM):
 
     _array_fields = ("statics", "graph", "partition")
 
-    def __init__(self, args, config, datastore, graph=None, mesh: Mesh = None):
+    def __init__(self, args, config, datastore, graph=None, mesh: Mesh = None,
+                 scheme: str = "psum"):
         super().__init__(args, config, datastore, graph)
         assert mesh is not None and "space" in mesh.axis_names
         self.mesh = mesh
         n_space = mesh.shape["space"]
         self.partition = partition_graph(
-            self.graph, n_space, self.statics.grid_static_features
+            self.graph, n_space, self.statics.grid_static_features,
+            scheme=scheme,
         )
         self._shard_step = self._build_shard_step()
 
@@ -260,11 +309,25 @@ class SpatialGraphLAM(GraphLAM):
             mesh_emb = apply_mlp(params["mesh_embedder"], sp.mesh_static,
                                  compute_dtype=cd)  # (Nm, h)
             B = grid_feats.shape[0]
-            mesh_rep = jnp.broadcast_to(
-                mesh_emb[None], (B,) + mesh_emb.shape
-            )
+            rs = part.scheme == "rs"
+            if rs:
+                nm_pad = part.num_mesh_padded
+                mesh_emb = jnp.pad(
+                    mesh_emb, ((0, nm_pad - part.num_mesh), (0, 0))
+                )
+                s_idx = jax.lax.axis_index("space")
+                own0 = jax.lax.dynamic_slice_in_dim(
+                    mesh_emb, s_idx * part.mblock, part.mblock, axis=0
+                )
+                # owned mesh rows only: (B, mblock, h)
+                mesh_rep = jnp.broadcast_to(own0[None], (B,) + own0.shape)
+            else:
+                mesh_rep = jnp.broadcast_to(
+                    mesh_emb[None], (B,) + mesh_emb.shape
+                )
 
-            # 3. g2m: local messages, psum partial aggregation
+            # 3. g2m: local messages; "psum" combines full-mesh partials,
+            # "rs" reduce-scatters them to the owner shard (half the bytes)
             g2m_p = params["g2m_gnn"]
             w0 = g2m_p["edge_mlp"]["layers"][0]["w"]
             h = mesh_emb.shape[-1]
@@ -273,7 +336,7 @@ class SpatialGraphLAM(GraphLAM):
                 params["g2m_embedder"], idx(sp.g2m_feat), compute_dtype=cd
             )  # (Eg, h)
             send_t = _mm(grid_emb, w_j, cd)  # (B, blk, h)
-            rec_t = _mm(mesh_emb, w_i, cd)  # (Nm, h)
+            rec_t = _mm(mesh_emb, w_i, cd)  # (Nm[, _pad], h)
             msgs = _edge_messages(
                 g2m_p["edge_mlp"],
                 _mm(g2m_emb, w_e, cd)[None],
@@ -281,15 +344,23 @@ class SpatialGraphLAM(GraphLAM):
                 jnp.take(rec_t, idx(sp.g2m_recv), axis=-2)[None],
                 cd,
             )  # (B, Eg, h)
-            partial = gather_sum(msgs, idx(sp.g2m_table))  # (B, Nm, h)
-            aggregated = jax.lax.psum(partial, "space")
+            partial = gather_sum(msgs, idx(sp.g2m_table))
+            if rs:
+                aggregated = jax.lax.psum_scatter(
+                    partial, "space", scatter_dimension=1, tiled=True
+                )  # (B, mblock, h) owned rows
+            else:
+                aggregated = jax.lax.psum(partial, "space")
             mesh_rep = mesh_rep + apply_mlp(
                 g2m_p["aggr_mlp"],
                 jnp.concatenate([mesh_rep, aggregated], axis=-1),
                 compute_dtype=cd,
             )
 
-            # 4. processor: per-shard m2m edge chunk, psum per layer
+            # 4. processor: per-shard m2m edge chunk. "psum": full-mesh
+            # partial + psum per layer; "rs": all-gather the SENDER
+            # transform of the owned rows (half the bytes of a psum),
+            # receiver transform / aggregation / aggr-MLP stay local
             m2m_emb = apply_mlp(
                 params["m2m_embedder"], idx(sp.m2m_feat), compute_dtype=cd
             )  # (Emm, h)
@@ -298,8 +369,12 @@ class SpatialGraphLAM(GraphLAM):
                 p = params["processor"][li]
                 w0 = p["edge_mlp"]["layers"][0]["w"]
                 w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
-                node_tj = _mm(mesh_rep, w_j, cd)  # (B, Nm, h)
+                node_tj = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
                 node_ti = _mm(mesh_rep, w_i, cd)
+                if rs:
+                    node_tj = jax.lax.all_gather(
+                        node_tj, "space", axis=1, tiled=True
+                    )  # (B, nm_pad, h)
                 msgs = _edge_messages(
                     p["edge_mlp"],
                     _mm(edge_rep, w_e, cd),
@@ -308,7 +383,10 @@ class SpatialGraphLAM(GraphLAM):
                     cd,
                 )  # (B, Emm, h)
                 partial = gather_sum(msgs, idx(sp.m2m_table))
-                aggregated = jax.lax.psum(partial, "space")
+                if rs:
+                    aggregated = partial  # receiver-owned chunk: local
+                else:
+                    aggregated = jax.lax.psum(partial, "space")
                 mesh_rep = mesh_rep + apply_mlp(
                     p["aggr_mlp"],
                     jnp.concatenate([mesh_rep, aggregated], axis=-1),
@@ -316,14 +394,19 @@ class SpatialGraphLAM(GraphLAM):
                 )
                 edge_rep = edge_rep + msgs
 
-            # 5. m2g: replicated mesh senders -> local grid receivers
+            # 5. m2g: mesh senders -> local grid receivers ("rs": one
+            # all-gather of the sender transform of the owned rows)
             m2g_p = params["m2g_gnn"]
             w0 = m2g_p["edge_mlp"]["layers"][0]["w"]
             w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
             m2g_emb = apply_mlp(
                 params["m2g_embedder"], idx(sp.m2g_feat), compute_dtype=cd
             )
-            send_t = _mm(mesh_rep, w_j, cd)  # (B, Nm, h)
+            send_t = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
+            if rs:
+                send_t = jax.lax.all_gather(
+                    send_t, "space", axis=1, tiled=True
+                )  # (B, nm_pad, h)
             rec_t = _mm(grid_rep, w_i, cd)  # (B, blk, h)
             msgs = _edge_messages(
                 m2g_p["edge_mlp"],
@@ -364,6 +447,7 @@ class SpatialGraphLAM(GraphLAM):
             grid_static=P("space"),
             n_shards=part.n_shards, block=part.block,
             num_grid=part.num_grid, num_mesh=part.num_mesh,
+            mblock=part.mblock, scheme=part.scheme,
         )
         return shard_map(
             shard_fn, mesh=self.mesh,

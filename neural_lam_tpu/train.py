@@ -865,6 +865,13 @@ def main(input_args=None):
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="shard grid nodes over this many devices "
                              "(the mesh 'space' axis)")
+    parser.add_argument("--spatial_scheme", type=str, default="grid",
+                        choices=["grid", "mesh_rs"],
+                        help="grid: grid-sharded mesh-replicated (any "
+                             "family); mesh_rs: graph_lam-only mesh-node "
+                             "sharding via reduce-scatter/all-gather — "
+                             "~40%% less collective traffic and sharded "
+                             "mesh-node MLPs (docs/SCALING.md)")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")
@@ -963,7 +970,17 @@ def main(input_args=None):
             n_data=min(best_data_axis(args.batch_size), n_dev // n_space),
             n_space=n_space,
         )
-        model = spatialize(model, mesh)
+        if args.spatial_scheme == "mesh_rs":
+            from .parallel.spatial import SpatialGraphLAM
+
+            assert args.model == "graph_lam", (
+                "--spatial_scheme mesh_rs is the hand-partitioned GraphLAM "
+                "scheme; other families use --spatial_scheme grid"
+            )
+            model = SpatialGraphLAM(model_args, config, datastore,
+                                    model.graph, mesh=mesh, scheme="rs")
+        else:
+            model = spatialize(model, mesh)
     elif multihost:
         mesh = dist.make_global_mesh(n_space=1)
         global_batch = args.batch_size * jax.process_count()

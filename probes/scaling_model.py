@@ -1,0 +1,148 @@
+"""Predicted scaling tables from the spatial-sharding communication model.
+
+Multi-chip hardware is not reachable from this environment (one tunneled
+chip), so this turns the analytic model (docs/SCALING.md) into numbers:
+per model family and shard count S,
+
+- STRONG scaling (fixed MEPS problem split over S shards): per-shard
+  time = t1*(repl + local/S) + comm(S), where `repl` is the replicated
+  mesh-NODE fraction of the step (full mesh recomputed on every shard)
+  and comm is ring-all-reduce bytes / ICI bandwidth + per-psum latency.
+- WEAK scaling (per-shard grid kept at MEPS size, domain grows with S):
+  local work constant, replicated node work grows ~S (the mesh grows
+  with the domain), psum payload grows ~S.
+
+Clearly a MODEL, not a measurement — single-chip times are measured
+(bench.py / probes/train_step.py), collective costs are first-order.
+
+Usage: python probes/scaling_model.py [--ici_gbps 100] [--step_ms 8.57]
+        [--train_ms 29.0] [--json]
+"""
+import argparse
+import json
+
+# graph sizes at the bench config (measured from the builder; see
+# docs/SCALING.md)
+N_MESH_FLAT = 6561
+HI_LEVELS = (6561, 729, 81)
+B, D, P = 4, 64, 4
+BYTES = 4  # fp32
+
+
+def psum_payloads(family):
+    """Per predict step: psum'd array sizes (elements) under
+    parallel/grid_sharded.py (one psum per sharded GNN application)."""
+    arr = lambda n: B * n * D
+    if family == "graph_lam":
+        return [arr(N_MESH_FLAT)] * (1 + P)
+    if family == "hi_lam":
+        out = [arr(N_MESH_FLAT)]                      # g2m
+        out += [arr(n) for n in HI_LEVELS[1:]]        # init up-sweep
+        for _ in range(P):                            # per-layer sweeps
+            for lev in list(HI_LEVELS) + list(HI_LEVELS[-2::-1]):
+                out.append(arr(lev))
+            for lev in HI_LEVELS[:-1]:
+                out.append(arr(lev))
+        out += [arr(n) for n in HI_LEVELS[:-1]]       # read-out
+        return out
+    if family == "hi_lam_parallel":
+        out = [arr(N_MESH_FLAT)]
+        out += [arr(n) for n in HI_LEVELS[1:]]
+        for _ in range(P):
+            out += [arr(n) for n in HI_LEVELS]
+        out += [arr(n) for n in HI_LEVELS[:-1]]
+        return out
+    raise ValueError(family)
+
+
+# replicated mesh-NODE fraction of the single-chip step: aggr-MLP rows =
+# ~1/(1+mean_degree K~8) of processor FLOPs; processor is ~35% of the
+# graph_lam step (probes/stage_decomp.py) and dominates the hierarchical
+# steps (~80%). graph_lam_rs shards the aggr-MLPs; only the per-layer
+# sender node transform (~h x h matmul over owned rows, all-gathered)
+# leaves a tiny replicated residue.
+REPL_FRACTION = {"graph_lam": 0.04, "hi_lam": 0.09, "hi_lam_parallel": 0.09,
+                 "graph_lam_rs": 0.015}
+
+
+def collective_units(family):
+    """(count, one-way bytes moved per device per collective at S shards
+    is units * (S-1)/S * full-array bytes; psum = 2 units each,
+    reduce-scatter / all-gather = 1 unit each)."""
+    if family == "graph_lam_rs":
+        # 1 reduce-scatter (g2m) + P all-gathers (per-layer sender
+        # transforms) + 1 all-gather (m2g senders)
+        n = 2 + P
+        return n, n * 1.0 * B * N_MESH_FLAT * D * BYTES
+    sizes = psum_payloads(family)
+    return len(sizes), 2.0 * sum(sizes) * BYTES
+
+
+def model_rows(step_ms, train_ms, ici_gbps, latency_us):
+    rows = []
+    for family in ("graph_lam", "hi_lam", "hi_lam_parallel",
+                   "graph_lam_rs"):
+        n_coll, payload = collective_units(family)
+        repl = REPL_FRACTION[family]
+        for S in (2, 4, 8, 16):
+            lat = n_coll * latency_us * 1e-6
+
+            # strong: fixed problem; replicated node work constant
+            comm = payload * (S - 1) / S / (ici_gbps * 1e9) + lat
+            t1 = step_ms / 1000.0
+            t_s = t1 * (repl + (1 - repl) / S) + comm
+            strong = t1 / (S * t_s)
+
+            # weak: domain grows with S -> payload and replicated node
+            # work grow ~S; local work constant
+            comm_w = payload * (S - 1) / (ici_gbps * 1e9) + lat
+            t_w = t1 * ((1 - repl) + repl * S) + comm_w
+            weak = t1 / t_w
+
+            # train step: backward doubles the collective count/payload
+            tr1 = train_ms / 1000.0
+            tr_s = tr1 * (repl + (1 - repl) / S) + 2 * comm
+            tr_w = tr1 * ((1 - repl) + repl * S) + 2 * comm_w
+            rows.append({
+                "family": family, "shards": S, "collectives": n_coll,
+                "bytes_mb": round(payload / 1e6, 1),
+                "fwd_strong_eff_pct": round(100 * strong, 1),
+                "fwd_weak_eff_pct": round(100 * weak, 1),
+                "train_strong_eff_pct": round(100 * tr1 / (S * tr_s), 1),
+                "train_weak_eff_pct": round(100 * tr1 / tr_w, 1),
+            })
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ici_gbps", type=float, default=100.0,
+                    help="per-device usable ICI bandwidth (GB/s)")
+    ap.add_argument("--step_ms", type=float, default=8.57,
+                    help="measured single-chip predict-step ms (bench.py)")
+    ap.add_argument("--train_ms", type=float, default=29.0,
+                    help="measured single-chip train-step ms")
+    ap.add_argument("--latency_us", type=float, default=5.0,
+                    help="per-collective launch latency (us)")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    rows = model_rows(args.step_ms, args.train_ms, args.ici_gbps,
+                      args.latency_us)
+    if args.json:
+        print(json.dumps(rows))
+        return
+    print(f"{'family':17s} {'S':>3s} {'coll':>6s} {'MB':>6s} "
+          f"{'fwd-strong%':>12s} {'fwd-weak%':>10s} "
+          f"{'tr-strong%':>11s} {'tr-weak%':>9s}")
+    for r in rows:
+        print(f"{r['family']:17s} {r['shards']:3d} "
+              f"{r['collectives']:6d} {r['bytes_mb']:6.1f} "
+              f"{r['fwd_strong_eff_pct']:12.1f} "
+              f"{r['fwd_weak_eff_pct']:10.1f} "
+              f"{r['train_strong_eff_pct']:11.1f} "
+              f"{r['train_weak_eff_pct']:9.1f}")
+
+
+if __name__ == "__main__":
+    main()

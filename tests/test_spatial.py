@@ -37,12 +37,14 @@ def setup(tmp_path_factory):
     return datastore, config, graph, args
 
 
-def test_spatial_matches_single_device(setup):
+@pytest.mark.parametrize("scheme", ["psum", "rs"])
+def test_spatial_matches_single_device(setup, scheme):
     datastore, config, graph, args = setup
     mesh = make_mesh(n_data=2, n_space=4)
 
     ref_model = GraphLAM(args, config, datastore, graph)
-    sp_model = SpatialGraphLAM(args, config, datastore, graph, mesh=mesh)
+    sp_model = SpatialGraphLAM(args, config, datastore, graph, mesh=mesh,
+                               scheme=scheme)
     params = ref_model.init_params(jax.random.PRNGKey(0))
 
     ds = WeatherDataset(datastore, split="train", ar_steps=3)
