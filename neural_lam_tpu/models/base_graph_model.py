@@ -30,6 +30,16 @@ class BaseGraphModel(ARModelBase):
     # aggregations over, set when those edge sets are sharded edge-chunks
     _g2m_psum_axis = None
     _mesh_psum_axis = None
+    # "scatter": reduce-scatter g2m partials to the receiver's owner shard
+    # and keep mesh state OWNED-rows from there on (mesh-node sharding);
+    # pairs with a _mesh_sender_rep override that all-gathers senders
+    _g2m_psum_mode = "allreduce"
+
+    def _mesh_sender_rep(self, mesh_rep):
+        """Hook: the mesh array edge SENDERS gather from. Identity when
+        mesh state is replicated; the mesh-node-sharded scheme overrides
+        this with an all-gather of the owned rows."""
+        return mesh_rep
 
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):
@@ -134,19 +144,20 @@ class BaseGraphModel(ARModelBase):
         return {}
 
     def _inet_static(self, inet_params, edges, send_rep, rec_rep, ctx_entry,
-                     batch_size, psum_axis=None):
+                     batch_size, psum_axis=None, psum_mode="allreduce"):
         """update_edges=False interaction net with precomputed edge ctx."""
         cd = self.compute_dtype
         if "ew" in ctx_entry:
             return apply_interaction_net(
                 inet_params, edges, send_rep, rec_rep,
                 update_edges=False, compute_dtype=cd, ew=ctx_entry["ew"],
-                psum_axis=psum_axis,
+                psum_axis=psum_axis, psum_mode=psum_mode,
             )
         return apply_interaction_net(
             inet_params, edges, send_rep, rec_rep,
             edge_rep=expand_to_batch(ctx_entry["emb"], batch_size),
             update_edges=False, compute_dtype=cd, psum_axis=psum_axis,
+            psum_mode=psum_mode,
         )
 
     def _flat_grid_eligible(self, params, ctx, batch_size: int) -> bool:
@@ -217,13 +228,15 @@ class BaseGraphModel(ARModelBase):
             expand_to_batch(ctx["mesh_emb"], B),
             update_edges=False, aggr="sum", compute_dtype=cd,
             ew=ctx["g2m"]["ew"], psum_axis=self._g2m_psum_axis,
-        )  # (B, N_mesh, h)
+            psum_mode=self._g2m_psum_mode,
+        )  # (B, N_mesh, h) — owned rows only under "scatter"
 
         mesh_rep = self.process_step(params, mesh_rep, B, ctx=ctx)
 
         m2g = self.graph.m2g
         w0m = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"]
-        send_tf = node_transform_flat(mesh_rep, w0m[h:2 * h], cd)
+        send_tf = node_transform_flat(self._mesh_sender_rep(mesh_rep),
+                                      w0m[h:2 * h], cd)
         if cd is not None:
             send_tf = send_tf.astype(cd)
             ge_f = ge_f.astype(cd)
@@ -262,7 +275,8 @@ class BaseGraphModel(ARModelBase):
             params["g2m_gnn"], self.graph.g2m, grid_emb,
             expand_to_batch(ctx["mesh_emb"], batch_size), ctx["g2m"],
             batch_size, psum_axis=self._g2m_psum_axis,
-        )  # (B, N_mesh, d_h)
+            psum_mode=self._g2m_psum_mode,
+        )  # (B, N_mesh, d_h) — owned rows only under "scatter"
         grid_rep = grid_emb + apply_mlp(
             params["encoding_grid_mlp"], grid_emb, compute_dtype=cd
         )
@@ -270,7 +284,8 @@ class BaseGraphModel(ARModelBase):
         mesh_rep = self.process_step(params, mesh_rep, batch_size, ctx=ctx)
 
         grid_rep = self._inet_static(
-            params["m2g_gnn"], self.graph.m2g, mesh_rep, grid_rep,
+            params["m2g_gnn"], self.graph.m2g,
+            self._mesh_sender_rep(mesh_rep), grid_rep,
             ctx["m2g"], batch_size,
         )  # (B, N_grid, d_h)
 

@@ -74,7 +74,8 @@ class GraphLAM(BaseGraphModel):
         edge_rep = expand_edge_rep(self.m2m, ctx["m2m_emb"], batch_size)
         for p in params["processor"]:
             mesh_rep, edge_rep = apply_interaction_net(
-                p, self.m2m, mesh_rep, mesh_rep, edge_rep,
+                p, self.m2m, self._mesh_sender_rep(mesh_rep), mesh_rep,
+                edge_rep,
                 aggr=self.args.mesh_aggr, compute_dtype=self.compute_dtype,
                 psum_axis=self._mesh_psum_axis,
             )

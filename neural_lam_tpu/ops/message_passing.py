@@ -530,13 +530,33 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     return None, virt
 
 
+def _scatter_to_owner(aggregated, rec_rep, axis_name, agg_axis, rec_axis):
+    """Reduce-scatter partial aggregations to the receiver's owner shard
+    (half a psum's bytes) and slice rec_rep to the owned rows, so the
+    aggr-MLP runs on num_rec / n_shards rows instead of being replicated.
+    num_rec must be divisible by the axis size (builder pads). agg_axis /
+    rec_axis name the receiver-node dimension in each layout (they differ
+    on the flat path: aggregation is (N, B*h), rec_rep is (B, N, h))."""
+    n = jax.lax.psum(1, axis_name)
+    block = aggregated.shape[agg_axis] // n
+    agg = jax.lax.psum_scatter(
+        aggregated, axis_name, scatter_dimension=agg_axis, tiled=True
+    )
+    idx = jax.lax.axis_index(axis_name)
+    rec = jax.lax.dynamic_slice_in_dim(rec_rep, idx * block, block,
+                                       axis=rec_axis)
+    return agg, rec
+
+
 def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
                      edge_rep_flat=None, *, update_edges, aggr,
-                     compute_dtype=None, ew=None, psum_axis=None):
+                     compute_dtype=None, ew=None, psum_axis=None,
+                     psum_mode="allreduce"):
     """Flat-lane interaction net round. send_rep/rec_rep in (B, N, h);
     edge state either static `ew` (M, h) or evolving flat `edge_rep_flat`
     (M, B*h). Returns rec_out (B, N_rec, h) and, when update_edges,
-    edge_out in flat layout."""
+    edge_out in flat layout. psum_mode="scatter" (with psum_axis) keeps
+    only the owned receiver rows: reduce-scatter + owned-row aggr-MLP."""
     cd = compute_dtype
     edge_out, virt = edge_round_flat(
         params["edge_mlp"], edges, send_rep, rec_rep, edge_rep_flat,
@@ -545,7 +565,13 @@ def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
 
     aggregated = _fold_virt_flat(edges, virt)
     if psum_axis is not None:
-        aggregated = jax.lax.psum(aggregated, psum_axis)
+        if psum_mode == "scatter":
+            assert aggr == "sum", "scatter mode implements sum aggregation"
+            aggregated, rec_rep = _scatter_to_owner(
+                aggregated, rec_rep, psum_axis, agg_axis=0, rec_axis=1
+            )
+        else:
+            aggregated = jax.lax.psum(aggregated, psum_axis)
     if aggr == "mean":
         aggregated = aggregated / _virt_counts_flat(edges)
     rec_out = rec_rep + _aggr_mlp_mixed(
@@ -735,9 +761,13 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
 def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                           edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
-                          compute_dtype=None, ew=None, psum_axis=None):
+                          compute_dtype=None, ew=None, psum_axis=None,
+                          psum_mode="allreduce"):
     # psum_axis: inside shard_map, combine per-shard partial aggregations
-    # over this mesh axis (spatially partitioned sender edges)
+    # over this mesh axis (spatially partitioned sender edges).
+    # psum_mode="scatter": reduce-scatter the partials to the receiver's
+    # owner shard instead (half the bytes), slice rec_rep to the owned
+    # rows and return OWNED rec_out — the mesh-node-sharded scheme.
     """One interaction-net round; see module docstring for the math.
 
     send_rep: (..., N_send, d)   rec_rep: (..., N_rec, d)
@@ -770,7 +800,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                     params, edges, send_rep, rec_rep, flat_edge,
                     update_edges=update_edges, aggr=aggr,
                     compute_dtype=compute_dtype, ew=static_ew,
-                    psum_axis=psum_axis,
+                    psum_axis=psum_axis, psum_mode=psum_mode,
                 )
         fused_layer = (
             update_edges and mode != "off"
@@ -813,7 +843,17 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             )
         aggregated = _fold_virt(edges, virt)
         if psum_axis is not None:
-            aggregated = jax.lax.psum(aggregated, psum_axis)
+            if psum_mode == "scatter":
+                assert aggr == "sum", (
+                    "scatter mode implements sum aggregation"
+                )
+                aggregated, rec_rep = _scatter_to_owner(
+                    aggregated, rec_rep, psum_axis,
+                    agg_axis=aggregated.ndim - 2,
+                    rec_axis=rec_rep.ndim - 2,
+                )
+            else:
+                aggregated = jax.lax.psum(aggregated, psum_axis)
         if aggr == "mean":
             aggregated = aggregated / _virt_counts(edges)[..., :, None]
         rec_diff = apply_mlp_concat(
@@ -839,7 +879,14 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             messages, edges.receivers, edges.num_rec, sorted_ids=True
         )
     if psum_axis is not None:
-        aggregated = jax.lax.psum(aggregated, psum_axis)
+        if psum_mode == "scatter":
+            assert aggr == "sum", "scatter mode implements sum aggregation"
+            aggregated, rec_rep = _scatter_to_owner(
+                aggregated, rec_rep, psum_axis,
+                agg_axis=aggregated.ndim - 2, rec_axis=rec_rep.ndim - 2,
+            )
+        else:
+            aggregated = jax.lax.psum(aggregated, psum_axis)
     if aggr == "mean":
         counts = jnp.maximum(
             (edges.gather_table < edges.num_edges).sum(axis=-1), 1

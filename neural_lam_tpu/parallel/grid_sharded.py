@@ -322,3 +322,182 @@ def spatialize(model, mesh: Mesh):
     )
     sp.__class__ = cls
     return sp
+
+
+# --- mesh-node-sharded scheme ("rs") -----------------------------------
+#
+# Grid nodes sharded as above, but mesh NODE state is sharded too: m2m
+# edges live with their RECEIVER's owner so aggregation is shard-local,
+# the g2m partial is reduce-scattered to owners (half a psum's bytes,
+# via apply_interaction_net's psum_mode="scatter") and each GNN that
+# reads mesh senders all-gathers only the owned rows (the
+# _mesh_sender_rep hook). 6 half-psum collectives per predict step vs 5
+# full psums, with the mesh aggr-MLPs sharded — see docs/SCALING.md.
+# Runs the same kernel paths as the grid scheme (flat / fused Pallas
+# inside the shard_map body).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RSShard:
+    """Per-shard (stacked) structures for the mesh-node-sharded scheme."""
+
+    g2m: EdgeSet  # sender-local grid block -> global PADDED mesh rows
+    m2g: EdgeSet  # senders global padded mesh -> receiver-local grid block
+    m2m: EdgeSet  # receiver-OWNED chunk: local receivers, global senders
+    grid_static: jax.Array  # (Ng_pad, d_static), row-sharded
+    mesh_static: jax.Array  # (nm_pad, d), replicated (full mesh embed)
+    n_shards: int = dataclasses.field(metadata={"static": True})
+    block: int = dataclasses.field(metadata={"static": True})
+    num_grid: int = dataclasses.field(metadata={"static": True})
+    num_mesh: int = dataclasses.field(metadata={"static": True})
+    mblock: int = dataclasses.field(metadata={"static": True})
+
+
+def build_rs_shard(graph: LoadedGraph, n_shards: int,
+                   grid_static_features) -> RSShard:
+    assert not graph.hierarchical, "rs scheme shards a flat mesh"
+    ng = graph.num_grid_nodes
+    nm = graph.level_sizes[0]
+    block = -(-ng // n_shards)
+    ng_pad = block * n_shards
+    mblock = -(-nm // n_shards)
+    nm_pad = mblock * n_shards
+
+    # g2m by sender grid block; receiver space padded so the partial
+    # aggregation reduce-scatters evenly to owners
+    send, recv, feat = _real_edges(graph.g2m)
+    shard_of = send // block
+    k_g2m = graph.g2m.dense_k or 8
+    g2m_sets = [
+        EdgeSet.from_local(
+            send[shard_of == s] - s * block, recv[shard_of == s],
+            feat[shard_of == s], num_send=block, num_rec=nm_pad,
+            dense=True, dense_force_k=k_g2m,
+        )
+        for s in range(n_shards)
+    ]
+    # m2g by receiver grid block; senders gather from the all-gathered
+    # (B, nm_pad, h) table
+    send, recv, feat = _real_edges(graph.m2g)
+    shard_of = recv // block
+    k_m2g = graph.m2g.dense_k or 8
+    m2g_sets = [
+        EdgeSet.from_local(
+            send[shard_of == s], recv[shard_of == s] - s * block,
+            feat[shard_of == s], num_send=nm_pad, num_rec=block,
+            dense=True, dense_force_k=k_m2g,
+        )
+        for s in range(n_shards)
+    ]
+    # m2m by receiver OWNER: local receivers, shard-local aggregation
+    send, recv, feat = _real_edges(graph.m2m[0])
+    shard_of = recv // mblock
+    k_m2m = graph.m2m[0].dense_k or 8
+    m2m_sets = [
+        EdgeSet.from_local(
+            send[shard_of == s], recv[shard_of == s] - s * mblock,
+            feat[shard_of == s], num_send=nm_pad, num_rec=mblock,
+            dense=True, dense_force_k=k_m2m, dense_min_virt=0,
+        )
+        for s in range(n_shards)
+    ]
+    return RSShard(
+        g2m=_stack_edgesets(g2m_sets),
+        m2g=_stack_edgesets(m2g_sets),
+        m2m=_stack_edgesets(m2m_sets),
+        grid_static=jnp.asarray(
+            _pad_axis(np.asarray(grid_static_features), ng_pad)
+        ),
+        mesh_static=jnp.asarray(_pad_axis(
+            np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
+        )),
+        n_shards=int(n_shards),
+        block=int(block),
+        num_grid=int(ng),
+        num_mesh=int(nm),
+        mblock=int(mblock),
+    )
+
+
+def spatialize_rs(model, mesh: Mesh):
+    """Mesh-node-sharded copy of a flat (GraphLAM-family) model."""
+    assert "space" in mesh.axis_names
+    assert not model.hierarchical, "rs scheme supports flat models"
+    assert getattr(model.args, "mesh_aggr", "sum") == "sum", (
+        "scatter mode implements sum aggregation"
+    )
+    if getattr(model, "is_latent", False):
+        raise NotImplementedError(
+            "latent-variable models are not grid-sharded; see spatialize()"
+        )
+    n_space = mesh.shape["space"]
+
+    sp = copy.copy(model)
+    base_cls = type(model)
+    sp.spatial = build_rs_shard(
+        model.graph, n_space, model.statics.grid_static_features
+    )
+    sp.mesh = mesh
+    sp._array_fields = tuple(model._array_fields) + ("spatial",)
+
+    def predict_step(self, params, prev_state, prev_prev_state, forcing,
+                     ctx=None):
+        part: RSShard = self.spatial
+        ng, block = part.num_grid, part.block
+        pad = part.n_shards * block - ng
+
+        def padg(x):
+            return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p):
+            local = copy.copy(self)
+            local.__class__ = base_cls
+            local.graph = dataclasses.replace(
+                self.graph,
+                g2m=_unstack_edgeset(part.g2m),
+                m2g=_unstack_edgeset(part.m2g),
+                m2m=(_unstack_edgeset(part.m2m),),
+                mesh_static_features=(part.mesh_static,),
+            )
+            local.statics = dataclasses.replace(
+                self.statics, grid_static_features=part.grid_static
+            )
+            local._g2m_psum_axis = "space"
+            local._g2m_psum_mode = "scatter"
+            local._mesh_psum_axis = None  # receiver-owned: local aggregation
+            local._mesh_sender_rep = lambda mesh_rep: jax.lax.all_gather(
+                mesh_rep, "space", axis=1, tiled=True
+            )
+            out, std = base_cls.predict_step(
+                local, params, prev_p, prev_prev_p, forcing_p
+            )
+            if std is None:
+                std = jnp.zeros_like(out)
+            return out, std
+
+        part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
+        part_specs = dataclasses.replace(part_specs, mesh_static=P())
+        new_state, pred_std = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), part_specs, P("data", "space", None),
+                      P("data", "space", None), P("data", "space", None)),
+            out_specs=(P("data", "space", None), P("data", "space", None)),
+            check_vma=False,
+        )(params, part, padg(prev_state),
+          padg(prev_prev_state), padg(forcing))
+        new_state = new_state[:, :ng]
+        if self.output_std:
+            return new_state, pred_std[:, :ng]
+        return new_state, None
+
+    def precompute_rollout_ctx(self, params):
+        return None  # computed per-shard inside the body
+
+    cls = type(
+        "RSSharded" + base_cls.__name__, (base_cls,),
+        {"predict_step": predict_step,
+         "precompute_rollout_ctx": precompute_rollout_ctx},
+    )
+    sp.__class__ = cls
+    return sp

@@ -971,14 +971,13 @@ def main(input_args=None):
             n_space=n_space,
         )
         if args.spatial_scheme == "mesh_rs":
-            from .parallel.spatial import SpatialGraphLAM
+            from .parallel.grid_sharded import spatialize_rs
 
             assert args.model == "graph_lam", (
-                "--spatial_scheme mesh_rs is the hand-partitioned GraphLAM "
-                "scheme; other families use --spatial_scheme grid"
+                "--spatial_scheme mesh_rs shards the flat mesh "
+                "(graph_lam); other families use --spatial_scheme grid"
             )
-            model = SpatialGraphLAM(model_args, config, datastore,
-                                    model.graph, mesh=mesh, scheme="rs")
+            model = spatialize_rs(model, mesh)
         else:
             model = spatialize(model, mesh)
     elif multihost:

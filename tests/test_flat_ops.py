@@ -307,10 +307,12 @@ def test_hierarchical_flat_predict(monkeypatch, tmp_path, model_name):
                for x in jax.tree_util.tree_leaves(g))
 
 
-def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
-    """Flat kernels inside the grid-sharded shard_map (the TPU multichip
-    path) match the unsharded batched model, incl. psum'd partial
-    aggregations of flat edge chunks."""
+@pytest.mark.parametrize("scheme", ["grid", "rs"])
+def test_grid_sharded_flat_matches(monkeypatch, tmp_path, scheme):
+    """Flat kernels inside the sharded shard_map (the TPU multichip
+    path) match the unsharded batched model — scheme "grid": psum'd
+    partial aggregations of flat edge chunks; scheme "rs": mesh-node
+    sharding via reduce-scatter/all-gather with receiver-owned chunks."""
     from neural_lam_tpu.config import (
         DatastoreSelection,
         NeuralLAMConfig,
@@ -322,7 +324,10 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
     from neural_lam_tpu.graph.storage import graph_from_bundle
     from neural_lam_tpu.models import MODELS
     from neural_lam_tpu.models.ar_model import ModelArgs
-    from neural_lam_tpu.parallel.grid_sharded import spatialize
+    from neural_lam_tpu.parallel.grid_sharded import (
+        spatialize,
+        spatialize_rs,
+    )
     from neural_lam_tpu.parallel.mesh import make_mesh
 
     # smallest config that still runs every sharded stage (g2m/m2g +
@@ -355,7 +360,7 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path):
     monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
     monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
     mesh = make_mesh(n_data=2, n_space=2)
-    sp = spatialize(model, mesh)
+    sp = (spatialize_rs if scheme == "rs" else spatialize)(model, mesh)
     out_sp, _ = jax.jit(sp.predict_step)(
         params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
     )

@@ -38,15 +38,22 @@ def env(tmp_path_factory):
 
 
 @pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam",
-                                        "hi_lam_parallel"])
+                                        "hi_lam_parallel", "graph_lam:rs"])
 def test_grid_sharded_matches(model_name, env):
     datastore, config, flat, hier = env
+    rs = model_name.endswith(":rs")
+    model_name = model_name.split(":")[0]
     graph = flat if model_name == "graph_lam" else hier
     args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
     model = MODELS[model_name](args, config, datastore, graph)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=2, n_space=4)
-    sp = spatialize(model, mesh)
+    if rs:
+        from neural_lam_tpu.parallel.grid_sharded import spatialize_rs
+
+        sp = spatialize_rs(model, mesh)
+    else:
+        sp = spatialize(model, mesh)
 
     ds = WeatherDataset(datastore, split="train", ar_steps=3)
     batch = tuple(jnp.asarray(b) for b in collate([ds[0], ds[1]]))
