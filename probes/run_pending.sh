@@ -26,4 +26,5 @@ run train_step_bf16 python probes/train_step.py bf16
 run bench         python bench.py
 run benchmarks    python benchmarks.py
 run compose_gap   python probes/compose_gap.py
+run rs_overhead   python probes/rs_overhead.py
 echo "done; logs in $OUT"
