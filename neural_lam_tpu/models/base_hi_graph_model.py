@@ -19,6 +19,22 @@ from .base_graph_model import BaseGraphModel, expand_to_batch
 
 
 class BaseHiGraphModel(BaseGraphModel):
+    # Spatial-sharding hooks (see parallel/grid_sharded.py). Defaults keep
+    # the unsharded / scheme-1 behavior: every hierarchical GNN psums its
+    # partial aggregation over `_mesh_psum_axis` (None outside shard_map)
+    # and sender tables are used as-is. The mesh-node-sharded scheme (rs)
+    # overrides these per level: level-0 receivers are owner-local (no
+    # psum) and level-0 sender tables are all-gathered from owned rows.
+
+    def _hi_psum_axis(self, rec_level):
+        """Mesh axis to psum a hierarchical GNN's partial aggregation
+        over, by the RECEIVER's level."""
+        return self._mesh_psum_axis
+
+    def _hi_sender_rep(self, level, rep):
+        """Hook: the node array edge SENDERS gather from, by level."""
+        return rep
+
     def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
         assert self.hierarchical, "hierarchical model needs hierarchical graph"
@@ -134,11 +150,13 @@ class BaseHiGraphModel(BaseGraphModel):
         for level_l, gnn_p in enumerate(params["mesh_init_gnns"], start=1):
             new_node_rep, new_edge_rep = apply_interaction_net(
                 gnn_p, g.up[level_l - 1],
-                send_rep=mesh_rep_levels[level_l - 1],
+                send_rep=self._hi_sender_rep(
+                    level_l - 1, mesh_rep_levels[level_l - 1]
+                ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1],
                 update_edges=True, compute_dtype=cd,
-                psum_axis=self._mesh_psum_axis,
+                psum_axis=self._hi_psum_axis(level_l),
             )
             mesh_rep_levels[level_l] = new_node_rep
             mesh_up_rep[level_l - 1] = new_edge_rep
@@ -155,11 +173,13 @@ class BaseHiGraphModel(BaseGraphModel):
         ):
             mesh_rep_levels[level_l] = apply_interaction_net(
                 gnn_p, g.down[level_l],
-                send_rep=mesh_rep_levels[level_l + 1],
+                send_rep=self._hi_sender_rep(
+                    level_l + 1, mesh_rep_levels[level_l + 1]
+                ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l],
                 update_edges=False, compute_dtype=cd,
-                psum_axis=self._mesh_psum_axis,
+                psum_axis=self._hi_psum_axis(level_l),
             )
 
         return mesh_rep_levels[0]

@@ -39,11 +39,14 @@ class HiLAM(BaseHiGraphModel):
                        down_gnns, same_gnns):
         """(ref: hi_lam.py:82-124)"""
         g, cd = self.graph, self.compute_dtype
+        top = self.num_levels - 1
         # same-level processing on top level L
         mesh_rep_levels[-1], mesh_same_rep[-1] = apply_interaction_net(
-            same_gnns[-1], g.m2m[-1], mesh_rep_levels[-1], mesh_rep_levels[-1],
+            same_gnns[-1], g.m2m[-1],
+            self._hi_sender_rep(top, mesh_rep_levels[-1]),
+            mesh_rep_levels[-1],
             mesh_same_rep[-1], compute_dtype=cd,
-            psum_axis=self._mesh_psum_axis,
+            psum_axis=self._hi_psum_axis(top),
         )
         for level_l, down_gnn, same_gnn in zip(
             range(self.num_levels - 2, -1, -1),
@@ -52,16 +55,19 @@ class HiLAM(BaseHiGraphModel):
         ):
             new_node_rep, mesh_down_rep[level_l] = apply_interaction_net(
                 down_gnn, g.down[level_l],
-                send_rep=mesh_rep_levels[level_l + 1],
+                send_rep=self._hi_sender_rep(
+                    level_l + 1, mesh_rep_levels[level_l + 1]
+                ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l], compute_dtype=cd,
-                psum_axis=self._mesh_psum_axis,
+                psum_axis=self._hi_psum_axis(level_l),
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
-                    same_gnn, g.m2m[level_l], new_node_rep, new_node_rep,
+                    same_gnn, g.m2m[level_l],
+                    self._hi_sender_rep(level_l, new_node_rep), new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
-                    psum_axis=self._mesh_psum_axis,
+                    psum_axis=self._hi_psum_axis(level_l),
                 )
             )
         return mesh_rep_levels, mesh_same_rep, mesh_down_rep
@@ -72,25 +78,29 @@ class HiLAM(BaseHiGraphModel):
         g, cd = self.graph, self.compute_dtype
         # same-level processing on level 0
         mesh_rep_levels[0], mesh_same_rep[0] = apply_interaction_net(
-            same_gnns[0], g.m2m[0], mesh_rep_levels[0], mesh_rep_levels[0],
+            same_gnns[0], g.m2m[0],
+            self._hi_sender_rep(0, mesh_rep_levels[0]), mesh_rep_levels[0],
             mesh_same_rep[0], compute_dtype=cd,
-            psum_axis=self._mesh_psum_axis,
+            psum_axis=self._hi_psum_axis(0),
         )
         for level_l, (up_gnn, same_gnn) in enumerate(
             zip(up_gnns, same_gnns[1:]), start=1
         ):
             new_node_rep, mesh_up_rep[level_l - 1] = apply_interaction_net(
                 up_gnn, g.up[level_l - 1],
-                send_rep=mesh_rep_levels[level_l - 1],
+                send_rep=self._hi_sender_rep(
+                    level_l - 1, mesh_rep_levels[level_l - 1]
+                ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1], compute_dtype=cd,
-                psum_axis=self._mesh_psum_axis,
+                psum_axis=self._hi_psum_axis(level_l),
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
-                    same_gnn, g.m2m[level_l], new_node_rep, new_node_rep,
+                    same_gnn, g.m2m[level_l],
+                    self._hi_sender_rep(level_l, new_node_rep), new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
-                    psum_axis=self._mesh_psum_axis,
+                    psum_axis=self._hi_psum_axis(level_l),
                 )
             )
         return mesh_rep_levels, mesh_same_rep, mesh_up_rep

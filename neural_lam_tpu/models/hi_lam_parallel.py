@@ -80,6 +80,13 @@ class HiLAMParallel(BaseHiGraphModel):
         for p in params["processor"]:
             aggregated = [None] * L
             new_edge_reps = []
+            # sender tables computed once per layer so all chunks sending
+            # from one level share a single _hi_sender_rep application
+            # (one all-gather per layer under the rs sharding scheme)
+            send_tables = [
+                self._hi_sender_rep(lvl, mesh_rep_levels[lvl])
+                for lvl in range(L)
+            ]
             for c, es in enumerate(edge_sets):
                 send_l = self._chunk_send_level[c]
                 rec_l = self._chunk_rec_level[c]
@@ -90,14 +97,14 @@ class HiLAMParallel(BaseHiGraphModel):
                     # chunks can aggregate into the same level
                     new_edge, virt = edge_round_flat(
                         p["edge_mlps"][c], es,
-                        mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
+                        send_tables[send_l], mesh_rep_levels[rec_l],
                         edge_reps[c], compute_dtype=cd,
                     )
                     agg_c = unflatten_nodes(_fold_virt_flat(es, virt), B)
                 else:
                     messages, virt = edge_messages_and_virt(
                         p["edge_mlps"][c], es,
-                        mesh_rep_levels[send_l], mesh_rep_levels[rec_l],
+                        send_tables[send_l], mesh_rep_levels[rec_l],
                         edge_reps[c], compute_dtype=cd,
                     )
                     agg_c = _fold_virt(es, virt)
@@ -108,12 +115,14 @@ class HiLAMParallel(BaseHiGraphModel):
                 )
                 new_edge_reps.append(new_edge)
             edge_reps = new_edge_reps
-            if self._mesh_psum_axis is not None:
-                # sharded edge chunks: ONE psum per level per layer combines
-                # the per-shard partial aggregations (grid_sharded.py)
-                aggregated = [
-                    jax.lax.psum(a, self._mesh_psum_axis) for a in aggregated
-                ]
+            # sharded edge chunks: ONE psum per level per layer combines
+            # the per-shard partial aggregations (grid_sharded.py); under
+            # the rs scheme level 0 is receiver-owned (no collective)
+            aggregated = [
+                jax.lax.psum(a, ax)
+                if (ax := self._hi_psum_axis(lvl)) is not None else a
+                for lvl, a in enumerate(aggregated)
+            ]
             mesh_rep_levels = [
                 mesh_rep_levels[lvl] + apply_mlp_concat(
                     p["aggr_mlps"][lvl],

@@ -153,12 +153,14 @@ def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
     )
 
 
-def _chunk_edgeset(es: EdgeSet, n_shards: int) -> EdgeSet:
+def _chunk_edgeset(es: EdgeSet, n_shards: int, num_send=None) -> EdgeSet:
     """Split one mesh-level EdgeSet into n_shards balanced contiguous edge
     chunks (receiver-major order keeps each chunk's receiver range narrow)
     and stack them with a leading shard axis. Node index spaces stay global
     (mesh node state is replicated); dense_min_virt=0 keeps each chunk's
-    edge-MLP cost proportional to its own edges."""
+    edge-MLP cost proportional to its own edges. `num_send` widens the
+    sender index space (the rs scheme pads sharded levels so senders
+    gather from the padded all-gathered table)."""
     send, recv, feat = _real_edges(es)
     E = send.shape[0]
     K = es.dense_k or 8
@@ -166,8 +168,30 @@ def _chunk_edgeset(es: EdgeSet, n_shards: int) -> EdgeSet:
     sets = [
         EdgeSet.from_local(
             send[bounds[s]:bounds[s + 1]], recv[bounds[s]:bounds[s + 1]],
-            feat[bounds[s]:bounds[s + 1]], num_send=es.num_send,
+            feat[bounds[s]:bounds[s + 1]],
+            num_send=num_send or es.num_send,
             num_rec=es.num_rec, dense=True, dense_force_k=K,
+            dense_min_virt=0,
+        )
+        for s in range(n_shards)
+    ]
+    return _stack_edgesets(sets)
+
+
+def _owned_chunk_edgeset(es: EdgeSet, n_shards: int, rec_block: int,
+                         num_send=None) -> EdgeSet:
+    """Partition an EdgeSet by the RECEIVER's owner shard (contiguous
+    blocks of `rec_block` receiver rows): each chunk holds ALL in-edges of
+    its owned receivers in LOCAL receiver indices, so aggregation is
+    shard-complete with no collective."""
+    send, recv, feat = _real_edges(es)
+    shard_of = recv // rec_block
+    K = es.dense_k or 8
+    sets = [
+        EdgeSet.from_local(
+            send[shard_of == s], recv[shard_of == s] - s * rec_block,
+            feat[shard_of == s], num_send=num_send or es.num_send,
+            num_rec=rec_block, dense=True, dense_force_k=K,
             dense_min_virt=0,
         )
         for s in range(n_shards)
@@ -326,15 +350,18 @@ def spatialize(model, mesh: Mesh):
 
 # --- mesh-node-sharded scheme ("rs") -----------------------------------
 #
-# Grid nodes sharded as above, but mesh NODE state is sharded too: m2m
-# edges live with their RECEIVER's owner so aggregation is shard-local,
-# the g2m partial is reduce-scattered to owners (half a psum's bytes,
-# via apply_interaction_net's psum_mode="scatter") and each GNN that
-# reads mesh senders all-gathers only the owned rows (the
-# _mesh_sender_rep hook). 6 half-psum collectives per predict step vs 5
-# full psums, with the mesh aggr-MLPs sharded — see docs/SCALING.md.
-# Runs the same kernel paths as the grid scheme (flat / fused Pallas
-# inside the shard_map body).
+# Grid nodes sharded as above, but BOTTOM-level mesh NODE state is
+# sharded too: level-0 m2m (and down-to-0) edges live with their
+# RECEIVER's owner so aggregation is shard-local, the g2m partial is
+# reduce-scattered to owners (half a psum's bytes, via
+# apply_interaction_net's psum_mode="scatter") and each GNN that reads
+# level-0 senders all-gathers only the owned rows (the _mesh_sender_rep /
+# _hi_sender_rep hooks). Upper hierarchy levels (tiny payloads) keep the
+# scheme-1 treatment: balanced edge chunks + one small psum per GNN.
+# Flat (graph_lam): 6 half-psum collectives per step vs 5 full psums,
+# with the mesh aggr-MLPs sharded — see docs/SCALING.md. Runs the same
+# kernel paths as the grid scheme (flat / fused Pallas inside the
+# shard_map body).
 
 
 @jax.tree_util.register_dataclass
@@ -342,11 +369,16 @@ def spatialize(model, mesh: Mesh):
 class RSShard:
     """Per-shard (stacked) structures for the mesh-node-sharded scheme."""
 
-    g2m: EdgeSet  # sender-local grid block -> global PADDED mesh rows
-    m2g: EdgeSet  # senders global padded mesh -> receiver-local grid block
-    m2m: EdgeSet  # receiver-OWNED chunk: local receivers, global senders
+    g2m: EdgeSet  # sender-local grid block -> global PADDED level-0 rows
+    m2g: EdgeSet  # senders global padded level 0 -> receiver-local block
+    # level 0: receiver-OWNED chunk (local receivers, global senders);
+    # upper levels: balanced chunks, global indices (scheme-1 treatment)
+    m2m: tuple
+    up: tuple  # up[0] senders live in the PADDED level-0 space
+    down: tuple  # down[0] receiver-owned; upper balanced
     grid_static: jax.Array  # (Ng_pad, d_static), row-sharded
-    mesh_static: jax.Array  # (nm_pad, d), replicated (full mesh embed)
+    # per-level static features, replicated (level 0 padded to nm_pad)
+    mesh_static: tuple
     n_shards: int = dataclasses.field(metadata={"static": True})
     block: int = dataclasses.field(metadata={"static": True})
     num_grid: int = dataclasses.field(metadata={"static": True})
@@ -356,7 +388,6 @@ class RSShard:
 
 def build_rs_shard(graph: LoadedGraph, n_shards: int,
                    grid_static_features) -> RSShard:
-    assert not graph.hierarchical, "rs scheme shards a flat mesh"
     ng = graph.num_grid_nodes
     nm = graph.level_sizes[0]
     block = -(-ng // n_shards)
@@ -390,28 +421,37 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
         )
         for s in range(n_shards)
     ]
-    # m2m by receiver OWNER: local receivers, shard-local aggregation
-    send, recv, feat = _real_edges(graph.m2m[0])
-    shard_of = recv // mblock
-    k_m2m = graph.m2m[0].dense_k or 8
-    m2m_sets = [
-        EdgeSet.from_local(
-            send[shard_of == s], recv[shard_of == s] - s * mblock,
-            feat[shard_of == s], num_send=nm_pad, num_rec=mblock,
-            dense=True, dense_force_k=k_m2m, dense_min_virt=0,
-        )
-        for s in range(n_shards)
-    ]
+    # level-0 m2m by receiver OWNER: local receivers, shard-local
+    # aggregation; upper-level edge sets as balanced scheme-1 chunks
+    m2m = (_owned_chunk_edgeset(graph.m2m[0], n_shards, mblock,
+                                num_send=nm_pad),) + tuple(
+        _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
+    )
+    up = tuple(
+        _chunk_edgeset(es, n_shards, num_send=nm_pad if i == 0 else None)
+        for i, es in enumerate(graph.up)
+    )
+    down = tuple(
+        _owned_chunk_edgeset(es, n_shards, mblock) if i == 0
+        else _chunk_edgeset(es, n_shards)
+        for i, es in enumerate(graph.down)
+    )
+    mesh_static = (jnp.asarray(_pad_axis(
+        np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
+    )),) + tuple(
+        jnp.asarray(np.asarray(f, np.float32))
+        for f in graph.mesh_static_features[1:]
+    )
     return RSShard(
         g2m=_stack_edgesets(g2m_sets),
         m2g=_stack_edgesets(m2g_sets),
-        m2m=_stack_edgesets(m2m_sets),
+        m2m=m2m,
+        up=up,
+        down=down,
         grid_static=jnp.asarray(
             _pad_axis(np.asarray(grid_static_features), ng_pad)
         ),
-        mesh_static=jnp.asarray(_pad_axis(
-            np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
-        )),
+        mesh_static=mesh_static,
         n_shards=int(n_shards),
         block=int(block),
         num_grid=int(ng),
@@ -421,9 +461,9 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
 
 
 def spatialize_rs(model, mesh: Mesh):
-    """Mesh-node-sharded copy of a flat (GraphLAM-family) model."""
+    """Mesh-node-sharded copy of a model: level-0 mesh rows live with
+    their owner shard (flat graph_lam and the hierarchical families)."""
     assert "space" in mesh.axis_names
-    assert not model.hierarchical, "rs scheme supports flat models"
     assert getattr(model.args, "mesh_aggr", "sum") == "sum", (
         "scatter mode implements sum aggregation"
     )
@@ -453,22 +493,35 @@ def spatialize_rs(model, mesh: Mesh):
         def shard_fn(params, part, prev_p, prev_prev_p, forcing_p):
             local = copy.copy(self)
             local.__class__ = base_cls
+
+            def gather0(rep):
+                return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+
             local.graph = dataclasses.replace(
                 self.graph,
                 g2m=_unstack_edgeset(part.g2m),
                 m2g=_unstack_edgeset(part.m2g),
-                m2m=(_unstack_edgeset(part.m2m),),
-                mesh_static_features=(part.mesh_static,),
+                m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
+                up=tuple(_unstack_edgeset(es) for es in part.up),
+                down=tuple(_unstack_edgeset(es) for es in part.down),
+                mesh_static_features=part.mesh_static,
             )
             local.statics = dataclasses.replace(
                 self.statics, grid_static_features=part.grid_static
             )
             local._g2m_psum_axis = "space"
             local._g2m_psum_mode = "scatter"
-            local._mesh_psum_axis = None  # receiver-owned: local aggregation
-            local._mesh_sender_rep = lambda mesh_rep: jax.lax.all_gather(
-                mesh_rep, "space", axis=1, tiled=True
-            )
+            # level 0 is receiver-owned: local aggregation, all-gathered
+            # sender tables; upper levels keep the scheme-1 chunk+psum
+            local._mesh_psum_axis = None
+            local._mesh_sender_rep = gather0
+            if self.hierarchical:
+                local._hi_psum_axis = (
+                    lambda rec_level: None if rec_level == 0 else "space"
+                )
+                local._hi_sender_rep = (
+                    lambda level, rep: gather0(rep) if level == 0 else rep
+                )
             out, std = base_cls.predict_step(
                 local, params, prev_p, prev_prev_p, forcing_p
             )
@@ -477,7 +530,12 @@ def spatialize_rs(model, mesh: Mesh):
             return out, std
 
         part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
-        part_specs = dataclasses.replace(part_specs, mesh_static=P())
+        part_specs = dataclasses.replace(
+            part_specs,
+            mesh_static=jax.tree_util.tree_map(
+                lambda _: P(), part.mesh_static
+            ),
+        )
         new_state, pred_std = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(), part_specs, P("data", "space", None),

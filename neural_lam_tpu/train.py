@@ -867,11 +867,13 @@ def main(input_args=None):
                              "(the mesh 'space' axis)")
     parser.add_argument("--spatial_scheme", type=str, default="grid",
                         choices=["grid", "mesh_rs"],
-                        help="grid: grid-sharded mesh-replicated (any "
-                             "family); mesh_rs: graph_lam-only mesh-node "
-                             "sharding via reduce-scatter/all-gather — "
-                             "~40%% less collective traffic and sharded "
-                             "mesh-node MLPs (docs/SCALING.md)")
+                        help="grid: grid-sharded mesh-replicated; "
+                             "mesh_rs: mesh-node sharding via reduce-"
+                             "scatter/all-gather (hierarchical graphs "
+                             "shard the bottom level) — 40-60%% less "
+                             "collective traffic and sharded mesh-node "
+                             "MLPs (docs/SCALING.md); both support every "
+                             "non-latent family")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")
@@ -973,10 +975,6 @@ def main(input_args=None):
         if args.spatial_scheme == "mesh_rs":
             from .parallel.grid_sharded import spatialize_rs
 
-            assert args.model == "graph_lam", (
-                "--spatial_scheme mesh_rs shards the flat mesh "
-                "(graph_lam); other families use --spatial_scheme grid"
-            )
             model = spatialize_rs(model, mesh)
         else:
             model = spatialize(model, mesh)

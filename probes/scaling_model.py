@@ -58,22 +58,56 @@ def psum_payloads(family):
 # replicated mesh-NODE fraction of the single-chip step: aggr-MLP rows =
 # ~1/(1+mean_degree K~8) of processor FLOPs; processor is ~35% of the
 # graph_lam step (probes/stage_decomp.py) and dominates the hierarchical
-# steps (~80%). graph_lam_rs shards the aggr-MLPs; only the per-layer
-# sender node transform (~h x h matmul over owned rows, all-gathered)
-# leaves a tiny replicated residue.
+# steps (~80%). The rs schemes shard the level-0 aggr-MLPs (89% of mesh
+# rows), leaving the upper levels' aggr rows + the all-gathered sender
+# transform as the replicated residue.
 REPL_FRACTION = {"graph_lam": 0.04, "hi_lam": 0.09, "hi_lam_parallel": 0.09,
-                 "graph_lam_rs": 0.015}
+                 "graph_lam_rs": 0.015, "hi_lam_rs": 0.025,
+                 "hi_lam_parallel_rs": 0.025}
+
+
+def rs_collectives(family):
+    """Per predict step under the rs scheme: list of (units, elements)
+    where one-way bytes per device ~= units * (S-1)/S * elements * BYTES.
+    psum = 2 units, reduce-scatter / all-gather = 1 unit."""
+    arr = lambda n: B * n * D
+    n0 = N_MESH_FLAT
+    if family == "graph_lam_rs":
+        # 1 reduce-scatter (g2m) + P all-gathers (per-layer senders)
+        # + 1 all-gather (m2g senders)
+        return [(1, arr(n0))] * (2 + P)
+    n1, n2 = HI_LEVELS[1], HI_LEVELS[2]
+    if family == "hi_lam_rs":
+        # L0: g2m rs + init-up[0] ag + m2g ag + 3 ag/layer (same@0 in the
+        # down sweep, same@0 and up[0] senders in the up sweep); down[0]
+        # and the read-out to level 0 are receiver-owned (no collective).
+        out = [(1, arr(n0))] * (3 + 3 * P)
+        # level-1 psums: init up[0], read-out down[1], and per layer
+        # down[1] + same@1(down) + up[0] + same@1(up)
+        out += [(2, arr(n1))] * (2 + 4 * P)
+        # level-2 psums: init up[1], per layer same@2(down) + up[1] +
+        # same@2(up)
+        out += [(2, arr(n2))] * (1 + 3 * P)
+        return out
+    if family == "hi_lam_parallel_rs":
+        # L0: g2m rs + init-up[0] ag + m2g ag + ONE shared sender
+        # all-gather per fused layer
+        out = [(1, arr(n0))] * (3 + P)
+        out += [(2, arr(n1))] * (2 + P)  # init, read-out, 1/layer
+        out += [(2, arr(n2))] * (1 + P)
+        return out
+    raise ValueError(family)
 
 
 def collective_units(family):
     """(count, one-way bytes moved per device per collective at S shards
     is units * (S-1)/S * full-array bytes; psum = 2 units each,
     reduce-scatter / all-gather = 1 unit each)."""
-    if family == "graph_lam_rs":
-        # 1 reduce-scatter (g2m) + P all-gathers (per-layer sender
-        # transforms) + 1 all-gather (m2g senders)
-        n = 2 + P
-        return n, n * 1.0 * B * N_MESH_FLAT * D * BYTES
+    if family.endswith("_rs"):
+        coll = rs_collectives(family)
+        return len(coll), float(
+            sum(u * e for u, e in coll)
+        ) * BYTES
     sizes = psum_payloads(family)
     return len(sizes), 2.0 * sum(sizes) * BYTES
 
@@ -81,7 +115,7 @@ def collective_units(family):
 def model_rows(step_ms, train_ms, ici_gbps, latency_us):
     rows = []
     for family in ("graph_lam", "hi_lam", "hi_lam_parallel",
-                   "graph_lam_rs"):
+                   "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs"):
         n_coll, payload = collective_units(family)
         repl = REPL_FRACTION[family]
         for S in (2, 4, 8, 16):

@@ -38,7 +38,8 @@ def env(tmp_path_factory):
 
 
 @pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam",
-                                        "hi_lam_parallel", "graph_lam:rs"])
+                                        "hi_lam_parallel", "graph_lam:rs",
+                                        "hi_lam:rs", "hi_lam_parallel:rs"])
 def test_grid_sharded_matches(model_name, env):
     datastore, config, flat, hier = env
     rs = model_name.endswith(":rs")
