@@ -31,8 +31,12 @@ class BaseHiGraphModel(BaseGraphModel):
         over, by the RECEIVER's level."""
         return self._mesh_psum_axis
 
-    def _hi_sender_rep(self, level, rep):
-        """Hook: the node array edge SENDERS gather from, by level."""
+    def _hi_sender_rep(self, rep, kind, idx):
+        """Hook: the node array the edge set `kind` ("m2m"/"up"/"down")
+        with per-level index `idx` gathers its SENDERS from. Identity by
+        default; sharded schemes override it where the sender level's
+        node state is distributed (e.g. all-gather / halo-exchange the
+        owned level-0 rows for m2m[0])."""
         return rep
 
     def __init__(self, args, config, datastore, graph=None):
@@ -151,7 +155,7 @@ class BaseHiGraphModel(BaseGraphModel):
             new_node_rep, new_edge_rep = apply_interaction_net(
                 gnn_p, g.up[level_l - 1],
                 send_rep=self._hi_sender_rep(
-                    level_l - 1, mesh_rep_levels[level_l - 1]
+                    mesh_rep_levels[level_l - 1], "up", level_l - 1
                 ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1],
@@ -174,7 +178,7 @@ class BaseHiGraphModel(BaseGraphModel):
             mesh_rep_levels[level_l] = apply_interaction_net(
                 gnn_p, g.down[level_l],
                 send_rep=self._hi_sender_rep(
-                    level_l + 1, mesh_rep_levels[level_l + 1]
+                    mesh_rep_levels[level_l + 1], "down", level_l
                 ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l],

@@ -43,7 +43,7 @@ class HiLAM(BaseHiGraphModel):
         # same-level processing on top level L
         mesh_rep_levels[-1], mesh_same_rep[-1] = apply_interaction_net(
             same_gnns[-1], g.m2m[-1],
-            self._hi_sender_rep(top, mesh_rep_levels[-1]),
+            self._hi_sender_rep(mesh_rep_levels[-1], "m2m", top),
             mesh_rep_levels[-1],
             mesh_same_rep[-1], compute_dtype=cd,
             psum_axis=self._hi_psum_axis(top),
@@ -56,7 +56,7 @@ class HiLAM(BaseHiGraphModel):
             new_node_rep, mesh_down_rep[level_l] = apply_interaction_net(
                 down_gnn, g.down[level_l],
                 send_rep=self._hi_sender_rep(
-                    level_l + 1, mesh_rep_levels[level_l + 1]
+                    mesh_rep_levels[level_l + 1], "down", level_l
                 ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l], compute_dtype=cd,
@@ -65,7 +65,8 @@ class HiLAM(BaseHiGraphModel):
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
                     same_gnn, g.m2m[level_l],
-                    self._hi_sender_rep(level_l, new_node_rep), new_node_rep,
+                    self._hi_sender_rep(new_node_rep, "m2m", level_l),
+                    new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
                     psum_axis=self._hi_psum_axis(level_l),
                 )
@@ -79,7 +80,8 @@ class HiLAM(BaseHiGraphModel):
         # same-level processing on level 0
         mesh_rep_levels[0], mesh_same_rep[0] = apply_interaction_net(
             same_gnns[0], g.m2m[0],
-            self._hi_sender_rep(0, mesh_rep_levels[0]), mesh_rep_levels[0],
+            self._hi_sender_rep(mesh_rep_levels[0], "m2m", 0),
+            mesh_rep_levels[0],
             mesh_same_rep[0], compute_dtype=cd,
             psum_axis=self._hi_psum_axis(0),
         )
@@ -89,7 +91,7 @@ class HiLAM(BaseHiGraphModel):
             new_node_rep, mesh_up_rep[level_l - 1] = apply_interaction_net(
                 up_gnn, g.up[level_l - 1],
                 send_rep=self._hi_sender_rep(
-                    level_l - 1, mesh_rep_levels[level_l - 1]
+                    mesh_rep_levels[level_l - 1], "up", level_l - 1
                 ),
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1], compute_dtype=cd,
@@ -98,7 +100,8 @@ class HiLAM(BaseHiGraphModel):
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
                     same_gnn, g.m2m[level_l],
-                    self._hi_sender_rep(level_l, new_node_rep), new_node_rep,
+                    self._hi_sender_rep(new_node_rep, "m2m", level_l),
+                    new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
                     psum_axis=self._hi_psum_axis(level_l),
                 )

@@ -77,19 +77,24 @@ class HiLAMParallel(BaseHiGraphModel):
             mesh_down_rep
         )
 
+        # chunk order mirrors _chunk_edge_sets: m2m levels, up, down
+        chunk_kinds = (
+            [("m2m", i) for i in range(L)]
+            + [("up", i) for i in range(L - 1)]
+            + [("down", i) for i in range(L - 1)]
+        )
         for p in params["processor"]:
             aggregated = [None] * L
             new_edge_reps = []
-            # sender tables computed once per layer so all chunks sending
-            # from one level share a single _hi_sender_rep application
-            # (one all-gather per layer under the rs sharding scheme)
-            send_tables = [
-                self._hi_sender_rep(lvl, mesh_rep_levels[lvl])
-                for lvl in range(L)
-            ]
             for c, es in enumerate(edge_sets):
                 send_l = self._chunk_send_level[c]
                 rec_l = self._chunk_rec_level[c]
+                # under the rs/halo schemes only the m2m[0] chunk needs a
+                # distributed sender table (one exchange per fused layer);
+                # up[0] is sender-owned, everything else replicated
+                send_rep = self._hi_sender_rep(
+                    mesh_rep_levels[send_l], *chunk_kinds[c]
+                )
                 B = mesh_rep_levels[rec_l].shape[0]
                 if edge_reps[c].ndim == 2:
                     # flat-lane chunk (see ops/pallas_edge_flat.py); the
@@ -97,14 +102,14 @@ class HiLAMParallel(BaseHiGraphModel):
                     # chunks can aggregate into the same level
                     new_edge, virt = edge_round_flat(
                         p["edge_mlps"][c], es,
-                        send_tables[send_l], mesh_rep_levels[rec_l],
+                        send_rep, mesh_rep_levels[rec_l],
                         edge_reps[c], compute_dtype=cd,
                     )
                     agg_c = unflatten_nodes(_fold_virt_flat(es, virt), B)
                 else:
                     messages, virt = edge_messages_and_virt(
                         p["edge_mlps"][c], es,
-                        send_tables[send_l], mesh_rep_levels[rec_l],
+                        send_rep, mesh_rep_levels[rec_l],
                         edge_reps[c], compute_dtype=cd,
                     )
                     agg_c = _fold_virt(es, virt)

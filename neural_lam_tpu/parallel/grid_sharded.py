@@ -178,6 +178,27 @@ def _chunk_edgeset(es: EdgeSet, n_shards: int, num_send=None) -> EdgeSet:
     return _stack_edgesets(sets)
 
 
+def _sender_owned_chunk_edgeset(es: EdgeSet, n_shards: int,
+                                send_block: int) -> EdgeSet:
+    """Partition an EdgeSet by the SENDER's owner shard (contiguous blocks
+    of `send_block` sender rows) with LOCAL sender indices: each chunk's
+    messages read only the shard's own rows — no sender collective; the
+    per-shard partial aggregations over the (replicated) receiver set are
+    combined with the edge set's usual psum."""
+    send, recv, feat = _real_edges(es)
+    shard_of = send // send_block
+    K = es.dense_k or 8
+    sets = [
+        EdgeSet.from_local(
+            send[shard_of == s] - s * send_block, recv[shard_of == s],
+            feat[shard_of == s], num_send=send_block, num_rec=es.num_rec,
+            dense=True, dense_force_k=K, dense_min_virt=0,
+        )
+        for s in range(n_shards)
+    ]
+    return _stack_edgesets(sets)
+
+
 def _owned_chunk_edgeset(es: EdgeSet, n_shards: int, rec_block: int,
                          num_send=None) -> EdgeSet:
     """Partition an EdgeSet by the RECEIVER's owner shard (contiguous
@@ -427,8 +448,12 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
                                 num_send=nm_pad),) + tuple(
         _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
     )
+    # up[0] senders are the sharded level-0 rows: partition by SENDER
+    # owner so messages read only owned rows (no gather; the level-1
+    # partial aggregation is psum'd anyway)
     up = tuple(
-        _chunk_edgeset(es, n_shards, num_send=nm_pad if i == 0 else None)
+        _sender_owned_chunk_edgeset(es, n_shards, mblock) if i == 0
+        else _chunk_edgeset(es, n_shards)
         for i, es in enumerate(graph.up)
     )
     down = tuple(
@@ -519,8 +544,12 @@ def spatialize_rs(model, mesh: Mesh):
                 local._hi_psum_axis = (
                     lambda rec_level: None if rec_level == 0 else "space"
                 )
+                # only m2m[0] reads distributed senders: its receiver-owned
+                # chunks gather from the full level-0 table. up[0] is
+                # sender-owned (local rows), down/up upper levels replicated.
                 local._hi_sender_rep = (
-                    lambda level, rep: gather0(rep) if level == 0 else rep
+                    lambda rep, kind, idx:
+                    gather0(rep) if (kind, idx) == ("m2m", 0) else rep
                 )
             out, std = base_cls.predict_step(
                 local, params, prev_p, prev_prev_p, forcing_p

@@ -78,10 +78,10 @@ def rs_collectives(family):
         return [(1, arr(n0))] * (2 + P)
     n1, n2 = HI_LEVELS[1], HI_LEVELS[2]
     if family == "hi_lam_rs":
-        # L0: g2m rs + init-up[0] ag + m2g ag + 3 ag/layer (same@0 in the
-        # down sweep, same@0 and up[0] senders in the up sweep); down[0]
-        # and the read-out to level 0 are receiver-owned (no collective).
-        out = [(1, arr(n0))] * (3 + 3 * P)
+        # L0: g2m rs + m2g ag + 2 ag/layer (same@0 senders in each sweep);
+        # up[0] is sender-owned (no gather), down[0] and the read-out to
+        # level 0 are receiver-owned (no collective).
+        out = [(1, arr(n0))] * (2 + 2 * P)
         # level-1 psums: init up[0], read-out down[1], and per layer
         # down[1] + same@1(down) + up[0] + same@1(up)
         out += [(2, arr(n1))] * (2 + 4 * P)
@@ -90,9 +90,9 @@ def rs_collectives(family):
         out += [(2, arr(n2))] * (1 + 3 * P)
         return out
     if family == "hi_lam_parallel_rs":
-        # L0: g2m rs + init-up[0] ag + m2g ag + ONE shared sender
-        # all-gather per fused layer
-        out = [(1, arr(n0))] * (3 + P)
+        # L0: g2m rs + m2g ag + one m2m[0] sender all-gather per fused
+        # layer (up[0] sender-owned)
+        out = [(1, arr(n0))] * (2 + P)
         out += [(2, arr(n1))] * (2 + P)  # init, read-out, 1/layer
         out += [(2, arr(n2))] * (1 + P)
         return out
