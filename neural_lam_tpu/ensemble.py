@@ -41,7 +41,7 @@ def sample_rollout(model, params, init_states, forcing_features, true_states,
     init_r = rep(init_states)
     forcing_r = rep(forcing_features)
     true_r = rep(true_states)
-    ctx = model.precompute_rollout_ctx(params)
+    ctx = model.precompute_rollout_ctx(params, batch_size=B * n_members)
 
     def step(carry, xs):
         prev_prev_state, prev_state, key = carry

@@ -178,8 +178,10 @@ class ARModelBase:
         """
         raise NotImplementedError
 
-    def precompute_rollout_ctx(self, params):
-        """Rollout-invariant tensors for predict_step (None = none)."""
+    def precompute_rollout_ctx(self, params, batch_size=None):
+        """Rollout-invariant tensors for predict_step (None = none).
+        batch_size, when known, lets subclasses hoist batch-shaped
+        loop-invariant buffers out of the rollout scan."""
         return None
 
     # --- rollout (ref: ar_model.py:220-267) ---
@@ -196,7 +198,9 @@ class ARModelBase:
         pred_std ((B, T, N, d) if output_std else (d,)).
         """
         statics = self.statics
-        ctx = self.precompute_rollout_ctx(params)
+        ctx = self.precompute_rollout_ctx(
+            params, batch_size=init_states.shape[0]
+        )
         predict = self.predict_step
         if getattr(self.args, "remat", False):
             # gradient checkpointing over the unroll: recompute each

@@ -123,10 +123,15 @@ class BaseGraphModel(ARModelBase):
         return {"ew": jnp.dot(emb, w0[:d],
                               preferred_element_type=jnp.float32) + b0}
 
-    def precompute_rollout_ctx(self, params):
+    def precompute_rollout_ctx(self, params, batch_size=None):
         """Embeddings of static graph features, computed once per rollout
         (the reference recomputes them every step,
-        ref: base_graph_model.py:127-130)."""
+        ref: base_graph_model.py:127-130).
+
+        When batch_size is known, also hoists the flat kernels' widened
+        parameter buffers out of the rollout scan (XLA's loop LICM
+        declines to; probes/compose_gap.py measured ~0.8 ms/step of
+        re-widening for the decode kernel alone)."""
         ctx = {
             "mesh_emb": self.embedd_mesh_nodes(params),
             "g2m": self._static_edge_ctx(
@@ -137,11 +142,58 @@ class BaseGraphModel(ARModelBase):
             ),
         }
         ctx.update(self.precompute_process_ctx(params))
+        if batch_size is not None:
+            self._attach_flat_consts(params, ctx, batch_size)
         return ctx
 
     def precompute_process_ctx(self, params):
         """Subclass hook: processor-related rollout-invariant tensors."""
         return {}
+
+    def _attach_flat_consts(self, params, ctx, batch_size):
+        """Attach scan-hoisted widened kernel params for the flat paths.
+        All consts are stop_gradient'd: they are forward-value shortcuts —
+        parameter gradients flow through the raw params the kernels also
+        receive."""
+        from ..ops.message_passing import flat_eligible
+        from ..ops.pallas_edge_flat import tail_consts
+        from ..ops.pallas_grid_update import (
+            grid_update_applicable,
+            pack_grid_update_params,
+            prep_grid_update_consts,
+        )
+
+        h = self.args.hidden_dim
+        B = batch_size
+        sg = jax.lax.stop_gradient
+
+        def tail_ok(inet_params, edges):
+            mlp = inet_params["edge_mlp"]
+            return (
+                flat_eligible(edges, B, h)
+                and len(mlp["layers"]) == 2 and mlp["ln"] is not None
+            )
+
+        def tail_of(inet_params):
+            mlp = inet_params["edge_mlp"]
+            return sg(tail_consts(
+                mlp["layers"][1]["w"], mlp["layers"][1]["b"],
+                mlp["ln"]["scale"], mlp["ln"]["bias"], B,
+            ))
+
+        if "ew" in ctx["g2m"] and tail_ok(params["g2m_gnn"], self.graph.g2m):
+            ctx["g2m"]["consts"] = tail_of(params["g2m_gnn"])
+        if "ew" in ctx["m2g"]:
+            if grid_update_applicable(params, self.graph.m2g, B, h):
+                ctx["m2g"]["dec_consts"] = sg(prep_grid_update_consts(
+                    pack_grid_update_params(params), B
+                ))
+            elif tail_ok(params["m2g_gnn"], self.graph.m2g):
+                ctx["m2g"]["consts"] = tail_of(params["m2g_gnn"])
+        self.attach_process_consts(params, ctx, batch_size)
+
+    def attach_process_consts(self, params, ctx, batch_size):
+        """Subclass hook: scan-hoisted consts for the processor layers."""
 
     def _inet_static(self, inet_params, edges, send_rep, rec_rep, ctx_entry,
                      batch_size, psum_axis=None, psum_mode="allreduce"):
@@ -152,6 +204,7 @@ class BaseGraphModel(ARModelBase):
                 inet_params, edges, send_rep, rec_rep,
                 update_edges=False, compute_dtype=cd, ew=ctx_entry["ew"],
                 psum_axis=psum_axis, psum_mode=psum_mode,
+                consts=ctx_entry.get("consts"),
             )
         return apply_interaction_net(
             inet_params, edges, send_rep, rec_rep,
@@ -228,7 +281,7 @@ class BaseGraphModel(ARModelBase):
             expand_to_batch(ctx["mesh_emb"], B),
             update_edges=False, aggr="sum", compute_dtype=cd,
             ew=ctx["g2m"]["ew"], psum_axis=self._g2m_psum_axis,
-            psum_mode=self._g2m_psum_mode,
+            psum_mode=self._g2m_psum_mode, consts=ctx["g2m"].get("consts"),
         )  # (B, N_mesh, h) — owned rows only under "scatter"
 
         mesh_rep = self.process_step(params, mesh_rep, B, ctx=ctx)
@@ -246,6 +299,7 @@ class BaseGraphModel(ARModelBase):
             m2g.mask.reshape(m2g.num_virt, m2g.dense_k),
             pack_grid_update_params(params), m2g.dense_k,
             _pallas_mode() == "interpret",
+            consts=ctx["m2g"].get("dec_consts"),
         )  # (num_virt, B*d_out)
         net_f = jax.lax.slice_in_dim(net_f, 0, m2g.num_rec, axis=0)
         net_output = unflatten_nodes(net_f, B)  # (B, N_grid, d_out)

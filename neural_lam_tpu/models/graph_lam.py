@@ -64,6 +64,27 @@ class GraphLAM(BaseGraphModel):
             )
         }
 
+    def attach_process_consts(self, params, ctx, batch_size):
+        """Scan-hoisted widened kernel params, one tuple per processor
+        layer (see BaseGraphModel._attach_flat_consts)."""
+        from ..ops.message_passing import flat_eligible
+        from ..ops.pallas_edge_flat import layer_consts
+
+        h = self.args.hidden_dim
+        if not flat_eligible(self.m2m, batch_size, h):
+            return
+        consts = []
+        for p in params["processor"]:
+            mlp = p["edge_mlp"]
+            if len(mlp["layers"]) != 2 or mlp["ln"] is None:
+                return
+            w0, b0 = mlp["layers"][0]["w"], mlp["layers"][0]["b"]
+            consts.append(jax.lax.stop_gradient(layer_consts(
+                w0[:h], b0, mlp["layers"][1]["w"], mlp["layers"][1]["b"],
+                mlp["ln"]["scale"], mlp["ln"]["bias"], batch_size,
+            )))
+        ctx["proc_consts"] = consts
+
     def process_step(self, params, mesh_rep, batch_size, ctx=None):
         """Processor stack sharing the single m2m edge set
         (ref: graph_lam.py:73-91)."""
@@ -72,11 +93,13 @@ class GraphLAM(BaseGraphModel):
         # layout-appropriate initial edge state (flat (M, B*h) on the
         # flat-lane kernel path, batched (B, M, h) otherwise)
         edge_rep = expand_edge_rep(self.m2m, ctx["m2m_emb"], batch_size)
-        for p in params["processor"]:
+        proc_consts = ctx.get("proc_consts")
+        for i, p in enumerate(params["processor"]):
             mesh_rep, edge_rep = apply_interaction_net(
                 p, self.m2m, self._mesh_sender_rep(mesh_rep), mesh_rep,
                 edge_rep,
                 aggr=self.args.mesh_aggr, compute_dtype=self.compute_dtype,
                 psum_axis=self._mesh_psum_axis,
+                consts=proc_consts[i] if proc_consts else None,
             )
         return mesh_rep

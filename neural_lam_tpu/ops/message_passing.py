@@ -478,13 +478,14 @@ def _aggr_mlp_mixed(params: dict, rec_rep, aggregated_f, compute_dtype=None):
 
 def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
                     rec_rep, edge_rep_flat=None, *, ew=None,
-                    compute_dtype=None):
+                    compute_dtype=None, consts=None):
     """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
 
     rec_rep in (B, N, h); send_rep either (B, N, h) batched or already
     flat (N_send, B*h) node-major (2-dim). Edge state either static `ew`
     (M, h) (rollout-invariant GNNs) or evolving flat `edge_rep_flat`
-    (M, B*h).
+    (M, B*h). consts: optional scan-hoisted widened kernel params
+    (pallas_edge_flat.tail_consts / layer_consts).
     """
     mode = _pallas_mode()
     interp = mode == "interpret"
@@ -518,7 +519,7 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
         return edge_layer_flat(
             edge_rep_flat, gathered, rec_rows, mask_p, w_e, b0,
             layers[1]["w"], layers[1]["b"], ln["scale"], ln["bias"],
-            edges.dense_k, interp,
+            edges.dense_k, interp, consts=consts,
         )
     from .pallas_edge_flat import edge_tail_sum_flat
 
@@ -526,6 +527,7 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     _, virt = edge_tail_sum_flat(
         gathered, ew, rec_rows, layers[1]["w"], layers[1]["b"],
         ln["scale"], ln["bias"], mask_p, edges.dense_k, interp, False,
+        consts=consts,
     )
     return None, virt
 
@@ -551,7 +553,7 @@ def _scatter_to_owner(aggregated, rec_rep, axis_name, agg_axis, rec_axis):
 def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
                      edge_rep_flat=None, *, update_edges, aggr,
                      compute_dtype=None, ew=None, psum_axis=None,
-                     psum_mode="allreduce"):
+                     psum_mode="allreduce", consts=None):
     """Flat-lane interaction net round. send_rep/rec_rep in (B, N, h);
     edge state either static `ew` (M, h) or evolving flat `edge_rep_flat`
     (M, B*h). Returns rec_out (B, N_rec, h) and, when update_edges,
@@ -560,7 +562,7 @@ def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
     cd = compute_dtype
     edge_out, virt = edge_round_flat(
         params["edge_mlp"], edges, send_rep, rec_rep, edge_rep_flat,
-        ew=ew, compute_dtype=cd,
+        ew=ew, compute_dtype=cd, consts=consts,
     )
 
     aggregated = _fold_virt_flat(edges, virt)
@@ -762,7 +764,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                           edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
                           compute_dtype=None, ew=None, psum_axis=None,
-                          psum_mode="allreduce"):
+                          psum_mode="allreduce", consts=None):
     # psum_axis: inside shard_map, combine per-shard partial aggregations
     # over this mesh axis (spatially partitioned sender edges).
     # psum_mode="scatter": reduce-scatter the partials to the receiver's
@@ -800,7 +802,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                     params, edges, send_rep, rec_rep, flat_edge,
                     update_edges=update_edges, aggr=aggr,
                     compute_dtype=compute_dtype, ew=static_ew,
-                    psum_axis=psum_axis, psum_mode=psum_mode,
+                    psum_axis=psum_axis, psum_mode=psum_mode, consts=consts,
                 )
         fused_layer = (
             update_edges and mode != "off"

@@ -187,21 +187,38 @@ def _tail_sum_flat_kernel(K, B, with_messages, g_ref, ew_ref, rec_ref,
     out_refs[-1][...] = masked.sum(axis=1).astype(dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def edge_tail_sum_flat(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
                        mask_p, K: int, interpret: bool = False,
-                       with_messages: bool = False):
+                       with_messages: bool = False, consts=None):
     """Fused flat edge-MLP tail.
 
     gathered: (M, W) sender transforms per edge (W = B*h, batch in lanes).
     ew: (M, h) static edge product e@We + b0 (shared across batch).
     rec_rows: (N_virt, W) receiver transforms per virtual row.
     mask_p: (N_virt, K) dense-slot validity.
+    consts: optional precomputed `tail_consts(w2, b2, ln_scale, ln_bias, B)`
+    tuple. XLA's while-loop LICM declines to hoist the kron-widened
+    parameter buffers out of rollout scans (probes/compose_gap.py measured
+    ~0.8 ms/step of re-widening), so callers that run this inside a scan
+    should precompute the consts once outside (stop_gradient'd — gradients
+    flow through the raw w2/b2/ln args regardless) and pass them here.
     Returns (messages (M, W) | None, virt (N_virt, W)).
     """
+    if consts is not None and consts[0].shape[-1] != gathered.shape[-1]:
+        consts = None  # batch mismatch (e.g. padded tail batch)
+    return _edge_tail_sum_flat_vjp(
+        gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p, consts,
+        K, interpret, with_messages,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _edge_tail_sum_flat_vjp(gathered, ew, rec_rows, w2, b2, ln_scale,
+                            ln_bias, mask_p, consts, K: int,
+                            interpret: bool, with_messages: bool):
     return _edge_tail_sum_flat_impl(
         gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p, K,
-        interpret, with_messages,
+        interpret, with_messages, consts,
     )
 
 
@@ -216,13 +233,30 @@ def _flat_consts(w2, b2, ln_scale, ln_bias, B):
     return w2k, ones_k, b2_w, ls_w, lb_w
 
 
+# public aliases for rollout-ctx precomputation (scan-hoisted widening)
+tail_consts = _flat_consts
+
+
+def layer_consts(w_e, b0, w2, b2, ln_scale, ln_bias, B):
+    """Widened consts for `edge_layer_flat` (scan-hoisted)."""
+    h = w2.shape[0]
+    w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32), w_e.astype(jnp.float32))
+    b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    return w_ek, b0_w, w2k, ones_k, b2_w, ls_w, lb_w
+
+
 def _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
-                             ln_bias, mask_p, K, interpret, with_messages):
+                             ln_bias, mask_p, K, interpret, with_messages,
+                             consts=None):
     M, W = gathered.shape
     h = ew.shape[-1]
     B = W // h
     n_virt = M // K
-    w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    w2k, ones_k, b2_w, ls_w, lb_w = (
+        consts if consts is not None
+        else _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    )
 
     TILE_V = _pick_tile_v(n_virt, K)
     if n_virt % TILE_V or TILE_V < 8:
@@ -269,11 +303,13 @@ def _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
 
 
 def _edge_tail_sum_flat_fwd(gathered, ew, rec_rows, w2, b2, ln_scale,
-                            ln_bias, mask_p, K, interpret, with_messages):
+                            ln_bias, mask_p, consts, K, interpret,
+                            with_messages):
     out = _edge_tail_sum_flat_impl(gathered, ew, rec_rows, w2, b2, ln_scale,
                                    ln_bias, mask_p, K, interpret,
-                                   with_messages)
-    return out, (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p)
+                                   with_messages, consts)
+    return out, (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p,
+                 consts)
 
 
 def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
@@ -335,7 +371,16 @@ def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
 def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
     import os
 
-    gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p = res
+    (gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias, mask_p,
+     consts) = res
+
+    def _d_consts():
+        # consts are a stop_gradient'd forward-value shortcut; the full
+        # parameter gradient flows through the raw w2/b2/ln args
+        if consts is None:
+            return None
+        return tuple(jnp.zeros_like(c) for c in consts)
+
     g_msg, g_virt = grads
     M, W = gathered.shape
     h = ew.shape[-1]
@@ -355,13 +400,16 @@ def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
 
         _, vjp = jax.vjp(fwd, gathered, ew, rec_rows, w2, b2, ln_scale,
                          ln_bias, mask_p)
-        return vjp((g_msg, g_virt))
+        return vjp((g_msg, g_virt)) + (_d_consts(),)
 
     has_gmsg = bool(with_messages) and g_msg is not None
     if not has_gmsg:
         # zero-strength operand keeps the arg list static for the kernel
         g_msg = jnp.zeros((8, W), gathered.dtype)
-    w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    w2k, ones_k, b2_w, ls_w, _ = (
+        consts if consts is not None
+        else _flat_consts(w2, b2, ln_scale, ln_bias, B)
+    )
     TILE_E = TILE_V * K
     dt = gathered.dtype
     gmsg_spec = (
@@ -418,10 +466,11 @@ def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
     d_ls = _group_row_sum(bias_acc[1][None], B, h).astype(ln_scale.dtype)
     d_lb = _group_row_sum(bias_acc[2][None], B, h).astype(ln_bias.dtype)
     return (d_gathered, d_ew, d_rec, d_w2, d_b2, d_ls, d_lb,
-            jnp.zeros_like(mask_p))
+            jnp.zeros_like(mask_p), _d_consts())
 
 
-edge_tail_sum_flat.defvjp(_edge_tail_sum_flat_fwd, _edge_tail_sum_flat_bwd)
+_edge_tail_sum_flat_vjp.defvjp(_edge_tail_sum_flat_fwd,
+                               _edge_tail_sum_flat_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -466,28 +515,47 @@ def _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek, b0_w, w2k,
     return (e + msg).astype(edge_rep.dtype), virt
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def edge_layer_flat(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2,
-                    ln_scale, ln_bias, K: int, interpret: bool = False):
+                    ln_scale, ln_bias, K: int, interpret: bool = False,
+                    consts=None):
     """Fused flat residual edge update (update_edges=True interaction nets).
 
     edge_rep (M, W) evolving edge state; gathered (M, W) sender transforms;
     rec_rows (N_virt, W); mask_p (N_virt, K).
+    consts: optional precomputed `layer_consts(...)` tuple — see the
+    scan-hoisting note on `edge_tail_sum_flat`.
     Returns (edge_out = edge_rep + messages, virt).
     """
+    if consts is not None and consts[0].shape[-1] != edge_rep.shape[-1]:
+        consts = None
+    return _edge_layer_flat_vjp(edge_rep, gathered, rec_rows, mask_p, w_e,
+                                b0, w2, b2, ln_scale, ln_bias, consts, K,
+                                interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _edge_layer_flat_vjp(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
+                         b2, ln_scale, ln_bias, consts, K: int,
+                         interpret: bool):
     return _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e,
-                                 b0, w2, b2, ln_scale, ln_bias, K, interpret)
+                                 b0, w2, b2, ln_scale, ln_bias, K, interpret,
+                                 consts)
 
 
 def _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
-                          b2, ln_scale, ln_bias, K, interpret):
+                          b2, ln_scale, ln_bias, K, interpret, consts=None):
     M, W = edge_rep.shape
     h = w2.shape[0]
     B = W // h
     n_virt = M // K
-    w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale, ln_bias, B)
-    w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32), w_e.astype(jnp.float32))
-    b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    if consts is not None:
+        w_ek, b0_w, w2k, ones_k, b2_w, ls_w, lb_w = consts
+    else:
+        w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale,
+                                                     ln_bias, B)
+        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                        w_e.astype(jnp.float32))
+        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
 
     TILE_V = _pick_tile_v(n_virt, K)
     if n_virt % TILE_V or TILE_V < 8:
@@ -534,11 +602,12 @@ def _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
 
 
 def _edge_layer_flat_fwd(edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2,
-                         b2, ln_scale, ln_bias, K, interpret):
+                         b2, ln_scale, ln_bias, consts, K, interpret):
     out = _edge_layer_flat_impl(edge_rep, gathered, rec_rows, mask_p, w_e,
-                                b0, w2, b2, ln_scale, ln_bias, K, interpret)
+                                b0, w2, b2, ln_scale, ln_bias, K, interpret,
+                                consts)
     return out, (edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2,
-                 ln_scale, ln_bias)
+                 ln_scale, ln_bias, consts)
 
 
 def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
@@ -607,7 +676,13 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
     import os
 
     (edge_rep, gathered, rec_rows, mask_p, w_e, b0, w2, b2, ln_scale,
-     ln_bias) = res
+     ln_bias, consts) = res
+
+    def _d_consts():
+        if consts is None:
+            return None
+        return tuple(jnp.zeros_like(c) for c in consts)
+
     g_edge, g_virt = grads
     h = w2.shape[0]
     M, W = edge_rep.shape
@@ -629,15 +704,20 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
 
         _, vjp = jax.vjp(fwd, edge_rep, gathered, rec_rows, mask_p, w_e, b0,
                          w2, b2, ln_scale, ln_bias)
-        return vjp((g_edge, g_virt))
+        return vjp((g_edge, g_virt)) + (_d_consts(),)
 
     if g_edge is None:
         g_edge = jnp.zeros_like(edge_rep)
     if g_virt is None:
         g_virt = jnp.zeros((n_virt, W), edge_rep.dtype)
-    w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale, ln_bias, B)
-    w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32), w_e.astype(jnp.float32))
-    b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    if consts is not None:
+        w_ek, b0_w, w2k, ones_k, b2_w, ls_w, _ = consts
+    else:
+        w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale,
+                                                  ln_bias, B)
+        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                        w_e.astype(jnp.float32))
+        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
     TILE_E = TILE_V * K
     dt = edge_rep.dtype
     tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
@@ -680,7 +760,7 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
     d_ls = _group_row_sum(bias_acc[2][None], B, h).astype(ln_scale.dtype)
     d_lb = _group_row_sum(bias_acc[3][None], B, h).astype(ln_bias.dtype)
     return (d_e, d_g, d_rec, jnp.zeros_like(mask_p), d_w_e, d_b0, d_w2,
-            d_b2, d_ls, d_lb)
+            d_b2, d_ls, d_lb, _d_consts())
 
 
-edge_layer_flat.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)
+_edge_layer_flat_vjp.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)

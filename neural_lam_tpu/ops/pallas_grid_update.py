@@ -210,9 +210,8 @@ def _grid_update_reference(gathered, ew, grid_emb_f, mask_p, pp, K, B):
     return out.astype(gathered.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def grid_update_flat(gathered, ew, grid_emb_f, mask_p, pp, K: int,
-                     interpret: bool = False):
+                     interpret: bool = False, consts=None):
     """Fused m2g decoder stage (see module docstring).
 
     gathered: (M, W) sender transforms per edge (W = B*h).
@@ -221,13 +220,28 @@ def grid_update_flat(gathered, ew, grid_emb_f, mask_p, pp, K: int,
     (trailing virtual rows are padding with mask 0 — their outputs are
     garbage and must be sliced off by the caller).
     mask_p: (N_virt, K); pp: raw parameter dict (see `_prep_consts`).
+    consts: optional precomputed `prep_grid_update_consts(pp, B)` dict —
+    XLA's while-loop LICM declines to hoist these multi-buffer widened
+    params out of rollout scans (probes/compose_gap.py: ~0.8 ms/step of
+    re-widening), so scan callers should precompute them once outside
+    (stop_gradient'd; gradients flow through the raw `pp`).
     Returns (N_virt, B*d_out) net output (lane padding removed).
     """
+    if consts is not None and consts["w2k"].shape[0] != gathered.shape[-1]:
+        consts = None  # batch mismatch (e.g. padded tail batch)
+    return _grid_update_vjp(gathered, ew, grid_emb_f, mask_p, pp, consts,
+                            K, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _grid_update_vjp(gathered, ew, grid_emb_f, mask_p, pp, consts, K: int,
+                     interpret: bool):
     return _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K,
-                             interpret)
+                             interpret, consts)
 
 
-def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
+def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret,
+                      consts=None):
     M, W = gathered.shape
     h = ew.shape[-1]
     B = W // h
@@ -239,7 +253,8 @@ def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
     if n_virt % TILE_V or TILE_V < 8:
         return _grid_update_reference(gathered, ew, grid_emb_f, mask_p, pp,
                                       K, B)
-    consts = _prep_consts(pp, B)
+    if consts is None:
+        consts = _prep_consts(pp, B)
     TILE_E = TILE_V * K
     dt = gathered.dtype
     full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
@@ -272,10 +287,11 @@ def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
     return out
 
 
-def _grid_update_fwd(gathered, ew, grid_emb_f, mask_p, pp, K, interpret):
+def _grid_update_fwd(gathered, ew, grid_emb_f, mask_p, pp, consts, K,
+                     interpret):
     out = _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K,
-                            interpret)
-    return out, (gathered, ew, grid_emb_f, mask_p, pp)
+                            interpret, consts)
+    return out, (gathered, ew, grid_emb_f, mask_p, pp, consts)
 
 
 # ---------------------------------------------------------------------------
@@ -439,7 +455,13 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
 
 
 def _grid_update_bwd(K, interpret, res, g_out):
-    gathered, ew, grid_emb_f, mask_p, pp = res
+    gathered, ew, grid_emb_f, mask_p, pp, consts_in = res
+
+    def _d_consts():
+        if consts_in is None:
+            return None
+        return {k: jnp.zeros_like(v) for k, v in consts_in.items()}
+
     M, W = gathered.shape
     h = ew.shape[-1]
     B = W // h
@@ -461,9 +483,9 @@ def _grid_update_bwd(K, interpret, res, g_out):
                                           pp, K, B)
 
         _, vjp = jax.vjp(fwd, gathered, ew, grid_emb_f, mask_p, pp)
-        return vjp(g_out)
+        return vjp(g_out) + (_d_consts(),)
 
-    consts = _prep_consts(pp, B)
+    consts = consts_in if consts_in is not None else _prep_consts(pp, B)
     tr = {
         "w_ikT": consts["w_ik"].T,
         "enc_w0kT": consts["enc_w0k"].T,
@@ -574,10 +596,15 @@ def _grid_update_bwd(K, interpret, res, g_out):
         "o_b1": bias["o_b1"][:B * d_out].reshape(B, d_out).sum(axis=0),
     }
     d_pp = {k: v.astype(pp[k].dtype) for k, v in d_pp.items()}
-    return (d_gathered, d_ew, d_ge_full, jnp.zeros_like(mask_p), d_pp)
+    return (d_gathered, d_ew, d_ge_full, jnp.zeros_like(mask_p), d_pp,
+            _d_consts())
 
 
-grid_update_flat.defvjp(_grid_update_fwd, _grid_update_bwd)
+_grid_update_vjp.defvjp(_grid_update_fwd, _grid_update_bwd)
+
+
+# public alias for rollout-ctx precomputation (scan-hoisted widening)
+prep_grid_update_consts = _prep_consts
 
 
 def pack_grid_update_params(params: dict) -> dict:

@@ -357,7 +357,7 @@ def spatialize(model, mesh: Mesh):
             return new_state, pred_std[:, :ng]
         return new_state, None
 
-    def precompute_rollout_ctx(self, params):
+    def precompute_rollout_ctx(self, params, batch_size=None):
         return None  # computed per-shard inside the body
 
     cls = type(
@@ -578,7 +578,7 @@ def spatialize_rs(model, mesh: Mesh):
             return new_state, pred_std[:, :ng]
         return new_state, None
 
-    def precompute_rollout_ctx(self, params):
+    def precompute_rollout_ctx(self, params, batch_size=None):
         return None  # computed per-shard inside the body
 
     cls = type(

@@ -457,7 +457,7 @@ class SpatialGraphLAM(GraphLAM):
             check_vma=False,
         )
 
-    def precompute_rollout_ctx(self, params):
+    def precompute_rollout_ctx(self, params, batch_size=None):
         return None  # the shard_map body embeds statics internally
 
     def predict_step(self, params, prev_state, prev_prev_state, forcing,

@@ -626,3 +626,148 @@ def test_grid_update_bwd_wide_output(dense_edges):
     grads = jax.grad(loss, argnums=(0, 1, 2, 3))(gathered, ew, ge, pp)
     assert all(np.all(np.isfinite(np.asarray(t)))
                for t in jax.tree_util.tree_leaves(grads))
+
+
+def test_precomputed_consts_match(dense_edges):
+    """Passing scan-hoisted widened consts to the flat kernels is
+    value- and gradient-identical to the internal widening (the consts
+    are a pure forward shortcut; param grads flow through the raw args).
+    Exercises tail, layer, and grid-update kernels plus the model-level
+    ctx attachment (`precompute_rollout_ctx(params, batch_size=B)`)."""
+    from neural_lam_tpu.ops import pallas_edge_flat as pef
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    es = dense_edges
+    B, h = 2, 64
+    K, W = es.dense_k, 2 * 64
+    rng = np.random.default_rng(7)
+    M, Nv = es.num_edges, es.num_virt
+    gathered = jnp.asarray(rng.standard_normal((M, W)) * 0.3, jnp.float32)
+    ew = jnp.asarray(rng.standard_normal((M, h)) * 0.3, jnp.float32)
+    rec_rows = jnp.asarray(rng.standard_normal((Nv, W)) * 0.3, jnp.float32)
+    mask_p = es.mask.reshape(Nv, K)
+    w2 = jnp.asarray(rng.standard_normal((h, h)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((h,)) * 0.2, jnp.float32)
+    ls = jnp.asarray(1 + rng.standard_normal((h,)) * 0.1, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((h,)) * 0.1, jnp.float32)
+    w_e = jnp.asarray(rng.standard_normal((h, h)) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal((h,)) * 0.2, jnp.float32)
+
+    def cmp_grads(f_plain, f_consts, args):
+        o1, g1 = jax.value_and_grad(f_plain)(args)
+        o2, g2 = jax.value_and_grad(f_consts)(args)
+        np.testing.assert_allclose(float(o1), float(o2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    # --- tail ---
+    tc = jax.lax.stop_gradient(pef.tail_consts(w2, b2, ls, lb, B))
+
+    def tail(args, consts=None):
+        g, r, w2_, b2_ = args
+        m, v = pef.edge_tail_sum_flat(g, ew, r, w2_, b2_, ls, lb, mask_p,
+                                      K, True, True, consts=consts)
+        return (m ** 2).sum() + (v ** 2).sum()
+
+    cmp_grads(tail, lambda a: tail(a, tc), (gathered, rec_rows, w2, b2))
+
+    # --- layer ---
+    lc = jax.lax.stop_gradient(
+        pef.layer_consts(w_e, b0, w2, b2, ls, lb, B)
+    )
+    edge_f = jnp.tile(ew, (1, B))
+
+    def layer(args, consts=None):
+        e, g, r, we_, w2_ = args
+        eo, v = pef.edge_layer_flat(e, g, r, mask_p, we_, b0, w2_, b2, ls,
+                                    lb, K, True, consts=consts)
+        return (eo ** 2).sum() + (v ** 2).sum()
+
+    cmp_grads(layer, lambda a: layer(a, lc),
+              (edge_f, gathered, rec_rows, w_e, w2))
+
+    # --- mismatched consts are ignored (padded tail batch safety) ---
+    tc_wrong = jax.lax.stop_gradient(pef.tail_consts(w2, b2, ls, lb, 4))
+    np.testing.assert_allclose(
+        float(tail((gathered, rec_rows, w2, b2))),
+        float(tail((gathered, rec_rows, w2, b2), tc_wrong)), rtol=1e-6,
+    )
+
+    # --- grid update ---
+    def mk(d1, d2=None):
+        if d2 is None:
+            return jnp.asarray(rng.standard_normal((d1,)) * 0.1, jnp.float32)
+        return jnp.asarray(rng.standard_normal((d1, d2)) * 0.1, jnp.float32)
+
+    d_out = 7
+    pp = {
+        "w_i": mk(h, h), "w2": mk(h, h), "b2": mk(h),
+        "e_ls": 1.0 + mk(h), "e_lb": mk(h),
+        "enc_w0": mk(h, h), "enc_b0": mk(h), "enc_w1": mk(h, h),
+        "enc_b1": mk(h), "enc_ls": 1.0 + mk(h), "enc_lb": mk(h),
+        "a_w0": mk(2 * h, h), "a_b0": mk(h), "a_w1": mk(h, h),
+        "a_b1": mk(h), "a_ls": 1.0 + mk(h), "a_lb": mk(h),
+        "o_w0": mk(h, h), "o_b0": mk(h), "o_w1": mk(h, d_out),
+        "o_b1": mk(d_out),
+    }
+    ge = jnp.asarray(rng.standard_normal((es.num_rec, W)) * 0.3, jnp.float32)
+    gc = jax.lax.stop_gradient(pgu.prep_grid_update_consts(pp, B))
+
+    def dec(args, consts=None):
+        g, x, p = args
+        o = pgu.grid_update_flat(g, ew, x, mask_p, p, K, True,
+                                 consts=consts)
+        return (o[:es.num_rec] ** 2).sum()
+
+    cmp_grads(dec, lambda a: dec(a, gc), (gathered, ge, pp))
+
+
+def test_rollout_ctx_attaches_consts(monkeypatch, tmp_path):
+    """precompute_rollout_ctx(params, batch_size=B) attaches the hoisted
+    consts and predict_step output is unchanged by them."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    datastore = DummyDatastore(grid_shape=(20, 20), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=None, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    ctx0 = model.precompute_rollout_ctx(params)
+    ctx1 = model.precompute_rollout_ctx(params, batch_size=B)
+    assert "consts" in ctx1["g2m"]
+    assert "dec_consts" in ctx1["m2g"]
+    assert len(ctx1["proc_consts"]) == 1
+    assert "consts" not in ctx0["g2m"]
+
+    out0, _ = model.predict_step(params, prev, prevprev, forcing, ctx=ctx0)
+    out1, _ = model.predict_step(params, prev, prevprev, forcing, ctx=ctx1)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               atol=1e-6)
