@@ -382,11 +382,16 @@ def _gather_rows_T_fwd(table, senders, t_slots, t_mask_p, t_virt_to_rec,
 def _gather_rows_T_bwd(num_send, t_num_virt, t_k, t_virt_identity, res,
                        d_out):
     senders, t_slots, t_mask_p, t_virt_to_rec = res
-    g = jnp.take(d_out, t_slots, axis=0)  # (Nv_T * K_T, W)
-    W = g.shape[-1]
-    virt = (
-        g.reshape(t_num_virt, t_k, W) * t_mask_p[..., None]
-    ).sum(axis=1)
+    # per-k gather-accumulate instead of one (Nv_T * K_T, W) take + fold:
+    # XLA materializes the big take output in HBM before the masked sum,
+    # while K_T smaller gathers fuse into the accumulation (measured
+    # 4.73 -> 2.89 ms on the MEPS m2g set, probes/tgather_fold.py)
+    slots = t_slots.reshape(t_num_virt, t_k)
+    masks = t_mask_p.reshape(t_num_virt, t_k)
+    virt = None
+    for k in range(t_k):
+        part = jnp.take(d_out, slots[:, k], axis=0) * masks[:, k][:, None]
+        virt = part if virt is None else virt + part
     if t_virt_identity and t_num_virt >= num_send:
         d_table = jax.lax.slice_in_dim(virt, 0, num_send, axis=0)
     else:
