@@ -308,6 +308,26 @@ def spatialize(model, mesh: Mesh):
     sp.mesh = mesh
     sp._array_fields = tuple(model._array_fields) + ("spatial",)
 
+    def _local(self, part: GridShard):
+        """Per-shard base-class model over the local graph chunks."""
+        local = copy.copy(self)
+        local.__class__ = base_cls  # restore normal ctx precompute
+        # local graph: sharded g2m/m2g + per-shard mesh edge chunks
+        local.graph = dataclasses.replace(
+            self.graph,
+            g2m=_unstack_edgeset(part.g2m),
+            m2g=_unstack_edgeset(part.m2g),
+            m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
+            up=tuple(_unstack_edgeset(es) for es in part.up),
+            down=tuple(_unstack_edgeset(es) for es in part.down),
+        )
+        local.statics = dataclasses.replace(
+            self.statics, grid_static_features=part.grid_static
+        )
+        local._g2m_psum_axis = "space"
+        local._mesh_psum_axis = "space"
+        return local
+
     def predict_step(self, params, prev_state, prev_prev_state, forcing,
                      ctx=None):
         part: GridShard = self.spatial
@@ -318,47 +338,52 @@ def spatialize(model, mesh: Mesh):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p):
-            local = copy.copy(self)
-            local.__class__ = base_cls  # restore normal ctx precompute
-            # local graph: sharded g2m/m2g + per-shard mesh edge chunks
-            local.graph = dataclasses.replace(
-                self.graph,
-                g2m=_unstack_edgeset(part.g2m),
-                m2g=_unstack_edgeset(part.m2g),
-                m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
-                up=tuple(_unstack_edgeset(es) for es in part.up),
-                down=tuple(_unstack_edgeset(es) for es in part.down),
-            )
-            local.statics = dataclasses.replace(
-                self.statics, grid_static_features=part.grid_static
-            )
-            local._g2m_psum_axis = "space"
-            local._mesh_psum_axis = "space"
+        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *ctx_p):
+            local = _local(self, part)
             out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p
+                local, params, prev_p, prev_prev_p, forcing_p,
+                ctx=ctx_p[0] if ctx_p else None,
             )
             if std is None:
                 std = jnp.zeros_like(out)
-                return out, std
             return out, std
 
         part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
+        in_specs = (P(), part_specs, P("data", "space", None),
+                    P("data", "space", None), P("data", "space", None))
+        args = (params, part, padg(prev_state), padg(prev_prev_state),
+                padg(forcing))
+        if ctx is not None:
+            in_specs += (P("space"),)
+            args += (ctx,)
         new_state, pred_std = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), part_specs, P("data", "space", None),
-                      P("data", "space", None), P("data", "space", None)),
+            in_specs=in_specs,
             out_specs=(P("data", "space", None), P("data", "space", None)),
             check_vma=False,
-        )(params, part, padg(prev_state), padg(prev_prev_state),
-          padg(forcing))
+        )(*args)
         new_state = new_state[:, :ng]
         if self.output_std:
             return new_state, pred_std[:, :ng]
         return new_state, None
 
     def precompute_rollout_ctx(self, params, batch_size=None):
-        return None  # computed per-shard inside the body
+        """Per-shard rollout ctx, computed ONCE under shard_map (stacked
+        over the space axis) instead of inside every scan iteration — the
+        static edge/node embeddings were previously recomputed per predict
+        step inside the sharded body."""
+        part: GridShard = self.spatial
+        part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
+
+        def ctx_fn(params, part):
+            return base_cls.precompute_rollout_ctx(
+                _local(self, part), params, batch_size=batch_size
+            )
+
+        return shard_map(
+            ctx_fn, mesh=self.mesh, in_specs=(P(), part_specs),
+            out_specs=P("space"), check_vma=False,
+        )(params, part)
 
     cls = type(
         "GridSharded" + base_cls.__name__, (base_cls,),
@@ -506,6 +531,54 @@ def spatialize_rs(model, mesh: Mesh):
     sp.mesh = mesh
     sp._array_fields = tuple(model._array_fields) + ("spatial",)
 
+    def _local(self, part: RSShard):
+        """Per-shard base-class model with the rs collective hooks."""
+        local = copy.copy(self)
+        local.__class__ = base_cls
+
+        def gather0(rep):
+            return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+
+        local.graph = dataclasses.replace(
+            self.graph,
+            g2m=_unstack_edgeset(part.g2m),
+            m2g=_unstack_edgeset(part.m2g),
+            m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
+            up=tuple(_unstack_edgeset(es) for es in part.up),
+            down=tuple(_unstack_edgeset(es) for es in part.down),
+            mesh_static_features=part.mesh_static,
+        )
+        local.statics = dataclasses.replace(
+            self.statics, grid_static_features=part.grid_static
+        )
+        local._g2m_psum_axis = "space"
+        local._g2m_psum_mode = "scatter"
+        # level 0 is receiver-owned: local aggregation, all-gathered
+        # sender tables; upper levels keep the scheme-1 chunk+psum
+        local._mesh_psum_axis = None
+        local._mesh_sender_rep = gather0
+        if self.hierarchical:
+            local._hi_psum_axis = (
+                lambda rec_level: None if rec_level == 0 else "space"
+            )
+            # only m2m[0] reads distributed senders: its receiver-owned
+            # chunks gather from the full level-0 table. up[0] is
+            # sender-owned (local rows), down/up upper levels replicated.
+            local._hi_sender_rep = (
+                lambda rep, kind, idx:
+                gather0(rep) if (kind, idx) == ("m2m", 0) else rep
+            )
+        return local
+
+    def _part_specs(part: RSShard):
+        specs = jax.tree_util.tree_map(lambda _: P("space"), part)
+        return dataclasses.replace(
+            specs,
+            mesh_static=jax.tree_util.tree_map(
+                lambda _: P(), part.mesh_static
+            ),
+        )
+
     def predict_step(self, params, prev_state, prev_prev_state, forcing,
                      ctx=None):
         part: RSShard = self.spatial
@@ -515,71 +588,48 @@ def spatialize_rs(model, mesh: Mesh):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p):
-            local = copy.copy(self)
-            local.__class__ = base_cls
-
-            def gather0(rep):
-                return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
-
-            local.graph = dataclasses.replace(
-                self.graph,
-                g2m=_unstack_edgeset(part.g2m),
-                m2g=_unstack_edgeset(part.m2g),
-                m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
-                up=tuple(_unstack_edgeset(es) for es in part.up),
-                down=tuple(_unstack_edgeset(es) for es in part.down),
-                mesh_static_features=part.mesh_static,
-            )
-            local.statics = dataclasses.replace(
-                self.statics, grid_static_features=part.grid_static
-            )
-            local._g2m_psum_axis = "space"
-            local._g2m_psum_mode = "scatter"
-            # level 0 is receiver-owned: local aggregation, all-gathered
-            # sender tables; upper levels keep the scheme-1 chunk+psum
-            local._mesh_psum_axis = None
-            local._mesh_sender_rep = gather0
-            if self.hierarchical:
-                local._hi_psum_axis = (
-                    lambda rec_level: None if rec_level == 0 else "space"
-                )
-                # only m2m[0] reads distributed senders: its receiver-owned
-                # chunks gather from the full level-0 table. up[0] is
-                # sender-owned (local rows), down/up upper levels replicated.
-                local._hi_sender_rep = (
-                    lambda rep, kind, idx:
-                    gather0(rep) if (kind, idx) == ("m2m", 0) else rep
-                )
+        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *ctx_p):
+            local = _local(self, part)
             out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p
+                local, params, prev_p, prev_prev_p, forcing_p,
+                ctx=ctx_p[0] if ctx_p else None,
             )
             if std is None:
                 std = jnp.zeros_like(out)
             return out, std
 
-        part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
-        part_specs = dataclasses.replace(
-            part_specs,
-            mesh_static=jax.tree_util.tree_map(
-                lambda _: P(), part.mesh_static
-            ),
-        )
+        in_specs = (P(), _part_specs(part), P("data", "space", None),
+                    P("data", "space", None), P("data", "space", None))
+        args = (params, part, padg(prev_state), padg(prev_prev_state),
+                padg(forcing))
+        if ctx is not None:
+            in_specs += (P("space"),)
+            args += (ctx,)
         new_state, pred_std = shard_map(
             shard_fn, mesh=self.mesh,
-            in_specs=(P(), part_specs, P("data", "space", None),
-                      P("data", "space", None), P("data", "space", None)),
+            in_specs=in_specs,
             out_specs=(P("data", "space", None), P("data", "space", None)),
             check_vma=False,
-        )(params, part, padg(prev_state),
-          padg(prev_prev_state), padg(forcing))
+        )(*args)
         new_state = new_state[:, :ng]
         if self.output_std:
             return new_state, pred_std[:, :ng]
         return new_state, None
 
     def precompute_rollout_ctx(self, params, batch_size=None):
-        return None  # computed per-shard inside the body
+        """Per-shard rollout ctx, computed ONCE under shard_map (stacked
+        over the space axis) instead of inside every scan iteration."""
+        part: RSShard = self.spatial
+
+        def ctx_fn(params, part):
+            return base_cls.precompute_rollout_ctx(
+                _local(self, part), params, batch_size=batch_size
+            )
+
+        return shard_map(
+            ctx_fn, mesh=self.mesh, in_specs=(P(), _part_specs(part)),
+            out_specs=P("space"), check_vma=False,
+        )(params, part)
 
     cls = type(
         "RSSharded" + base_cls.__name__, (base_cls,),
