@@ -112,7 +112,7 @@ def collective_units(family):
     return len(sizes), 2.0 * sum(sizes) * BYTES
 
 
-def model_rows(step_ms, train_ms, ici_gbps, latency_us):
+def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
     rows = []
     for family in ("graph_lam", "hi_lam", "hi_lam_parallel",
                    "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs"):
@@ -124,19 +124,23 @@ def model_rows(step_ms, train_ms, ici_gbps, latency_us):
             # strong: fixed problem; replicated node work constant
             comm = payload * (S - 1) / S / (ici_gbps * 1e9) + lat
             t1 = step_ms / 1000.0
-            t_s = t1 * (repl + (1 - repl) / S) + comm
+            # `overhead` = measured S=1 cost ratio of the sharded body vs
+            # the unsharded step (probes/rs_overhead.py: ~1.27) — chunk
+            # padding + shard_map boundary, a constant factor on the
+            # sharded compute term
+            t_s = overhead * t1 * (repl + (1 - repl) / S) + comm
             strong = t1 / (S * t_s)
 
             # weak: domain grows with S -> payload and replicated node
             # work grow ~S; local work constant
             comm_w = payload * (S - 1) / (ici_gbps * 1e9) + lat
-            t_w = t1 * ((1 - repl) + repl * S) + comm_w
+            t_w = overhead * t1 * ((1 - repl) + repl * S) + comm_w
             weak = t1 / t_w
 
             # train step: backward doubles the collective count/payload
             tr1 = train_ms / 1000.0
-            tr_s = tr1 * (repl + (1 - repl) / S) + 2 * comm
-            tr_w = tr1 * ((1 - repl) + repl * S) + 2 * comm_w
+            tr_s = overhead * tr1 * (repl + (1 - repl) / S) + 2 * comm
+            tr_w = overhead * tr1 * ((1 - repl) + repl * S) + 2 * comm_w
             rows.append({
                 "family": family, "shards": S, "collectives": n_coll,
                 "bytes_mb": round(payload / 1e6, 1),
@@ -158,11 +162,15 @@ def main():
                     help="measured single-chip train-step ms")
     ap.add_argument("--latency_us", type=float, default=5.0,
                     help="per-collective launch latency (us)")
+    ap.add_argument("--overhead", type=float, default=1.275,
+                    help="measured S=1 sharded-body cost ratio vs the "
+                         "unsharded step (probes/rs_overhead.py); 1.0 "
+                         "models an overhead-free body")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     rows = model_rows(args.step_ms, args.train_ms, args.ici_gbps,
-                      args.latency_us)
+                      args.latency_us, overhead=args.overhead)
     if args.json:
         print(json.dumps(rows))
         return
