@@ -131,7 +131,13 @@ def _stack_edgesets(sets: list) -> EdgeSet:
         num_rec=num_rec,
         dense_k=K,
         num_virt=v_max,
-        virt_identity=False,
+        # identity survives stacking when every per-shard set is identity:
+        # rows [0, num_rec) stay receiver i == row i and the common-v_max
+        # pad rows map to num_rec-1 (the identity pad convention). m2g's
+        # exact-4-NN chunks are always identity — keeping it TRUE is what
+        # lets the fused grid-decode kernel engage inside sharded bodies
+        # (grid_update_applicable requires virt_identity).
+        virt_identity=bool(all(es.virt_identity for es in sets)),
         transposed=transposed,
     )
 

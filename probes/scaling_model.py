@@ -162,10 +162,10 @@ def main():
                     help="measured single-chip train-step ms")
     ap.add_argument("--latency_us", type=float, default=5.0,
                     help="per-collective launch latency (us)")
-    ap.add_argument("--overhead", type=float, default=1.275,
+    ap.add_argument("--overhead", type=float, default=1.0,
                     help="measured S=1 sharded-body cost ratio vs the "
-                         "unsharded step (probes/rs_overhead.py); 1.0 "
-                         "models an overhead-free body")
+                         "unsharded step (probes/rs_overhead.py; ~1.0 "
+                         "after the ctx hoist + fused-decode fixes)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 

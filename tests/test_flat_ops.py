@@ -361,9 +361,23 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path, scheme):
     monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
     mesh = make_mesh(n_data=2, n_space=2)
     sp = (spatialize_rs if scheme == "rs" else spatialize)(model, mesh)
+
+    # the fused grid-decode kernel must engage inside the sharded body:
+    # m2g's exact-4-NN per-shard chunks stay virt_identity after stacking
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    dec_calls = []
+    orig_dec = pgu.grid_update_flat
+
+    def dec_spy(*a, **kw):
+        dec_calls.append(1)
+        return orig_dec(*a, **kw)
+
+    monkeypatch.setattr(pgu, "grid_update_flat", dec_spy)
     out_sp, _ = jax.jit(sp.predict_step)(
         params, init_states[:, 1], init_states[:, 0], forcing[:, 0]
     )
+    assert dec_calls, "fused decode did not engage inside the sharded body"
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
                                atol=2e-4, rtol=2e-4)
 
