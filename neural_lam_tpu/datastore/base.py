@@ -99,6 +99,28 @@ class FieldArray:
                 coords[name] = c
         return coords
 
+    def sel(self, **sel) -> "FieldArray":
+        """Coord-VALUE selection by dim name (xarray .sel analogue).
+
+        Each value is matched against the dim's coordinate array; time
+        coordinates accept ISO strings (parsed as np.datetime64). Exact
+        match required — raises KeyError otherwise."""
+        isel = {}
+        for dim, value in sel.items():
+            if dim not in self.coords:
+                raise KeyError(
+                    f"no coordinate for dim {dim!r} (have "
+                    f"{sorted(self.coords)})"
+                )
+            coord = np.asarray(self.coords[dim])
+            if np.issubdtype(coord.dtype, np.datetime64):
+                value = np.datetime64(value)
+            matches = np.nonzero(coord == value)[0]
+            if matches.size == 0:
+                raise KeyError(f"{value!r} not found in coords of {dim!r}")
+            isel[dim] = int(matches[0])
+        return self.isel(**isel)
+
     def transpose(self, *dims) -> "FieldArray":
         axes = [self.dims.index(d) for d in dims]
         return FieldArray(np.transpose(self.values, axes), dims, dict(self.coords))

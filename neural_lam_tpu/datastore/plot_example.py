@@ -25,6 +25,8 @@ def plot_example_from_datastore(category, datastore, col_dim, split="train",
     da = datastore.get_dataarray(
         category=category, split=split if category != "static" else None
     )
+    if selection:
+        da = da.sel(**selection)
     if index_selection:
         da = da.isel(**index_selection)
     if standardize and category != "static":
@@ -61,30 +63,83 @@ def plot_example_from_datastore(category, datastore, col_dim, split="train",
     return fig
 
 
+def _parse_dict(arg_str):
+    """key=value with int/float coercion
+    (ref: plot_example.py:95-103)."""
+    key, value = arg_str.split("=")
+    for op in (int, float):
+        try:
+            value = op(value)
+            break
+        except ValueError:
+            pass
+    return key, value
+
+
 def main(input_args=None):
     from ..config import load_config_and_datastore
 
     parser = ArgumentParser(description="Plot example from datastore")
-    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, default=None,
+                        help="neural-lam config selecting the datastore")
+    parser.add_argument("--datastore_kind", type=str, default=None,
+                        help="directly init a datastore of this kind "
+                             "(ref: plot_example.py:108-114)")
+    parser.add_argument("--datastore_config_path", type=str, default=None,
+                        help="per-datastore config for --datastore_kind")
     parser.add_argument("--category", type=str, default="state")
     parser.add_argument("--split", type=str, default="train")
     parser.add_argument("--col_dim", type=str, default="{category}_feature")
     parser.add_argument("--time_idx", type=int, default=0)
+    parser.add_argument("--disable_standardize", dest="standardize",
+                        action="store_false",
+                        help="disable standardization of the data")
+    parser.add_argument("--selection", nargs="+", default=[],
+                        type=_parse_dict,
+                        help="coord-value selections, e.g. "
+                             "time='1990-09-03T00:00'")
+    parser.add_argument("--index_selection", nargs="+", default=[],
+                        type=_parse_dict,
+                        help="integer selections, e.g. time=0")
     parser.add_argument("--save", type=str, default="example.png")
     args = parser.parse_args(input_args)
 
-    _, datastore = load_config_and_datastore(config_path=args.config_path)
-    index_selection = {}
-    da_dims = datastore.expected_dim_order(args.category)
-    if "time" in da_dims:
-        index_selection["time"] = args.time_idx
-    if "analysis_time" in da_dims:
-        index_selection["analysis_time"] = args.time_idx
-        index_selection["elapsed_forecast_duration"] = 0
-    if "ensemble_member" in da_dims:
-        index_selection["ensemble_member"] = 0
+    if args.datastore_kind is not None:
+        from . import init_datastore
+
+        assert args.datastore_config_path is not None, (
+            "Specify your datastore config with --datastore_config_path"
+        )
+        datastore = init_datastore(args.datastore_kind,
+                                   args.datastore_config_path)
+    else:
+        assert args.config_path is not None, (
+            "Specify --config_path (or --datastore_kind + "
+            "--datastore_config_path)"
+        )
+        _, datastore = load_config_and_datastore(
+            config_path=args.config_path
+        )
+    selection = dict(args.selection)
+    index_selection = dict(args.index_selection)
+    col_dim = args.col_dim.format(category=args.category)
+    if col_dim in selection:
+        raise ValueError(
+            f"Column dimension {col_dim} cannot be in the selection "
+            f"({selection}). Adjust the column dimension and/or selection."
+        )
+    if not index_selection:
+        da_dims = datastore.expected_dim_order(args.category)
+        if "time" in da_dims:
+            index_selection["time"] = args.time_idx
+        if "analysis_time" in da_dims:
+            index_selection["analysis_time"] = args.time_idx
+            index_selection["elapsed_forecast_duration"] = 0
+        if "ensemble_member" in da_dims:
+            index_selection["ensemble_member"] = 0
     fig = plot_example_from_datastore(
         args.category, datastore, col_dim=args.col_dim, split=args.split,
+        standardize=args.standardize, selection=selection or None,
         index_selection=index_selection,
     )
     fig.savefig(args.save, dpi=150, bbox_inches="tight")

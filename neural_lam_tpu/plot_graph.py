@@ -89,7 +89,8 @@ def graph_scene(graph, grid_xy, mesh_only=False):
     return point_sets, edge_sets
 
 
-def make_graph_figure(graph, grid_xy, mesh_only=False):
+def make_graph_figure(graph, grid_xy, mesh_only=False,
+                      show_axis=False):
     """Build the 3D matplotlib figure for a LoadedGraph + grid positions."""
     point_sets, edge_sets = graph_scene(graph, grid_xy, mesh_only)
 
@@ -114,7 +115,8 @@ def make_graph_figure(graph, grid_xy, mesh_only=False):
     all_pts = np.concatenate(all_pts)
     ax.auto_scale_xyz(all_pts[:, 0], all_pts[:, 1], all_pts[:, 2])
     ax.legend(loc="upper left", fontsize=8)
-    ax.set_axis_off()
+    if not show_axis:
+        ax.set_axis_off()  # ref: plot_graph.py:193
     return fig
 
 
@@ -136,6 +138,8 @@ def main(input_args=None):
                         "reference's plotly html equivalent)")
     parser.add_argument("--mesh_only", action="store_true",
                         help="Plot only the mesh (no g2m/m2g edges)")
+    parser.add_argument("--show_axis", action="store_true",
+                        help="Show the 3D axes (ref: plot_graph.py:40)")
     args = parser.parse_args(input_args)
 
     _, datastore = load_config_and_datastore(config_path=args.config_path)
@@ -143,7 +147,8 @@ def main(input_args=None):
         os.path.join(datastore.root_path, "graph", args.graph)
     )
     grid_xy = datastore.get_xy("state")
-    fig = make_graph_figure(graph, grid_xy, mesh_only=args.mesh_only)
+    fig = make_graph_figure(graph, grid_xy, mesh_only=args.mesh_only,
+                            show_axis=args.show_axis)
     fig.savefig(args.save, dpi=200, bbox_inches="tight")
     print(f"Saved graph figure to {args.save}")
     if args.html:

@@ -137,9 +137,21 @@ def test_plot_clis(tmp_path):
     )
     fig.savefig(tmp_path / "example.png")
 
-    # vis functions
-    import numpy as np
+    # coord-value selection (the reference CLI's --selection):
+    # FieldArray.sel matches a time coordinate value, incl. ISO strings
+    da = ds.get_dataarray("state", split="train")
+    t0 = np.asarray(da.coords["time"])[2]
+    sel_by_value = da.sel(time=t0)
+    np.testing.assert_array_equal(
+        np.asarray(sel_by_value.values), np.asarray(da.isel(time=2).values)
+    )
+    fig = plot_example_from_datastore(
+        "state", ds, col_dim="{category}_feature", split="train",
+        selection={"time": t0},
+    )
+    fig.savefig(tmp_path / "example_sel.png")
 
+    # vis functions
     errors = np.random.rand(3, ds.get_num_data_vars("state"))
     vis.plot_error_map(errors, ds).savefig(tmp_path / "err.png")
     field = np.random.rand(ds.num_grid_points)
