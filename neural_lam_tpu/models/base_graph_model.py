@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.storage import LoadedGraph
 from ..ops.message_passing import apply_interaction_net, init_interaction_net
@@ -23,7 +24,7 @@ def expand_to_batch(x, batch_size):
 
 
 class BaseGraphModel(ARModelBase):
-    _array_fields = ("statics", "graph")
+    _array_fields = ("statics", "graph", "m2g_win")
     # set inside spatial shard_map bodies (see parallel/grid_sharded.py):
     # _g2m_psum_axis — mesh axis to psum partial g2m aggregations over;
     # _mesh_psum_axis — mesh axis to psum partial mesh-level (m2m/up/down)
@@ -62,6 +63,21 @@ class BaseGraphModel(ARModelBase):
         # (ref: base_graph_model.py:48)
         self.mlp_blueprint_end = [args.hidden_dim] * (args.hidden_layers + 1)
         self.num_mesh_nodes, _ = self.get_num_mesh()
+        # host-side window layout for the fused in-kernel m2g sender
+        # gather (ops/pallas_grid_update.prep_window_gather); None when the
+        # graph's sender locality doesn't support it
+        self.m2g_win = None
+        self._m2g_win_static = None
+        m2g = graph.m2g
+        if m2g.dense_k and m2g.virt_identity:
+            from ..ops.pallas_grid_update import prep_window_gather
+
+            win = prep_window_gather(
+                np.asarray(m2g.senders), np.asarray(m2g.mask),
+                m2g.num_virt, m2g.dense_k, m2g.num_send,
+            )
+            if win is not None:
+                self.m2g_win, self._m2g_win_static = win
 
     # --- abstract over mesh structure (ref: base_graph_model.py:82-104) ---
 
@@ -293,14 +309,31 @@ class BaseGraphModel(ARModelBase):
         if cd is not None:
             send_tf = send_tf.astype(cd)
             ge_f = ge_f.astype(cd)
-        gathered = gather_send_flat(send_tf, m2g)
-        net_f = grid_update_flat(
-            gathered, ctx["m2g"]["ew"], ge_f,
-            m2g.mask.reshape(m2g.num_virt, m2g.dense_k),
-            pack_grid_update_params(params), m2g.dense_k,
-            _pallas_mode() == "interpret",
-            consts=ctx["m2g"].get("dec_consts"),
-        )  # (num_virt, B*d_out)
+        win = self.m2g_win
+        win_ok = (
+            win is not None
+            and win["sl_local"].shape[0] == m2g.num_virt * m2g.dense_k
+            and m2g.num_virt % self._m2g_win_static["tile_v"] == 0
+        )
+        if win_ok:
+            # sender gather fused into the decode kernel (windowed
+            # one-hot matmul) — skips the (M, B*h) HBM intermediate
+            from ..ops.message_passing import decode_grid_fused
+
+            net_f = decode_grid_fused(
+                send_tf, ge_f, ctx["m2g"]["ew"], m2g,
+                pack_grid_update_params(params),
+                ctx["m2g"].get("dec_consts"), win, self._m2g_win_static,
+            )  # (num_virt, B*d_out)
+        else:
+            gathered = gather_send_flat(send_tf, m2g)
+            net_f = grid_update_flat(
+                gathered, ctx["m2g"]["ew"], ge_f,
+                m2g.mask.reshape(m2g.num_virt, m2g.dense_k),
+                pack_grid_update_params(params), m2g.dense_k,
+                _pallas_mode() == "interpret",
+                consts=ctx["m2g"].get("dec_consts"),
+            )  # (num_virt, B*d_out)
         net_f = jax.lax.slice_in_dim(net_f, 0, m2g.num_rec, axis=0)
         net_output = unflatten_nodes(net_f, B)  # (B, N_grid, d_out)
         return self._finish_output(net_output, prev_state)

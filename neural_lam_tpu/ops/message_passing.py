@@ -430,6 +430,81 @@ def gather_send_flat(table, edges: "EdgeSet"):
     )
 
 
+def _decode_win_impl(K, wrows, tile_v, interp, ops):
+    from .pallas_grid_update import grid_update_flat_win
+
+    return grid_update_flat_win(
+        ops["send_tf"], ops["ew"], ops["ge_f"], ops["mask_p"], ops["pp"],
+        K, ops["win"], wrows, tile_v, interpret=interp,
+        consts=ops["consts"],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _decode_win_vjp(K, wrows, tile_v, interp, ops):
+    return _decode_win_impl(K, wrows, tile_v, interp, ops)
+
+
+def _decode_win_fwd(K, wrows, tile_v, interp, ops):
+    return _decode_win_impl(K, wrows, tile_v, interp, ops), ops
+
+
+def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
+    """Backward = the composed VJP of the UN-windowed pair (XLA row gather
+    -> grid_update_flat): the gather's scatter-free transposed VJP and the
+    decoder's analytic backward kernel both engage, and the windowed
+    forward kernel's output is dead code XLA eliminates — so training
+    costs exactly what the un-fused forward path paid."""
+    from .pallas_grid_update import grid_update_flat
+
+    edges = ops["edges"]
+    mask_p = ops["mask_p"]
+    consts = ops["consts"]
+
+    def ref(st, ge, ew, pp):
+        g = gather_send_flat(st, edges)
+        return grid_update_flat(g, ew, ge, mask_p, pp, K, interp,
+                                consts=consts)
+
+    _, vjp = jax.vjp(ref, ops["send_tf"], ops["ge_f"], ops["ew"],
+                     ops["pp"])
+    d_st, d_ge, d_ew, d_pp = vjp(d_out)
+
+    def z(x):
+        if x is None:
+            return None
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+    ct = jax.tree_util.tree_map(z, ops)
+    ct["send_tf"], ct["ge_f"], ct["ew"], ct["pp"] = d_st, d_ge, d_ew, d_pp
+    return (ct,)
+
+
+_decode_win_vjp.defvjp(_decode_win_fwd, _decode_win_bwd)
+
+
+def decode_grid_fused(send_tf, ge_f, ew, edges: "EdgeSet", pp, consts,
+                      win_arrays, win_static):
+    """Fused m2g decoder with the sender gather inside the kernel.
+
+    Same math as gather_send_flat + grid_update_flat but the forward never
+    materializes the (M, W) gathered sender rows in HBM — the kernel
+    reconstructs each tile's rows from a narrow window of the (num_send,
+    W) table with a one-hot MXU matmul (ops/pallas_grid_update.py:
+    `_grid_update_win_kernel`). `win_arrays`/`win_static` come from
+    `prep_window_gather` (host-side, per graph)."""
+    mask_p = edges.mask.reshape(edges.num_virt, edges.dense_k)
+    interp = _pallas_mode() == "interpret"
+    ops = {
+        "send_tf": send_tf, "ge_f": ge_f, "ew": ew, "mask_p": mask_p,
+        "pp": pp, "consts": consts, "win": win_arrays, "edges": edges,
+    }
+    return _decode_win_vjp(edges.dense_k, win_static["wrows"],
+                           win_static["tile_v"], interp, ops)
+
+
 def _gather_virt_rows_flat(rec_tf, edges: "EdgeSet"):
     """Flat (N_rec, W) -> (N_virt, W) virtual-row receiver transforms."""
     if edges.virt_identity:

@@ -113,11 +113,13 @@ _CONST_NAMES = (
 )
 
 
-def _grid_update_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
-                        enc_b0w, enc_w1k, enc_b1w, enc_lsw, enc_lbw, w2k,
-                        b2w, e_lsw, e_lbw, a_wrk, a_wak, a_b0w, a_b1w, a_w1k,
-                        a_lsw, a_lbw, o_w0k, o_b0w, o_w1k, o_b1w, ones_k,
-                        out_ref):
+def _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
+                      enc_b0w, enc_w1k, enc_b1w, enc_lsw, enc_lbw, w2k,
+                      b2w, e_lsw, e_lbw, a_wrk, a_wak, a_b0w, a_b1w, a_w1k,
+                      a_lsw, a_lbw, o_w0k, o_b0w, o_w1k, o_b1w, ones_k,
+                      out_ref):
+    """Shared per-tile decoder math; `g` is the (TILE_E, W) f32 gathered
+    sender-transform tile (from HBM or the in-kernel window gather)."""
     f32 = jnp.float32
     ones = ones_k[...]
     ge = ge_ref[...].astype(f32)  # (TILE_V, W)
@@ -133,7 +135,7 @@ def _grid_update_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
         tile_v * K, W
     )
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
-    x = jax.nn.silu(g_ref[...].astype(f32) + ew_w + rec_rep)
+    x = jax.nn.silu(g + ew_w + rec_rep)
     x = jnp.dot(x, w2k[...], preferred_element_type=f32) + b2w[...]
     msg = _group_ln_f32(x, ones, e_lsw[...], e_lbw[...])
     agg = (msg.reshape(tile_v, K, W) * mask_ref[...][..., None]).sum(axis=1)
@@ -150,6 +152,48 @@ def _grid_update_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
                     + o_b0w[...])
     out = jnp.dot(y, o_w1k[...], preferred_element_type=f32) + o_b1w[...]
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _grid_update_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, *args):
+    _grid_update_math(K, B, g_ref[...].astype(jnp.float32), ew_ref, ge_ref,
+                      mask_ref, *args)
+
+
+def _grid_update_win_kernel(K, B, wrows, win_ref, sl_ref, ew_ref, ge_ref,
+                            mask_ref, *args):
+    """Decoder tile with the sender gather fused in-kernel.
+
+    The XLA row gather feeding `grid_update_flat` materializes a
+    (M, W) = (N_grid*K, B*h) HBM intermediate (~260 MB at MEPS bench
+    scale) pulled from a table only (N_mesh, W) ~ 6.7 MB large. Because
+    edges are receiver-sorted and m2g's 4-NN senders are spatially local
+    (ref: neural_lam/create_graph.py:500-529), each TILE_V-receiver tile
+    reads from a narrow contiguous *window* of table rows (measured 244
+    of 6561 mesh rows at TILE_V=256). The caller gathers per-tile
+    windows (one small XLA take) and this kernel reconstructs the tile's
+    gathered rows with a one-hot (TILE_E, wrows) @ (wrows, W) MXU matmul
+    — HBM traffic for the gather drops ~4x and the matmul hides behind
+    the tile DMA."""
+    f32 = jnp.float32
+    sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
+    tile_e = sl.shape[0]
+    win = win_ref[...].astype(f32)  # (wrows, W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
+    onehot = (iota == sl).astype(f32)
+    # bf16x2 split: the MXU's single-pass f32 matmul rounds operands to
+    # bf16, so a plain one-hot dot would truncate the gathered values
+    # (measured 2.8e-3 output drift) and Precision.HIGHEST's 6-pass
+    # emulation costs ~0.9 ms/step. Splitting the window into a bf16
+    # high part + f32 residual recovers ~1e-6 accuracy for one extra
+    # single-pass matmul.
+    hi = win.astype(jnp.bfloat16)
+    lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
+    oh_b = onehot.astype(jnp.bfloat16)
+    g = (
+        jnp.dot(oh_b, hi, preferred_element_type=f32)
+        + jnp.dot(oh_b, lo, preferred_element_type=f32)
+    )
+    _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, *args)
 
 
 def _grid_update_reference(gathered, ew, grid_emb_f, mask_p, pp, K, B):
@@ -281,6 +325,102 @@ def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(gathered, ew, grid_emb_f, mask_p,
+      *[consts[n] for n in _CONST_NAMES])
+    if w_out != B * d_out:
+        out = jax.lax.slice_in_dim(out, 0, B * d_out, axis=1)
+    return out
+
+
+def prep_window_gather(senders, mask, num_virt, K, num_send,
+                       max_wrows=1024):
+    """Host-side window layout for the fused in-kernel sender gather.
+
+    Returns (arrays, static) or None when the layout does not pay off:
+    arrays = {"win_rows": (n_tiles*wrows,) int32 rows of the sender table
+    to gather into per-tile windows, "sl_local": (num_virt, K) int32
+    window-local sender indices (0 for masked slots)}; static = {"wrows",
+    "tile_v"}. None when any tile's sender span exceeds `max_wrows`
+    (the one-hot matmul would outgrow the gather it replaces) or the
+    table itself is small enough that windows would not shrink traffic.
+    """
+    import numpy as np
+
+    senders = np.asarray(senders).reshape(num_virt, K).astype(np.int64)
+    real = np.asarray(mask).reshape(num_virt, K) > 0
+    tile_v = _pick_tile_v(num_virt, K)
+    if num_virt % tile_v or tile_v < 8:
+        return None
+    n_tiles = num_virt // tile_v
+    s_t = senders.reshape(n_tiles, tile_v * K)
+    m_t = real.reshape(n_tiles, tile_v * K)
+    any_real = m_t.any(axis=1)
+    lo = np.where(m_t, s_t, np.iinfo(np.int64).max).min(axis=1)
+    hi = np.where(m_t, s_t, -1).max(axis=1)
+    lo = np.where(any_real, lo, 0)
+    hi = np.where(any_real, hi, 0)
+    span = int((hi - lo + 1).max())
+    wrows = min(_round_up(span, 8), num_send)
+    if wrows > max_wrows or wrows >= num_send:
+        return None
+    starts = np.clip(lo, 0, num_send - wrows)
+    win_rows = (starts[:, None] + np.arange(wrows)[None, :]).reshape(-1)
+    sl_local = np.where(
+        m_t, s_t - starts[:, None], 0
+    ).reshape(num_virt * K, 1).astype(np.int32)
+    return (
+        {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
+         "sl_local": jnp.asarray(sl_local)},
+        {"wrows": int(wrows), "tile_v": int(tile_v)},
+    )
+
+
+def grid_update_flat_win(table_f, ew, grid_emb_f, mask_p, pp, K, win_arrays,
+                         wrows, tile_v, interpret=False, consts=None):
+    """Fused decoder with the sender gather inside the kernel (see
+    `_grid_update_win_kernel`). `table_f` is the (num_send, W) flat
+    sender-transform table; windows are gathered by one small XLA take.
+    Forward-only building block — `decode_grid_fused` in
+    ops/message_passing.py wraps it with the custom VJP that routes the
+    backward through the existing analytic kernels."""
+    n_virt, K_ = mask_p.shape
+    W = table_f.shape[-1]
+    h = ew.shape[-1]
+    B = W // h
+    d_out = pp["o_w1"].shape[1]
+    w_out = _round_up(B * d_out, 128)
+    if consts is not None and consts["w2k"].shape[0] != W:
+        consts = None
+    if consts is None:
+        consts = _prep_consts(pp, B)
+    n_tiles = n_virt // tile_v
+    TILE_E = tile_v * K
+    dt = table_f.dtype
+    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0,
+                       indices_are_sorted=False, unique_indices=False)
+    full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    const_specs = [full(consts[name].shape) for name in _CONST_NAMES]
+    out = pl.pallas_call(
+        functools.partial(_grid_update_win_kernel, K, B, wrows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, 1), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=pl.BlockSpec((tile_v, w_out), lambda v: (v, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_virt, w_out), dt),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(windows, win_arrays["sl_local"], ew, grid_emb_f, mask_p,
       *[consts[n] for n in _CONST_NAMES])
     if w_out != B * d_out:
         out = jax.lax.slice_in_dim(out, 0, B * d_out, axis=1)

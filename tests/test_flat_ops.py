@@ -785,3 +785,105 @@ def test_rollout_ctx_attaches_consts(monkeypatch, tmp_path):
     out1, _ = model.predict_step(params, prev, prevprev, forcing, ctx=ctx1)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
                                atol=1e-6)
+
+
+def _small_model(tmp_path, nx=40, ny=40, seed=3):
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    datastore = DummyDatastore(grid_shape=(nx, ny), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=None, hierarchical=False,
+    ))
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
+    model = MODELS["graph_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    return model, params, datastore
+
+
+def test_window_gather_layout_invariant(tmp_path):
+    """prep_window_gather windows reconstruct exactly the rows
+    jnp.take(table, senders) gathers, for every real slot."""
+    model, _, _ = _small_model(tmp_path)
+    m2g = model.graph.m2g
+    win, st = model.m2g_win, model._m2g_win_static
+    assert win is not None, "window prep should engage at 40x40"
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((m2g.num_send, 8)).astype(np.float32)
+    wr = np.asarray(win["win_rows"]).reshape(-1, st["wrows"])
+    sl = np.asarray(win["sl_local"]).reshape(-1)
+    senders = np.asarray(m2g.senders)
+    mask = np.asarray(m2g.mask)[:, 0] > 0
+    TE = st["tile_v"] * m2g.dense_k
+    assert m2g.num_virt % st["tile_v"] == 0
+    for i in range(wr.shape[0]):
+        seg = slice(i * TE, (i + 1) * TE)
+        got = table[wr[i]][sl[seg]]
+        want = table[senders[seg]]
+        m = mask[seg]
+        np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_decode_fused_gather_matches(monkeypatch, tmp_path):
+    """The in-kernel windowed m2g sender gather (decode_grid_fused)
+    produces the same forward output AND parameter gradients as the
+    XLA-gather + grid_update_flat pair (interpret mode; on TPU the two
+    schedules differ only by bf16-matmul rounding noise — measured
+    equidistant from the CPU fp32 golden, probes/win_gather.py)."""
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    model, params, datastore = _small_model(tmp_path)
+    assert model.m2g_win is not None
+
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    win_kernel_calls = []
+    orig_win = pgu.grid_update_flat_win
+
+    def spy(*a, **kw):
+        win_kernel_calls.append(1)
+        return orig_win(*a, **kw)
+
+    monkeypatch.setattr(pgu, "grid_update_flat_win", spy)
+
+    model_off = model.with_arrays(model.arrays())
+    model_off.m2g_win = None
+
+    def loss(p, m):
+        out, _ = m.predict_step(p, prev, prevprev, forcing)
+        return (out ** 2).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, model))(params)
+    assert win_kernel_calls, "windowed decode kernel did not engage"
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, model_off))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
+                                   err_msg=str(p1))
