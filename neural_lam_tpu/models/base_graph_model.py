@@ -310,10 +310,17 @@ class BaseGraphModel(ARModelBase):
             send_tf = send_tf.astype(cd)
             ge_f = ge_f.astype(cd)
         win = self.m2g_win
+        st = self._m2g_win_static
+        # the layout must match the runtime edge set exactly — a graph
+        # swapped via with_arrays with coincidentally matching shapes
+        # would otherwise gather wrong rows (jnp.take clips, no error)
         win_ok = (
             win is not None
+            and st["num_virt"] == m2g.num_virt
+            and st["dense_k"] == m2g.dense_k
+            and st["num_send"] == m2g.num_send
             and win["sl_local"].shape[0] == m2g.num_virt * m2g.dense_k
-            and m2g.num_virt % self._m2g_win_static["tile_v"] == 0
+            and m2g.num_virt % st["tile_v"] == 0
         )
         if win_ok:
             # sender gather fused into the decode kernel (windowed

@@ -452,9 +452,14 @@ def _decode_win_fwd(K, wrows, tile_v, interp, ops):
 def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
     """Backward = the composed VJP of the UN-windowed pair (XLA row gather
     -> grid_update_flat): the gather's scatter-free transposed VJP and the
-    decoder's analytic backward kernel both engage, and the windowed
-    forward kernel's output is dead code XLA eliminates — so training
-    costs exactly what the un-fused forward path paid."""
+    decoder's analytic backward kernel both engage. In training the
+    windowed forward kernel still runs (it IS the live primal); what XLA
+    eliminates is the `ref` recompute's decode OUTPUT inside this bwd —
+    only its VJP residuals are kept — so training costs what the un-fused
+    forward path paid, plus the windowed forward. Accepted inconsistency:
+    the windowed forward differs from the un-fused forward by bf16x2-split
+    rounding (~1e-6 relative), so these gradients are exact for the
+    un-fused function and ~1e-6-perturbed for the windowed primal."""
     from .pallas_grid_update import grid_update_flat
 
     edges = ops["edges"]

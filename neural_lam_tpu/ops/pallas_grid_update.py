@@ -337,9 +337,11 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
 
     Returns (arrays, static) or None when the layout does not pay off:
     arrays = {"win_rows": (n_tiles*wrows,) int32 rows of the sender table
-    to gather into per-tile windows, "sl_local": (num_virt, K) int32
+    to gather into per-tile windows, "sl_local": (num_virt*K, 1) int32
     window-local sender indices (0 for masked slots)}; static = {"wrows",
-    "tile_v"}. None when any tile's sender span exceeds `max_wrows`
+    "tile_v"} plus the graph identity ("num_virt", "dense_k", "num_send")
+    the layout was built from, so callers can reject a swapped graph.
+    None when any tile's sender span exceeds `max_wrows`
     (the one-hot matmul would outgrow the gather it replaces) or the
     table itself is small enough that windows would not shrink traffic.
     """
@@ -370,7 +372,9 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     return (
         {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
          "sl_local": jnp.asarray(sl_local)},
-        {"wrows": int(wrows), "tile_v": int(tile_v)},
+        {"wrows": int(wrows), "tile_v": int(tile_v),
+         "num_virt": int(num_virt), "dense_k": int(K),
+         "num_send": int(num_send)},
     )
 
 
@@ -392,6 +396,13 @@ def grid_update_flat_win(table_f, ew, grid_emb_f, mask_p, pp, K, win_arrays,
         consts = None
     if consts is None:
         consts = _prep_consts(pp, B)
+    if n_virt % tile_v:
+        # a non-divisible grid would silently leave trailing output rows
+        # unwritten; callers gate on this but a direct call must not
+        raise ValueError(
+            f"grid_update_flat_win: num_virt={n_virt} not divisible by "
+            f"tile_v={tile_v}; use gather_send_flat + grid_update_flat"
+        )
     n_tiles = n_virt // tile_v
     TILE_E = tile_v * K
     dt = table_f.dtype
