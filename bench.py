@@ -21,6 +21,9 @@ import sys
 import time
 
 import numpy as np
+# numpy's MADV_HUGEPAGE + THP defrag=madvise causes multi-second kernel
+# compaction stalls on fresh batch-sized allocations; the package opts out
+import neural_lam_tpu  # noqa: F401  (runtime hugepage opt-out)
 
 NX, NY = 268, 238
 HIDDEN = 64

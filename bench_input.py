@@ -27,6 +27,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# numpy's MADV_HUGEPAGE + THP defrag=madvise causes multi-second kernel
+# compaction stalls on fresh batch-sized allocations; the package opts out
+import neural_lam_tpu  # noqa: F401,E402  (runtime hugepage opt-out)
+
 NX, NY = 268, 238
 N_STATE, N_FORCING, N_STATIC = 17, 6, 4
 

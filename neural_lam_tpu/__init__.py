@@ -13,6 +13,27 @@ Reference capability map: see SURVEY.md at the repo root. Reference files are
 cited in docstrings as ``ref: neural_lam/<file>:<lines>`` for parity checking.
 """
 
+import os as _os
+
+if not _os.environ.get("NLT_NUMPY_HUGEPAGE"):
+    # numpy madvises MADV_HUGEPAGE on >=4 MB buffers; with the kernel's
+    # THP defrag policy at "madvise" every fresh batch-sized allocation
+    # then pays synchronous huge-page compaction in its fault path —
+    # measured 0.25 -> 3.4 s of kernel time per loader epoch (5x end-to-end
+    # input-pipeline swings). 4 KB faults are cheap and predictable; opt
+    # out via the runtime setter (the NUMPY_MADVISE_HUGEPAGE env var only
+    # works when set before the interpreter starts). Set
+    # NLT_NUMPY_HUGEPAGE=1 to keep numpy's default behavior.
+    try:
+        from numpy._core import multiarray as _np_ma
+    except ImportError:  # numpy < 2
+        try:
+            from numpy.core import multiarray as _np_ma
+        except ImportError:
+            _np_ma = None
+    if _np_ma is not None and hasattr(_np_ma, "_set_madvise_hugepage"):
+        _np_ma._set_madvise_hugepage(False)
+
 from . import config, metrics, loss_weighting  # noqa: F401
 from .dataset import WeatherDataset  # noqa: F401
 

@@ -140,13 +140,14 @@ class WeatherDataset:
             times = np.asarray(self.da_state.coords["time"])[start:end]
         return np.asarray(vals, np.float32), times
 
-    def _forcing_windows(self, idx):
-        """(ar_steps, N, d_f * W) windowed + flattened forcing, feature-major."""
+    def _forcing_buf(self, idx):
+        """Raw (ar_steps + W - 1, N, d_f) forcing range covering every
+        window position; may be a view into datastore/cache memory —
+        callers must not mutate it."""
         init_steps = 2
         past = self.num_past_forcing_steps
         future = self.num_future_forcing_steps
         n_steps = self.ar_steps
-        W = past + future + 1
 
         if self.datastore.is_forecast:
             offset = max(init_steps, past)
@@ -154,14 +155,19 @@ class WeatherDataset:
             # whole needed range along elapsed_forecast_duration
             lo = offset - past
             hi = offset + (n_steps - 1) + future + 1
-            buf = np.asarray(da.values[lo:hi], np.float32)
-        else:
-            offset = idx + max(init_steps, past)
-            lo = offset - past
-            hi = offset + (n_steps - 1) + future + 1
-            buf = np.asarray(
-                self.da_forcing.isel(time=slice(lo, hi)).values, np.float32
-            )
+            return np.asarray(da.values[lo:hi], np.float32)
+        offset = idx + max(init_steps, past)
+        lo = offset - past
+        hi = offset + (n_steps - 1) + future + 1
+        return np.asarray(
+            self.da_forcing.isel(time=slice(lo, hi)).values, np.float32
+        )
+
+    def _forcing_windows(self, idx):
+        """(ar_steps, N, d_f * W) windowed + flattened forcing, feature-major."""
+        n_steps = self.ar_steps
+        W = self.num_past_forcing_steps + self.num_future_forcing_steps + 1
+        buf = self._forcing_buf(idx)
 
         if self.standardize:
             buf = buf - self.da_forcing_mean
@@ -198,6 +204,52 @@ class WeatherDataset:
             )
         # views are fine here: collate's np.stack makes the batch copy
         return (init_states, target_states, forcing, target_times)
+
+    def write_item(self, idx, out_init, out_target, out_forcing):
+        """Write sample `idx` directly into preallocated batch-row arrays.
+
+        Same math as __getitem__ (identical subtract-then-divide
+        standardization order) but single-copy: the standardized state goes
+        straight from the datastore slice into `out_init` (2, N, d_state) /
+        `out_target` (ar_steps, N, d_state), and forcing windows are
+        slice-assigned into `out_forcing` (ar_steps, N, d_f * W) without
+        materializing the per-sample stacked array that `collate` would
+        re-copy. Returns target_times (ar_steps,) int64 epoch-ns. This is
+        the WeatherDataLoader hot path — at MEPS scale the double copy
+        (sample stack + batch stack) was ~2x the loader's memory traffic.
+        """
+        if idx < 0:
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        state, times = self._state_slice(idx)
+        if self.standardize:
+            np.subtract(state[:2], self.da_state_mean, out=out_init)
+            out_init /= self.da_state_std
+            np.subtract(state[2:], self.da_state_mean, out=out_target)
+            out_target /= self.da_state_std
+        else:
+            out_init[...] = state[:2]
+            out_target[...] = state[2:]
+
+        if self.da_forcing is not None and out_forcing.shape[-1]:
+            n_steps = self.ar_steps
+            W = (self.num_past_forcing_steps
+                 + self.num_future_forcing_steps + 1)
+            buf = self._forcing_buf(idx)
+            if self.standardize:
+                # fresh copy: buf may alias datastore/chunk-cache memory
+                buf = buf - self.da_forcing_mean
+                buf /= self.da_forcing_std
+            n_grid, d_f = buf.shape[1], buf.shape[2]
+            # feature-major flattening (index = f * W + w), written in
+            # place: out4[..., w] strides W in the last dim — measured the
+            # same cost as the np.stack(axis=-1) it replaces, minus the
+            # batch-stack copy
+            out4 = out_forcing.reshape(n_steps, n_grid, d_f, W)
+            for w in range(W):
+                out4[..., w] = buf[w:w + n_steps]
+        return times[2:].astype("datetime64[ns]").astype(np.int64)
 
     def __iter__(self):
         for i in range(len(self)):
@@ -317,6 +369,35 @@ class WeatherDataLoader:
                 mine.append(remainder)
         return mine
 
+    def _alloc_batch(self, n_rows):
+        """Fresh fixed-shape batch arrays for `n_rows` samples; rows are
+        filled in place by WeatherDataset.write_item (single-copy path)."""
+        ds = self.dataset
+        sz = ds.da_state.sizes()
+        n_grid = sz["grid_index"]
+        d_state = sz["state_feature"]
+        ar = ds.ar_steps
+        if ds.da_forcing is not None:
+            W = (ds.num_past_forcing_steps
+                 + ds.num_future_forcing_steps + 1)
+            d_fw = ds.da_forcing.sizes()["forcing_feature"] * W
+        else:
+            d_fw = 0
+        return (
+            np.empty((n_rows, 2, n_grid, d_state), np.float32),
+            np.empty((n_rows, ar, n_grid, d_state), np.float32),
+            np.empty((n_rows, ar, n_grid, d_fw), np.float32),
+            np.empty((n_rows, ar), np.int64),
+        )
+
+    def _fill_batch(self, b):
+        batch = self._alloc_batch(len(b))
+        init, tgt, forc, tms = batch
+        for j, i in enumerate(b):
+            tms[j] = self.dataset.write_item(int(i), init[j], tgt[j],
+                                             forc[j])
+        return batch
+
     def __iter__(self):
         batches = self._batch_indices()
         if self.num_workers > 1:
@@ -324,7 +405,7 @@ class WeatherDataLoader:
             return
         if self.prefetch <= 0:
             for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
+                yield self._fill_batch(b)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -333,7 +414,7 @@ class WeatherDataLoader:
         def producer():
             try:
                 for b in batches:
-                    q.put(collate([self.dataset[int(i)] for i in b]))
+                    q.put(self._fill_batch(b))
             finally:
                 q.put(stop)
 
@@ -346,13 +427,15 @@ class WeatherDataLoader:
             yield item
 
     def _iter_pooled(self, batches):
-        """num_workers>1: sample fetches run concurrently in a thread pool
+        """num_workers>1: per-sample fills run concurrently in a thread pool
         (the decode hot path — blosc/zlib via ctypes and the native chunk
-        decoder — releases the GIL), batches are yielded in order. Thread
-        workers replace torch DataLoader's worker *processes*
-        (ref: weather_dataset.py:665-696): samples are numpy arrays read
-        from page-cached files, so there is no pickling/IPC and threads
-        keep the decoded-chunk cache shared."""
+        decoder — releases the GIL, as do numpy's large ufunc loops),
+        batches are yielded in order. Thread workers replace torch
+        DataLoader's worker *processes* (ref: weather_dataset.py:665-696):
+        samples are written straight into shared batch arrays read from
+        page-cached files, so there is no pickling/IPC, no per-sample
+        stack + batch re-stack copy pair, and threads share the
+        decoded-chunk cache."""
         from concurrent.futures import ThreadPoolExecutor
 
         # note: concurrent native decode calls are fine — the chunk cache's
@@ -365,17 +448,26 @@ class WeatherDataLoader:
 
             def submit_next():
                 b = next(it, None)
-                if b is not None:
-                    pending.append(
-                        [ex.submit(self.dataset.__getitem__, int(i))
-                         for i in b]
+                if b is None:
+                    return
+                batch = self._alloc_batch(len(b))
+                init, tgt, forc, tms = batch
+
+                def fill_row(j, i=None):
+                    tms[j] = self.dataset.write_item(
+                        int(b[j]), init[j], tgt[j], forc[j]
                     )
+
+                pending.append(
+                    (batch, [ex.submit(fill_row, j) for j in range(len(b))])
+                )
 
             for _ in range(window):
                 submit_next()
             while pending:
-                futs = pending.pop(0)
-                batch = collate([f.result() for f in futs])
+                batch, futs = pending.pop(0)
+                for f in futs:
+                    f.result()
                 submit_next()
                 yield batch
 
