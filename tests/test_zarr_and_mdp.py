@@ -195,6 +195,26 @@ def test_pooled_loader_matches_sync(mdp):
                 np.testing.assert_array_equal(a, b)
 
 
+def test_loader_direct_write_matches_getitem(mdp):
+    """The loader's single-copy batch fill (WeatherDataset.write_item into
+    preallocated rows) is bit-identical to stacking __getitem__ samples,
+    for standardize on/off and serial/pooled iteration."""
+    from neural_lam_tpu.dataset import WeatherDataLoader, collate
+
+    for standardize in (True, False):
+        wds = WeatherDataset(mdp, split="train", ar_steps=2,
+                             standardize=standardize)
+        for num_workers in (0, 3):
+            loader = WeatherDataLoader(wds, batch_size=3, shuffle=True,
+                                       seed=11, num_workers=num_workers)
+            for idxs, batch in zip(loader._batch_indices(), loader,
+                                   strict=True):
+                ref = collate([wds[int(i)] for i in idxs])
+                for a, r in zip(batch, ref, strict=True):
+                    assert a.dtype == r.dtype
+                    np.testing.assert_array_equal(a, r)
+
+
 def test_chunk_cache_returns_consistent_data(tmp_path):
     """Cached reads equal uncached reads; cache respects its byte budget."""
     from neural_lam_tpu.datastore import zarr_reader
