@@ -450,30 +450,39 @@ def _decode_win_fwd(K, wrows, tile_v, interp, ops):
 
 
 def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
-    """Backward = the composed VJP of the UN-windowed pair (XLA row gather
-    -> grid_update_flat): the gather's scatter-free transposed VJP and the
-    decoder's analytic backward kernel both engage. In training the
-    windowed forward kernel still runs (it IS the live primal); what XLA
-    eliminates is the `ref` recompute's decode OUTPUT inside this bwd —
-    only its VJP residuals are kept — so training costs what the un-fused
-    forward path paid, plus the windowed forward. Accepted inconsistency:
-    the windowed forward differs from the un-fused forward by bf16x2-split
-    rounding (~1e-6 relative), so these gradients are exact for the
-    un-fused function and ~1e-6-perturbed for the windowed primal."""
-    from .pallas_grid_update import grid_update_flat
+    """Backward of the windowed fused decoder.
+
+    Fast path: the analytic windowed backward kernel
+    (`grid_update_flat_win_bwd`) — gather and its transpose stay fused
+    in-kernel, so training never materializes the (M, W) gathered rows,
+    and the gradients are exactly those of the windowed primal (same
+    bf16x2 one-hot reconstruct). Fallback (no fold layout / unusual
+    shapes / NLT_NO_WIN_BWD): the composed VJP of the UN-windowed pair
+    (XLA row gather -> grid_update_flat); there the windowed forward
+    kernel is still the live primal and the gradients are those of the
+    un-windowed function — a ~1e-6-relative (bf16x2 rounding)
+    inconsistency we accept."""
+    from .pallas_grid_update import grid_update_flat, grid_update_flat_win_bwd
 
     edges = ops["edges"]
     mask_p = ops["mask_p"]
     consts = ops["consts"]
 
-    def ref(st, ge, ew, pp):
-        g = gather_send_flat(st, edges)
-        return grid_update_flat(g, ew, ge, mask_p, pp, K, interp,
-                                consts=consts)
+    grads = grid_update_flat_win_bwd(
+        ops["send_tf"], ops["ew"], ops["ge_f"], mask_p, ops["pp"], K,
+        ops["win"], wrows, tile_v, d_out, interpret=interp, consts=consts,
+    )
+    if grads is not None:
+        d_st, d_ew, d_ge, d_pp = grads
+    else:
+        def ref(st, ge, ew, pp):
+            g = gather_send_flat(st, edges)
+            return grid_update_flat(g, ew, ge, mask_p, pp, K, interp,
+                                    consts=consts)
 
-    _, vjp = jax.vjp(ref, ops["send_tf"], ops["ge_f"], ops["ew"],
-                     ops["pp"])
-    d_st, d_ge, d_ew, d_pp = vjp(d_out)
+        _, vjp = jax.vjp(ref, ops["send_tf"], ops["ge_f"], ops["ew"],
+                         ops["pp"])
+        d_st, d_ge, d_ew, d_pp = vjp(d_out)
 
     def z(x):
         if x is None:

@@ -331,6 +331,9 @@ def _grid_update_impl(gathered, ew, grid_emb_f, mask_p, pp, K, interpret,
     return out
 
 
+_MAX_K_FOLD = 64
+
+
 def prep_window_gather(senders, mask, num_virt, K, num_send,
                        max_wrows=1024):
     """Host-side window layout for the fused in-kernel sender gather.
@@ -369,13 +372,34 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     sl_local = np.where(
         m_t, s_t - starts[:, None], 0
     ).reshape(num_virt * K, 1).astype(np.int32)
-    return (
-        {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
-         "sl_local": jnp.asarray(sl_local)},
-        {"wrows": int(wrows), "tile_v": int(tile_v),
-         "num_virt": int(num_virt), "dense_k": int(K),
-         "num_send": int(num_send)},
-    )
+    arrays = {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
+              "sl_local": jnp.asarray(sl_local)}
+    static = {"wrows": int(wrows), "tile_v": int(tile_v),
+              "num_virt": int(num_virt), "dense_k": int(K),
+              "num_send": int(num_send)}
+
+    # fold layout for the analytic windowed BACKWARD: per table row, the
+    # flat (tile * wrows + offset) slots of the per-tile d_window output
+    # that cover it — d_table[r] = sum over those slots. Capped at
+    # _MAX_K_FOLD overlapping windows per row (heavily clamped tails
+    # would blow up the gather-accumulate); beyond the cap the backward
+    # falls back to the un-windowed pair.
+    cover = [[] for _ in range(num_send)]
+    for t, s in enumerate(starts):
+        base = t * wrows
+        for j in range(wrows):
+            cover[int(s) + j].append(base + j)
+    k_fold = max(len(c) for c in cover)
+    if k_fold <= _MAX_K_FOLD:
+        fold_slots = np.zeros((num_send, k_fold), np.int32)
+        fold_mask = np.zeros((num_send, k_fold), np.float32)
+        for r, slots in enumerate(cover):
+            fold_slots[r, :len(slots)] = slots
+            fold_mask[r, :len(slots)] = 1.0
+        arrays["fold_slots"] = jnp.asarray(fold_slots)
+        arrays["fold_mask"] = jnp.asarray(fold_mask)
+        static["k_fold"] = k_fold
+    return (arrays, static)
 
 
 def grid_update_flat_win(table_f, ew, grid_emb_f, mask_p, pp, K, win_arrays,
@@ -469,20 +493,77 @@ _BIAS_ROWS = ("enc_b0", "enc_b1", "enc_ls", "enc_lb", "b2", "e_ls", "e_lb",
               "a_b0", "a_b1", "a_ls", "a_lb", "o_b0", "o_b1")
 _W_ACCS = ("enc_w0", "enc_w1", "w_i", "w2", "a_wr", "a_wa", "a_w1", "o_w0",
            "o_w1")
+_TR_NAMES = ("w_ikT", "enc_w0kT", "enc_w1kT", "w2kT", "a_wrkT", "a_wakT",
+             "a_w1kT", "o_w0kT", "o_w1kT", "fold_eye")
 
 
-def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
-                            # forward consts
-                            w_ik, enc_w0k, enc_b0w, enc_w1k, enc_b1w,
-                            enc_lsw, enc_lbw, w2k, b2w, e_lsw, e_lbw, a_wrk,
-                            a_wak, a_b0w, a_b1w, a_w1k, a_lsw, a_lbw, o_w0k,
-                            o_b0w, o_w1k, o_b1w, ones_k,
-                            # transposed weights + lane-group folder
-                            w_ikT, enc_w0kT, enc_w1kT, w2kT, a_wrkT, a_wakT,
-                            a_w1kT, o_w0kT, o_w1kT, fold_eye,
-                            # outputs
-                            dg_ref, dew_ref, dge_ref, bias_acc_ref,
-                            *wacc_refs):
+def _make_tr(consts, B, h):
+    """Transposed widened weights + the lane-group folder for the backward
+    kernels (matmul operands of the reverse chain)."""
+    return {
+        "w_ikT": consts["w_ik"].T,
+        "enc_w0kT": consts["enc_w0k"].T,
+        "enc_w1kT": consts["enc_w1k"].T,
+        "w2kT": consts["w2k"].T,
+        "a_wrkT": consts["a_wrk"].T,
+        "a_wakT": consts["a_wak"].T,
+        "a_w1kT": consts["a_w1k"].T,
+        "o_w0kT": consts["o_w0k"].T,
+        "o_w1kT": consts["o_w1k"].T,
+        "fold_eye": jnp.tile(jnp.eye(h, dtype=jnp.float32), (B, 1)),
+    }
+
+
+def _reduce_param_grads(waccs, bias_acc, B, h, d_out, pp):
+    """Fold the kron-widened (W, W) kernel accumulators back to raw
+    parameter shapes."""
+    bias = {name: bias_acc[i] for i, name in enumerate(_BIAS_ROWS)}
+    d_pp = {
+        "w_i": _block_diag_sum(waccs["w_i"], B, h, h),
+        "w2": _block_diag_sum(waccs["w2"], B, h, h),
+        "b2": _group_row_sum(bias["b2"][None], B, h),
+        "e_ls": _group_row_sum(bias["e_ls"][None], B, h),
+        "e_lb": _group_row_sum(bias["e_lb"][None], B, h),
+        "enc_w0": _block_diag_sum(waccs["enc_w0"], B, h, h),
+        "enc_b0": _group_row_sum(bias["enc_b0"][None], B, h),
+        "enc_w1": _block_diag_sum(waccs["enc_w1"], B, h, h),
+        "enc_b1": _group_row_sum(bias["enc_b1"][None], B, h),
+        "enc_ls": _group_row_sum(bias["enc_ls"][None], B, h),
+        "enc_lb": _group_row_sum(bias["enc_lb"][None], B, h),
+        "a_w0": jnp.concatenate(
+            [_block_diag_sum(waccs["a_wr"], B, h, h),
+             _block_diag_sum(waccs["a_wa"], B, h, h)], axis=0
+        ),
+        "a_b0": _group_row_sum(bias["a_b0"][None], B, h),
+        "a_w1": _block_diag_sum(waccs["a_w1"], B, h, h),
+        "a_b1": _group_row_sum(bias["a_b1"][None], B, h),
+        "a_ls": _group_row_sum(bias["a_ls"][None], B, h),
+        "a_lb": _group_row_sum(bias["a_lb"][None], B, h),
+        "o_w0": _block_diag_sum(waccs["o_w0"], B, h, h),
+        "o_b0": _group_row_sum(bias["o_b0"][None], B, h),
+        "o_w1": _block_diag_sum(waccs["o_w1"], B, h, d_out),
+        "o_b1": bias["o_b1"][:B * d_out].reshape(B, d_out).sum(axis=0),
+    }
+    return {k: v.astype(pp[k].dtype) for k, v in d_pp.items()}
+
+
+def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
+                           # forward consts
+                           w_ik, enc_w0k, enc_b0w, enc_w1k, enc_b1w,
+                           enc_lsw, enc_lbw, w2k, b2w, e_lsw, e_lbw, a_wrk,
+                           a_wak, a_b0w, a_b1w, a_w1k, a_lsw, a_lbw, o_w0k,
+                           o_b0w, o_w1k, o_b1w, ones_k,
+                           # transposed weights + lane-group folder
+                           w_ikT, enc_w0kT, enc_w1kT, w2kT, a_wrkT, a_wakT,
+                           a_w1kT, o_w0kT, o_w1kT, fold_eye):
+    """Shared per-tile forward recompute + analytic backward chain.
+
+    `g` is the (TILE_E, W) f32 gathered sender-transform tile (from HBM or
+    the in-kernel window reconstruct). Returns (d_x0, d_ew, d_ge, acc,
+    bias): the cotangent of the edge pre-activation (from which the
+    caller derives d_gathered or d_window), the edge-feature and grid-
+    embedding cotangent tiles, and the per-tile parameter-gradient
+    accumulator dicts."""
     f32 = jnp.float32
     ones = ones_k[...]
     ge = ge_ref[...].astype(f32)
@@ -499,7 +580,7 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
         tile_v * K, W
     )
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
-    x0 = g_ref[...].astype(f32) + ew_w + rec_rep
+    x0 = g + ew_w + rec_rep
     x1 = jax.nn.silu(x0)
     x2 = jnp.dot(x1, w2k[...], preferred_element_type=f32) + b2w[...]
     chat_x, inv_x = _group_ln_parts(x2, ones)
@@ -556,10 +637,7 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
     acc["w2"] = _dotT(x1, d_x2)
     bias["b2"] = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
-    dg_ref[...] = d_x0.astype(dg_ref.dtype)
-    dew_ref[...] = jnp.dot(
-        d_x0, fold_eye[...], preferred_element_type=f32
-    ).astype(dew_ref.dtype)
+    d_ew = jnp.dot(d_x0, fold_eye[...], preferred_element_type=f32)
     d_rec = d_x0.reshape(tile_v, K, W).sum(axis=1)
     d_gr = d_gr + jnp.dot(d_rec, w_ikT[...], preferred_element_type=f32)
     acc["w_i"] = _dotT(gr, d_rec)
@@ -575,9 +653,13 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
     d_ge = d_ge + jnp.dot(d_t1p, enc_w0kT[...], preferred_element_type=f32)
     acc["enc_w0"] = _dotT(ge, d_t1p)
     bias["enc_b0"] = d_t1p.sum(axis=0, keepdims=True)
-    dge_ref[...] = d_ge.astype(dge_ref.dtype)
+    return d_x0, d_ew, d_ge, acc, bias
 
-    # ---- parameter-gradient accumulation across the sequential grid ----
+
+def _acc_param_grads(acc, bias, bias_acc_ref, wacc_refs, W):
+    """Accumulate per-tile parameter gradients across the sequential TPU
+    grid into revisited output blocks (constant index_map)."""
+    f32 = jnp.float32
     n_bias = len(_BIAS_ROWS)
     bias_rows = []
     for name in _BIAS_ROWS:
@@ -601,6 +683,67 @@ def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
         bias_acc_ref[...] += bias_tile
         for name, ref in zip(_W_ACCS, wacc_refs):
             ref[...] += acc[name]
+
+
+def _grid_update_bwd_kernel(K, B, g_ref, ew_ref, ge_ref, mask_ref, dout_ref,
+                            *args):
+    consts_tr, out_refs = args[:33], args[33:]
+    dg_ref, dew_ref, dge_ref, bias_acc_ref, *wacc_refs = out_refs
+    d_x0, d_ew, d_ge, acc, bias = _grid_update_bwd_chain(
+        K, B, g_ref[...].astype(jnp.float32), ew_ref, ge_ref, mask_ref,
+        dout_ref, *consts_tr,
+    )
+    dg_ref[...] = d_x0.astype(dg_ref.dtype)
+    dew_ref[...] = d_ew.astype(dew_ref.dtype)
+    dge_ref[...] = d_ge.astype(dge_ref.dtype)
+    W = dge_ref.shape[-1]
+    _acc_param_grads(acc, bias, bias_acc_ref, wacc_refs, W)
+
+
+def _grid_update_win_bwd_kernel(K, B, wrows, win_ref, sl_ref, ew_ref,
+                                ge_ref, mask_ref, dout_ref, *args):
+    """Backward tile with the sender gather (and its transpose) fused
+    in-kernel: reconstructs the gathered rows from the tile's window with
+    the same bf16x2 one-hot matmul as `_grid_update_win_kernel` (so the
+    recomputed primal matches the windowed forward exactly), and instead
+    of writing the (TILE_E, W) d_gathered cotangent to HBM emits the much
+    narrower per-tile (wrows, W) d_window = onehot^T @ d_x0 — the caller
+    folds overlapping windows back to the (num_send, W) table with the
+    static fold layout from `prep_window_gather`."""
+    f32 = jnp.float32
+    consts_tr, out_refs = args[:33], args[33:]
+    dwin_ref, dew_ref, dge_ref, bias_acc_ref, *wacc_refs = out_refs
+    sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
+    tile_e = sl.shape[0]
+    win = win_ref[...].astype(f32)  # (wrows, W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
+    onehot = (iota == sl).astype(f32)
+    hi = win.astype(jnp.bfloat16)
+    lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
+    oh_b = onehot.astype(jnp.bfloat16)
+    g = (
+        jnp.dot(oh_b, hi, preferred_element_type=f32)
+        + jnp.dot(oh_b, lo, preferred_element_type=f32)
+    )
+    d_x0, d_ew, d_ge, acc, bias = _grid_update_bwd_chain(
+        K, B, g, ew_ref, ge_ref, mask_ref, dout_ref, *consts_tr,
+    )
+    # d_window = onehot^T @ d_x0, bf16x2-split on the cotangent for the
+    # same ~1e-6 accuracy as the forward reconstruct
+    dhi = d_x0.astype(jnp.bfloat16)
+    dlo = (d_x0 - dhi.astype(f32)).astype(jnp.bfloat16)
+    contract_0 = (((0,), (0,)), ((), ()))
+    dwin = (
+        jax.lax.dot_general(oh_b, dhi, contract_0,
+                            preferred_element_type=f32)
+        + jax.lax.dot_general(oh_b, dlo, contract_0,
+                              preferred_element_type=f32)
+    )
+    dwin_ref[...] = dwin.astype(dwin_ref.dtype)
+    dew_ref[...] = d_ew.astype(dew_ref.dtype)
+    dge_ref[...] = d_ge.astype(dge_ref.dtype)
+    W = dge_ref.shape[-1]
+    _acc_param_grads(acc, bias, bias_acc_ref, wacc_refs, W)
 
 
 
@@ -637,20 +780,7 @@ def _grid_update_bwd(K, interpret, res, g_out):
         return vjp(g_out) + (_d_consts(),)
 
     consts = consts_in if consts_in is not None else _prep_consts(pp, B)
-    tr = {
-        "w_ikT": consts["w_ik"].T,
-        "enc_w0kT": consts["enc_w0k"].T,
-        "enc_w1kT": consts["enc_w1k"].T,
-        "w2kT": consts["w2k"].T,
-        "a_wrkT": consts["a_wrk"].T,
-        "a_wakT": consts["a_wak"].T,
-        "a_w1kT": consts["a_w1k"].T,
-        "o_w0kT": consts["o_w0k"].T,
-        "o_w1kT": consts["o_w1k"].T,
-        "fold_eye": jnp.tile(jnp.eye(h, dtype=jnp.float32), (B, 1)),
-    }
-    _TR_NAMES = ("w_ikT", "enc_w0kT", "enc_w1kT", "w2kT", "a_wrkT", "a_wakT",
-                 "a_w1kT", "o_w0kT", "o_w1kT", "fold_eye")
+    tr = _make_tr(consts, B, h)
 
     # pad d_out lanes and ge rows like the forward
     if g_out.shape[-1] != w_out:
@@ -719,39 +849,134 @@ def _grid_update_bwd(K, interpret, res, g_out):
     if n_rows < n_virt:
         d_ge_full = jax.lax.slice_in_dim(d_ge_full, 0, n_rows, axis=0)
 
-    bias = {name: bias_acc[i] for i, name in enumerate(_BIAS_ROWS)}
-    d_pp = {
-        "w_i": _block_diag_sum(waccs["w_i"], B, h, h),
-        "w2": _block_diag_sum(waccs["w2"], B, h, h),
-        "b2": _group_row_sum(bias["b2"][None], B, h),
-        "e_ls": _group_row_sum(bias["e_ls"][None], B, h),
-        "e_lb": _group_row_sum(bias["e_lb"][None], B, h),
-        "enc_w0": _block_diag_sum(waccs["enc_w0"], B, h, h),
-        "enc_b0": _group_row_sum(bias["enc_b0"][None], B, h),
-        "enc_w1": _block_diag_sum(waccs["enc_w1"], B, h, h),
-        "enc_b1": _group_row_sum(bias["enc_b1"][None], B, h),
-        "enc_ls": _group_row_sum(bias["enc_ls"][None], B, h),
-        "enc_lb": _group_row_sum(bias["enc_lb"][None], B, h),
-        "a_w0": jnp.concatenate(
-            [_block_diag_sum(waccs["a_wr"], B, h, h),
-             _block_diag_sum(waccs["a_wa"], B, h, h)], axis=0
-        ),
-        "a_b0": _group_row_sum(bias["a_b0"][None], B, h),
-        "a_w1": _block_diag_sum(waccs["a_w1"], B, h, h),
-        "a_b1": _group_row_sum(bias["a_b1"][None], B, h),
-        "a_ls": _group_row_sum(bias["a_ls"][None], B, h),
-        "a_lb": _group_row_sum(bias["a_lb"][None], B, h),
-        "o_w0": _block_diag_sum(waccs["o_w0"], B, h, h),
-        "o_b0": _group_row_sum(bias["o_b0"][None], B, h),
-        "o_w1": _block_diag_sum(waccs["o_w1"], B, h, d_out),
-        "o_b1": bias["o_b1"][:B * d_out].reshape(B, d_out).sum(axis=0),
-    }
-    d_pp = {k: v.astype(pp[k].dtype) for k, v in d_pp.items()}
+    d_pp = _reduce_param_grads(waccs, bias_acc, B, h, d_out, pp)
     return (d_gathered, d_ew, d_ge_full, jnp.zeros_like(mask_p), d_pp,
             _d_consts())
 
 
 _grid_update_vjp.defvjp(_grid_update_fwd, _grid_update_bwd)
+
+
+def grid_update_flat_win_bwd(table_f, ew, grid_emb_f, mask_p, pp, K,
+                             win_arrays, wrows, tile_v, g_out,
+                             interpret=False, consts=None):
+    """Analytic backward of `grid_update_flat_win` with the sender gather
+    AND its transpose fused in-kernel.
+
+    Training through the un-windowed recompute pays the full (M, W)
+    gathered-rows round trip three times at MEPS scale (~260 MB each: the
+    gather forward inside the VJP, the backward kernel's `gathered` input,
+    and its `d_gathered` output) plus the transposed-gather fold. Here the
+    backward kernel reads per-tile windows (~4x smaller), emits per-tile
+    (wrows, W) `d_window` cotangents, and the overlapping windows are
+    folded back to the (num_send, W) table with the static `fold_slots`
+    layout — a short gather-accumulate like `_gather_rows_T_bwd` but over
+    the 4x-smaller window array.
+
+    Returns (d_table, d_ew, d_ge, d_pp) — gradients of the WINDOWED primal
+    (the in-kernel recompute uses the same bf16x2 one-hot reconstruct as
+    the forward, so primal and gradient are now consistent) — or None when
+    the layout/shape guards fail (caller falls back to the un-windowed
+    pair's VJP)."""
+    import os
+
+    n_virt, K_ = mask_p.shape
+    W = table_f.shape[-1]
+    h = ew.shape[-1]
+    B = W // h
+    d_out = pp["o_w1"].shape[1]
+    w_out = _round_up(B * d_out, 128)
+    n_rows = grid_emb_f.shape[0]
+    if ("fold_slots" not in win_arrays or n_virt % tile_v or tile_v < 8
+            or w_out > W or os.environ.get("NLT_NO_BWD_KERNEL")
+            or os.environ.get("NLT_NO_WIN_BWD")):
+        return None
+    if consts is not None and consts["w2k"].shape[0] != W:
+        consts = None
+    if consts is None:
+        consts = _prep_consts(pp, B)
+    tr = _make_tr(consts, B, h)
+    n_tiles = n_virt // tile_v
+    TILE_E = tile_v * K
+    if g_out.shape[-1] != w_out:
+        g_out = jnp.pad(g_out, ((0, 0), (0, w_out - g_out.shape[-1])))
+    ge = grid_emb_f
+    if n_rows < n_virt:
+        ge = jnp.pad(ge, ((0, n_virt - n_rows), (0, 0)))
+    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+
+    n_bias_rows = _round_up(len(_BIAS_ROWS), 8)
+    full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    const_specs = [full(consts[n].shape) for n in _CONST_NAMES]
+    tr_specs = [full(tr[n].shape) for n in _TR_NAMES]
+    wacc_shapes = {
+        "enc_w0": (W, W), "enc_w1": (W, W), "w_i": (W, W), "w2": (W, W),
+        "a_wr": (W, W), "a_wa": (W, W), "a_w1": (W, W), "o_w0": (W, W),
+        "o_w1": (W, w_out),
+    }
+    outs = pl.pallas_call(
+        functools.partial(_grid_update_win_bwd_kernel, K, B, wrows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, 1), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, w_out), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs + tr_specs,
+        out_specs=(
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, h), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bias_rows, W), lambda v: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec(wacc_shapes[n], lambda v: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for n in _W_ACCS
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * wrows, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_virt * K, h), ew.dtype),
+            jax.ShapeDtypeStruct((n_virt, W), grid_emb_f.dtype),
+            jax.ShapeDtypeStruct((n_bias_rows, W), jnp.float32),
+        ) + tuple(
+            jax.ShapeDtypeStruct(wacc_shapes[n], jnp.float32)
+            for n in _W_ACCS
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(windows, win_arrays["sl_local"], ew, ge, mask_p, g_out,
+      *[consts[n] for n in _CONST_NAMES], *[tr[n] for n in _TR_NAMES])
+
+    d_win, d_ew, d_ge_full, bias_acc = outs[:4]
+    waccs = dict(zip(_W_ACCS, outs[4:]))
+    if n_rows < n_virt:
+        d_ge_full = jax.lax.slice_in_dim(d_ge_full, 0, n_rows, axis=0)
+
+    # fold overlapping per-tile windows back to the sender table:
+    # d_table[r] = sum of d_win at the (tile*wrows + offset) slots covering
+    # row r (per-k gather-accumulate; K_F <= _MAX_K_FOLD by construction)
+    slots = win_arrays["fold_slots"]
+    fm = win_arrays["fold_mask"]
+    d_table = None
+    for k in range(slots.shape[1]):
+        part = jnp.take(d_win, slots[:, k], axis=0) * fm[:, k][:, None]
+        d_table = part if d_table is None else d_table + part
+    d_table = d_table.astype(table_f.dtype)
+    d_pp = _reduce_param_grads(waccs, bias_acc, B, h, d_out, pp)
+    return d_table, d_ew, d_ge_full, d_pp
 
 
 # public alias for rollout-ctx precomputation (scan-hoisted widening)

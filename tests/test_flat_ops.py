@@ -837,6 +837,63 @@ def test_window_gather_layout_invariant(tmp_path):
         np.testing.assert_array_equal(got[m], want[m])
 
 
+def test_win_bwd_kernel_matches_unwindowed_vjp(monkeypatch, tmp_path):
+    """The analytic windowed backward (gather + transpose fused in-kernel,
+    fold back to the table) ENGAGES for the m2g layout and returns the
+    same gradients as jax.vjp through the un-windowed gather +
+    grid_update_flat pair (differences bounded by the bf16x2 one-hot
+    rounding of the windowed primal, ~1e-6 relative)."""
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    model, params, _ = _small_model(tmp_path)
+    from neural_lam_tpu.ops import pallas_grid_update as pgu
+
+    win, st = model.m2g_win, model._m2g_win_static
+    assert "fold_slots" in win and "k_fold" in st
+    m2g = model.graph.m2g
+    K = m2g.dense_k
+    mask_p = m2g.mask.reshape(m2g.num_virt, K)
+    pp = pgu.pack_grid_update_params(params)
+    h = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"].shape[0] // 3
+    B = 2
+    W = B * h
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(
+        rng.standard_normal((m2g.num_send, W)), jnp.float32)
+    ew = jnp.asarray(
+        rng.standard_normal((m2g.num_virt * K, h)), jnp.float32)
+    ge = jnp.asarray(
+        rng.standard_normal((m2g.num_virt, W)), jnp.float32)
+    d_out_w = pp["o_w1"].shape[1]
+    g_out = jnp.asarray(
+        rng.standard_normal((m2g.num_virt, B * d_out_w)), jnp.float32)
+
+    grads = pgu.grid_update_flat_win_bwd(
+        table, ew, ge, mask_p, pp, K, win, st["wrows"], st["tile_v"],
+        g_out, interpret=True)
+    assert grads is not None, "analytic windowed backward did not engage"
+    d_table, d_ew, d_ge, d_pp = grads
+
+    def ref(table, ge, ew, pp):
+        g = jnp.take(table, m2g.senders, axis=0)
+        return pgu.grid_update_flat(g, ew, ge, mask_p, pp, K, True)
+
+    _, vjp = jax.vjp(ref, table, ge, ew, pp)
+    r_table, r_ge, r_ew, r_pp = vjp(g_out)
+
+    def close(a, b, name):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-5,
+                                   err_msg=name)
+
+    close(d_table, r_table, "d_table")
+    close(d_ew, r_ew, "d_ew")
+    close(d_ge, r_ge, "d_ge")
+    for k in d_pp:
+        close(d_pp[k], r_pp[k], f"d_pp[{k}]")
+
+
 def test_decode_fused_gather_matches(monkeypatch, tmp_path):
     """The in-kernel windowed m2g sender gather (decode_grid_fused)
     produces the same forward output AND parameter gradients as the
