@@ -232,11 +232,20 @@ def main():
         print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
 
     try:
+        import jax.numpy as _jnp
+
         ms_train = measure_train_step_ms(model, params, prev, prevprev,
                                          forcing)
         print(f"[bench] train step (fwd+bwd+AdamW, ar=1): "
               f"{ms_train:.2f} ms, {BATCH * 1000.0 / ms_train:.1f} "
               f"samples/s/chip", file=sys.stderr)
+        model.compute_dtype = _jnp.bfloat16
+        ms_train_bf16 = measure_train_step_ms(model, params, prev, prevprev,
+                                              forcing)
+        model.compute_dtype = None
+        print(f"[bench] bf16 train step: {ms_train_bf16:.2f} ms, "
+              f"{BATCH * 1000.0 / ms_train_bf16:.1f} samples/s/chip",
+              file=sys.stderr)
     except Exception as e:
         print(f"[bench] train-step measurement failed: {e}", file=sys.stderr)
 
