@@ -98,6 +98,21 @@ class SpatialPartition:
     mblock: int = dataclasses.field(default=0, metadata={"static": True})
     scheme: str = dataclasses.field(default="psum",
                                     metadata={"static": True})
+    # scheme "halo" (cut-edge halo exchange; see partition_graph docstring):
+    # per-shard send lists + static per-offset ppermute plans
+    mm_send_idx: jax.Array | None = None   # (S, Xmm) local mesh rows
+    mg_send_idx: jax.Array | None = None   # (S, Xmg) local mesh rows
+    g2m_add_pos: jax.Array | None = None   # (S, Yg) owner-local add positions
+    # mesh static features in the compact [owned ++ pushed] row layout, so
+    # mesh embedding / g2m receiver transforms are computed per shard on
+    # exactly the rows its edges touch — no full-mesh replicated compute
+    mesh_static_c: jax.Array | None = None  # (S, mblock + Yg, 2)
+    mm_plan: tuple = dataclasses.field(default=(),
+                                       metadata={"static": True})
+    mg_plan: tuple = dataclasses.field(default=(),
+                                       metadata={"static": True})
+    g2m_plan: tuple = dataclasses.field(default=(),
+                                        metadata={"static": True})
 
     @property
     def num_mesh_padded(self) -> int:
@@ -107,6 +122,109 @@ class SpatialPartition:
     @property
     def num_grid_padded(self) -> int:
         return self.n_shards * self.block
+
+
+def _build_gather_halo(send_global, dst_shard, owner_blk, S):
+    """Plan a gather-type halo exchange: each shard sends the rows it owns
+    that other shards' edges reference.
+
+    send_global: (E,) global sender row ids; dst_shard: (E,) shard that
+    consumes each edge; owner_blk: rows per owner block. Returns
+    (plan, send_idx, remap):
+      plan      static tuple of (offset, width) ppermute rounds, where
+                offset = dst - src and width = max over shards of the
+                unique rows sent for that offset;
+      send_idx  (S, X_tot) int32 owner-LOCAL rows each shard sends,
+                grouped by plan segment (padded with 0);
+      remap     per-dst-shard dict {global row id -> extended-table
+                position}, where the extended table is
+                [owned rows (owner_blk) ++ import segments (X_tot)] and
+                import segment d holds the rows received from shard s-d
+                in the sender's list order.
+    """
+    send_global = np.asarray(send_global, np.int64)
+    owner = np.minimum(send_global // owner_blk, S - 1)
+    pairs = {}
+    for dst in range(S):
+        sel = dst_shard == dst
+        for src in np.unique(owner[sel]):
+            if src == dst:
+                continue
+            rows = np.unique(send_global[sel & (owner == src)])
+            pairs[(int(src), dst)] = rows
+    offsets = sorted({dst - src for (src, dst) in pairs})
+    widths = {
+        d: max([len(r) for (src, dst), r in pairs.items()
+                if dst - src == d] or [0])
+        for d in offsets
+    }
+    x_tot = sum(widths.values())
+    send_idx = np.zeros((S, max(x_tot, 1)), np.int32)
+    remap = [dict() for _ in range(S)]
+    base = 0
+    for d in offsets:
+        for src in range(S):
+            dst = src + d
+            if not 0 <= dst < S:
+                continue
+            rows = pairs.get((src, dst))
+            if rows is None:
+                continue
+            send_idx[src, base:base + len(rows)] = rows - src * owner_blk
+            for j, gid in enumerate(rows):
+                remap[dst][int(gid)] = owner_blk + base + j
+        base += widths[d]
+    plan = tuple((int(d), int(widths[d])) for d in offsets)
+    return plan, send_idx[:, :max(x_tot, 1)], remap
+
+
+def _build_push_halo(recv_global, src_shard, owner_blk, S):
+    """Plan a push/scatter-type halo (partial aggregation rows to owners).
+
+    recv_global: (E,) global receiver row ids; src_shard: (E,) shard that
+    produces each edge's message. Returns (plan, compact_pos, add_pos,
+    y_tot): `compact_pos` maps each shard's edges into a compact
+    aggregation layout [owned rows (owner_blk) ++ push segments (y_tot)];
+    after exchanging push segments (plan rounds), the receiving shard adds
+    segment d's rows at its owner-local `add_pos` positions (sentinel
+    owner_blk marks padding).
+    """
+    recv_global = np.asarray(recv_global, np.int64)
+    owner = np.minimum(recv_global // owner_blk, S - 1)
+    pairs = {}
+    for src in range(S):
+        sel = src_shard == src
+        for dst in np.unique(owner[sel]):
+            if dst == src:
+                continue
+            rows = np.unique(recv_global[sel & (owner == dst)])
+            pairs[(src, int(dst))] = rows
+    offsets = sorted({dst - src for (src, dst) in pairs})
+    widths = {
+        d: max([len(r) for (src, dst), r in pairs.items()
+                if dst - src == d] or [0])
+        for d in offsets
+    }
+    y_tot = sum(widths.values())
+    # per-source-shard: compact position of each pushed global row
+    push_pos = [dict() for _ in range(S)]
+    add_pos = np.full((S, max(y_tot, 1)), owner_blk, np.int32)
+    base = 0
+    for d in offsets:
+        for src in range(S):
+            dst = src + d
+            if not 0 <= dst < S:
+                continue
+            rows = pairs.get((src, dst))
+            if rows is None:
+                continue
+            for j, gid in enumerate(rows):
+                push_pos[src][int(gid)] = owner_blk + base + j
+            # receiver dst gets this segment from shard dst - d == src
+            add_pos[dst, base:base + len(rows)] = rows - dst * owner_blk
+        base += widths[d]
+    plan = tuple((int(d), int(widths[d])) for d in offsets)
+    return plan, push_pos, add_pos, y_tot
 
 
 def partition_graph(graph: LoadedGraph, n_shards: int,
@@ -121,8 +239,17 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     partial is reduce-scattered to owners and sender transforms are
     all-gathered per layer — half the collective bytes of a psum each,
     and the aggr-MLPs run on owned rows only (see docs/SCALING.md).
+    scheme "halo": like "rs" but every full-mesh collective is replaced by
+    CUT-EDGE halo exchange (the BASELINE.json design): per processor layer
+    and for m2g, each shard ppermutes to its neighbors only the owned
+    sender rows their edges actually reference (~2-4% of the mesh for the
+    MEPS lattice: x-major blocks make cuts thin bands, and the multiscale
+    long-stride edges add a handful of rows at offsets beyond +-1); the
+    g2m partial is aggregated in a compact [owned ++ pushed] layout and
+    only the pushed boundary rows travel. Exchange plans are static
+    per-offset ppermute rounds built here.
     """
-    assert scheme in ("psum", "rs")
+    assert scheme in ("psum", "rs", "halo")
     assert not graph.hierarchical, "spatial partitioning of flat graphs only"
     ng = graph.num_grid_nodes
     nm = graph.level_sizes[0]
@@ -150,6 +277,22 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         e_max = max(g[0].shape[0] for g in groups) if groups else 1
         return groups, e_max
 
+    halo = scheme == "halo"
+    halo_extra = {}
+
+    def mesh_owner(gids):
+        return np.minimum(np.asarray(gids, np.int64) // mblock, n_shards - 1)
+
+    def remap_rows(gids, s, remap):
+        """Global mesh row ids -> extended-table positions at shard s."""
+        gids = np.asarray(gids, np.int64)
+        owner = mesh_owner(gids)
+        out = np.empty(len(gids), np.int64)
+        for i, g_ in enumerate(gids):
+            out[i] = g_ - s * mblock if owner[i] == s \
+                else remap[s][int(g_)]
+        return out
+
     # --- g2m (partition by sender grid node) ---
     send, recv, feat = real_edges(graph.g2m)
     groups, eg = split_by_block(send, [send, recv, feat])
@@ -158,19 +301,64 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     ]).astype(np.int32)
     g2m_recv = np.stack([_pad_to(g[1], eg) for g in groups]).astype(np.int32)
     g2m_feat = np.stack([_pad_to(g[2], eg) for g in groups]).astype(np.float32)
-    # "rs": table rows span nm_pad so the partial reduce-scatters evenly
-    g2m_table = _build_shard_tables(
-        [g[1] for g in groups], nm_pad if scheme == "rs" else nm, eg
-    )
+    if halo:
+        # compact [owned ++ pushed] aggregation layout; only the pushed
+        # boundary rows travel to their owners
+        src_shard = np.minimum(send // block, n_shards - 1)
+        g2m_plan, g2m_push_pos, g2m_add_pos, yg = _build_push_halo(
+            recv, src_shard, mblock, n_shards
+        )
+        compact = []
+        for s, g in enumerate(groups):
+            rows = np.asarray(g[1], np.int64)
+            owner = mesh_owner(rows)
+            pos = np.empty(len(rows), np.int64)
+            for i, r in enumerate(rows):
+                pos[i] = r - s * mblock if owner[i] == s \
+                    else g2m_push_pos[s][int(r)]
+            compact.append(pos)
+        g2m_table = _build_shard_tables(compact, mblock + yg, eg)
+        # g2m receivers in compact positions (rec_t is computed on the
+        # compact row set, see mesh_static_c)
+        g2m_recv = np.stack(
+            [_pad_to(c, eg) for c in compact]
+        ).astype(np.int32)
+        # mesh statics gathered into each shard's compact layout
+        ms = np.asarray(graph.mesh_static_features[0], np.float32)
+        ms = _pad_to(ms, nm_pad)
+        ms_c = np.zeros((n_shards, mblock + yg, ms.shape[1]), np.float32)
+        for s in range(n_shards):
+            ms_c[s, :mblock] = ms[s * mblock:(s + 1) * mblock]
+            for gid, pos in g2m_push_pos[s].items():
+                ms_c[s, pos] = ms[gid]
+        halo_extra["g2m_plan"] = g2m_plan
+        halo_extra["g2m_add_pos"] = jnp.asarray(g2m_add_pos)
+        halo_extra["mesh_static_c"] = jnp.asarray(ms_c)
+    else:
+        # "rs": table rows span nm_pad so the partial reduce-scatters evenly
+        g2m_table = _build_shard_tables(
+            [g[1] for g in groups], nm_pad if scheme == "rs" else nm, eg
+        )
 
     # --- m2m ---
     send, recv, feat = real_edges(graph.m2m[0])
-    if scheme == "rs":
+    if scheme in ("rs", "halo"):
         # partition by receiver owner block; aggregation is shard-local
         groups, emm = split_by_block(recv, [send, recv, feat], blk=mblock)
-        m2m_send = np.stack(
-            [_pad_to(g[0], emm) for g in groups]
-        ).astype(np.int32)
+        if halo:
+            mm_plan, mm_send_idx, mm_remap = _build_gather_halo(
+                send, mesh_owner(recv), mblock, n_shards
+            )
+            m2m_send = np.stack([
+                _pad_to(remap_rows(g[0], s, mm_remap), emm)
+                for s, g in enumerate(groups)
+            ]).astype(np.int32)
+            halo_extra["mm_plan"] = mm_plan
+            halo_extra["mm_send_idx"] = jnp.asarray(mm_send_idx)
+        else:
+            m2m_send = np.stack(
+                [_pad_to(g[0], emm) for g in groups]
+            ).astype(np.int32)
         m2m_recv = np.stack([
             _pad_to(g[1] - s * mblock, emm) for s, g in enumerate(groups)
         ]).astype(np.int32)
@@ -204,7 +392,20 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
     # --- m2g (partition by receiver grid node) ---
     send, recv, feat = real_edges(graph.m2g)
     groups, em = split_by_block(recv, [send, recv, feat])
-    m2g_send = np.stack([_pad_to(g[0], em) for g in groups]).astype(np.int32)
+    if halo:
+        mg_plan, mg_send_idx, mg_remap = _build_gather_halo(
+            send, np.minimum(recv // block, n_shards - 1), mblock, n_shards
+        )
+        m2g_send = np.stack([
+            _pad_to(remap_rows(g[0], s, mg_remap), em)
+            for s, g in enumerate(groups)
+        ]).astype(np.int32)
+        halo_extra["mg_plan"] = mg_plan
+        halo_extra["mg_send_idx"] = jnp.asarray(mg_send_idx)
+    else:
+        m2g_send = np.stack(
+            [_pad_to(g[0], em) for g in groups]
+        ).astype(np.int32)
     m2g_recv_local = np.stack([
         _pad_to(g[1] - s * block, em) for s, g in enumerate(groups)
     ]).astype(np.int32)
@@ -238,6 +439,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         num_mesh=int(nm),
         mblock=int(mblock),
         scheme=scheme,
+        **halo_extra,
     )
 
 
@@ -246,6 +448,29 @@ def _mm(x, w, cd):
         x = x.astype(cd)
         w = w.astype(cd)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _halo_exchange(owned, send_idx, plan, n_shards):
+    """Gather-type cut-edge halo: export owned rows other shards reference.
+
+    owned: (B, R, h) locally-owned rows; send_idx: (X_tot,) local rows to
+    export, grouped by plan segment; plan: static ((offset, width), ...)
+    ppermute rounds. Returns the (B, X_tot, h) import buffer — segment for
+    offset d holds the rows received from shard s-d, in the sender's list
+    order (the host-side remap in `_build_gather_halo` indexes exactly
+    this layout). Bytes per round = width*B*h — the cut-edge rows only,
+    vs the full (B, N_mesh, h) an all_gather would move."""
+    if not plan:
+        return owned[:, :0]
+    buf = jnp.take(owned, send_idx, axis=1)
+    outs, base = [], 0
+    for d, w in plan:
+        seg = jax.lax.slice_in_dim(buf, base, base + w, axis=1)
+        perm = [(s, s + d) for s in range(n_shards)
+                if 0 <= s + d < n_shards]
+        outs.append(jax.lax.ppermute(seg, "space", perm=perm))
+        base += w
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def _edge_messages(params, edge_emb, send_t_rows, rec_t_rows, cd):
@@ -305,12 +530,26 @@ class SpatialGraphLAM(GraphLAM):
                 params["encoding_grid_mlp"], grid_emb, compute_dtype=cd
             )
 
-            # 2. mesh embedding (replicated compute; small)
-            mesh_emb = apply_mlp(params["mesh_embedder"], sp.mesh_static,
-                                 compute_dtype=cd)  # (Nm, h)
+            # 2. mesh embedding
             B = grid_feats.shape[0]
-            rs = part.scheme == "rs"
-            if rs:
+            halo = part.scheme == "halo"
+            rs = part.scheme in ("rs", "halo")
+            S = part.n_shards
+            if halo:
+                # compact per-shard rows (owned ++ pushed) — the only mesh
+                # rows this shard's compute ever touches, so NOTHING about
+                # the mesh is computed replicated
+                mesh_emb = apply_mlp(
+                    params["mesh_embedder"], idx(sp.mesh_static_c),
+                    compute_dtype=cd,
+                )  # (mblock + Yg, h)
+                own0 = mesh_emb[:part.mblock]
+                mesh_rep = jnp.broadcast_to(own0[None], (B,) + own0.shape)
+            elif rs:
+                mesh_emb = apply_mlp(
+                    params["mesh_embedder"], sp.mesh_static,
+                    compute_dtype=cd,
+                )  # (Nm, h), replicated compute
                 nm_pad = part.num_mesh_padded
                 mesh_emb = jnp.pad(
                     mesh_emb, ((0, nm_pad - part.num_mesh), (0, 0))
@@ -322,6 +561,10 @@ class SpatialGraphLAM(GraphLAM):
                 # owned mesh rows only: (B, mblock, h)
                 mesh_rep = jnp.broadcast_to(own0[None], (B,) + own0.shape)
             else:
+                mesh_emb = apply_mlp(
+                    params["mesh_embedder"], sp.mesh_static,
+                    compute_dtype=cd,
+                )  # (Nm, h), replicated compute
                 mesh_rep = jnp.broadcast_to(
                     mesh_emb[None], (B,) + mesh_emb.shape
                 )
@@ -345,7 +588,27 @@ class SpatialGraphLAM(GraphLAM):
                 cd,
             )  # (B, Eg, h)
             partial = gather_sum(msgs, idx(sp.g2m_table))
-            if rs:
+            if halo:
+                # compact [owned ++ pushed] partial: ppermute only the
+                # pushed boundary rows to their owners and add in place
+                mb = part.mblock
+                own_pad = jnp.pad(
+                    partial[:, :mb], ((0, 0), (0, 1), (0, 0))
+                )  # sentinel row mb absorbs padding positions
+                add_pos = idx(sp.g2m_add_pos)
+                base = 0
+                for d, w in part.g2m_plan:
+                    seg = jax.lax.slice_in_dim(partial, mb + base,
+                                               mb + base + w, axis=1)
+                    perm = [(s, s + d) for s in range(S)
+                            if 0 <= s + d < S]
+                    recv = jax.lax.ppermute(seg, "space", perm=perm)
+                    pos = jax.lax.slice_in_dim(add_pos, base, base + w,
+                                               axis=0)
+                    own_pad = own_pad.at[:, pos, :].add(recv)
+                    base += w
+                aggregated = own_pad[:, :mb]  # (B, mblock, h) owned rows
+            elif rs:
                 aggregated = jax.lax.psum_scatter(
                     partial, "space", scatter_dimension=1, tiled=True
                 )  # (B, mblock, h) owned rows
@@ -371,7 +634,15 @@ class SpatialGraphLAM(GraphLAM):
                 w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
                 node_tj = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
                 node_ti = _mm(mesh_rep, w_i, cd)
-                if rs:
+                if halo:
+                    # extended sender table = [owned ++ halo imports];
+                    # m2m_send is remapped into this layout host-side
+                    node_tj = jnp.concatenate([
+                        node_tj,
+                        _halo_exchange(node_tj, idx(sp.mm_send_idx),
+                                       part.mm_plan, S),
+                    ], axis=1)
+                elif rs:
                     node_tj = jax.lax.all_gather(
                         node_tj, "space", axis=1, tiled=True
                     )  # (B, nm_pad, h)
@@ -403,7 +674,13 @@ class SpatialGraphLAM(GraphLAM):
                 params["m2g_embedder"], idx(sp.m2g_feat), compute_dtype=cd
             )
             send_t = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
-            if rs:
+            if halo:
+                send_t = jnp.concatenate([
+                    send_t,
+                    _halo_exchange(send_t, idx(sp.mg_send_idx),
+                                   part.mg_plan, S),
+                ], axis=1)
+            elif rs:
                 send_t = jax.lax.all_gather(
                     send_t, "space", axis=1, tiled=True
                 )  # (B, nm_pad, h)
@@ -448,6 +725,13 @@ class SpatialGraphLAM(GraphLAM):
             n_shards=part.n_shards, block=part.block,
             num_grid=part.num_grid, num_mesh=part.num_mesh,
             mblock=part.mblock, scheme=part.scheme,
+            mm_send_idx=None if part.mm_send_idx is None else P("space"),
+            mg_send_idx=None if part.mg_send_idx is None else P("space"),
+            g2m_add_pos=None if part.g2m_add_pos is None else P("space"),
+            mesh_static_c=None if part.mesh_static_c is None
+            else P("space"),
+            mm_plan=part.mm_plan, mg_plan=part.mg_plan,
+            g2m_plan=part.g2m_plan,
         )
         return shard_map(
             shard_fn, mesh=self.mesh,

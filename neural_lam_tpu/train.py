@@ -866,14 +866,18 @@ def main(input_args=None):
                         help="shard grid nodes over this many devices "
                              "(the mesh 'space' axis)")
     parser.add_argument("--spatial_scheme", type=str, default="grid",
-                        choices=["grid", "mesh_rs"],
+                        choices=["grid", "mesh_rs", "mesh_halo"],
                         help="grid: grid-sharded mesh-replicated; "
                              "mesh_rs: mesh-node sharding via reduce-"
                              "scatter/all-gather (hierarchical graphs "
                              "shard the bottom level) — 40-60%% less "
                              "collective traffic and sharded mesh-node "
-                             "MLPs (docs/SCALING.md); both support every "
-                             "non-latent family")
+                             "MLPs; mesh_halo: mesh-node sharding with "
+                             "CUT-EDGE halo exchange (ppermute of the "
+                             "~2-4%% boundary rows instead of full-mesh "
+                             "all-gathers; graph_lam only; "
+                             "docs/SCALING.md). grid/mesh_rs support "
+                             "every non-latent family")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")
@@ -976,6 +980,17 @@ def main(input_args=None):
             from .parallel.grid_sharded import spatialize_rs
 
             model = spatialize_rs(model, mesh)
+        elif args.spatial_scheme == "mesh_halo":
+            from .parallel.spatial import SpatialGraphLAM
+
+            assert args.model == "graph_lam", (
+                "--spatial_scheme mesh_halo (cut-edge halo exchange) "
+                "currently supports flat graphs (graph_lam) only; use "
+                "mesh_rs for hierarchical models"
+            )
+            model = SpatialGraphLAM(model_args, config, datastore,
+                                    graph=model.graph, mesh=mesh,
+                                    scheme="halo")
         else:
             model = spatialize(model, mesh)
     elif multihost:

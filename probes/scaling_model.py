@@ -63,7 +63,18 @@ def psum_payloads(family):
 # transform as the replicated residue.
 REPL_FRACTION = {"graph_lam": 0.04, "hi_lam": 0.09, "hi_lam_parallel": 0.09,
                  "graph_lam_rs": 0.015, "hi_lam_rs": 0.025,
-                 "hi_lam_parallel_rs": 0.025}
+                 "hi_lam_parallel_rs": 0.025,
+                 # halo computes mesh embedding / g2m rec_t on the compact
+                 # per-shard row set — no full-mesh replicated compute left
+                 "graph_lam_halo": 0.003}
+
+# scheme "halo" (parallel/spatial.py): cut-edge ppermute rows measured from
+# the MEPS graph's exchange plans at S=8 (offsets +-1 dominate, +-2..3 add
+# a handful of long-stride rows). Per-device one-way rows per step — these
+# are BOUNDARY sizes: constant under weak scaling (domain grows, the cut
+# band per shard doesn't) and ~constant under strong scaling.
+HALO_ROWS = {"g2m": 477, "m2m_per_layer": 246, "m2g": 199}
+HALO_ROUNDS = {"g2m": 2, "m2m_per_layer": 6, "m2g": 2}
 
 
 def rs_collectives(family):
@@ -115,14 +126,26 @@ def collective_units(family):
 def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
     rows = []
     for family in ("graph_lam", "hi_lam", "hi_lam_parallel",
-                   "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs"):
-        n_coll, payload = collective_units(family)
+                   "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs",
+                   "graph_lam_halo"):
+        halo = family.endswith("_halo")
+        if halo:
+            halo_rows = (HALO_ROWS["g2m"] + P * HALO_ROWS["m2m_per_layer"]
+                         + HALO_ROWS["m2g"])
+            payload = float(halo_rows * B * D * BYTES)
+            n_coll = (HALO_ROUNDS["g2m"] + P * HALO_ROUNDS["m2m_per_layer"]
+                      + HALO_ROUNDS["m2g"])
+        else:
+            n_coll, payload = collective_units(family)
         repl = REPL_FRACTION[family]
         for S in (2, 4, 8, 16):
             lat = n_coll * latency_us * 1e-6
 
-            # strong: fixed problem; replicated node work constant
-            comm = payload * (S - 1) / S / (ici_gbps * 1e9) + lat
+            # strong: fixed problem; replicated node work constant.
+            # halo: boundary bytes don't scale with (S-1)/S — constant
+            comm = (payload / (ici_gbps * 1e9) + lat) if halo else (
+                payload * (S - 1) / S / (ici_gbps * 1e9) + lat
+            )
             t1 = step_ms / 1000.0
             # `overhead` = measured S=1 cost ratio of the sharded body vs
             # the unsharded step (probes/rs_overhead.py: ~1.27) — chunk
@@ -132,8 +155,11 @@ def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
             strong = t1 / (S * t_s)
 
             # weak: domain grows with S -> payload and replicated node
-            # work grow ~S; local work constant
-            comm_w = payload * (S - 1) / (ici_gbps * 1e9) + lat
+            # work grow ~S; local work constant. halo: cut bands per
+            # shard stay constant as the domain grows
+            comm_w = comm if halo else (
+                payload * (S - 1) / (ici_gbps * 1e9) + lat
+            )
             t_w = overhead * t1 * ((1 - repl) + repl * S) + comm_w
             weak = t1 / t_w
 

@@ -193,5 +193,16 @@ def test_train_cli_spatial_shards(tmp_path):
             "--save_dir", str(tmp_path / "runs"), "--run_name", "sp",
         ])
         assert (tmp_path / "runs" / "sp" / "last").exists()
+        # cut-edge halo-exchange scheme end-to-end
+        train.main([
+            "--config_path", str(nl_cfg), "--model", "graph_lam",
+            "--graph", "gs", "--epochs", "1", "--batch_size", "2",
+            "--hidden_dim", "4", "--processor_layers", "1",
+            "--ar_steps_train", "1", "--ar_steps_eval", "2",
+            "--val_steps_to_log", "1", "--spatial_shards", "4",
+            "--spatial_scheme", "mesh_halo",
+            "--save_dir", str(tmp_path / "runs"), "--run_name", "sph",
+        ])
+        assert (tmp_path / "runs" / "sph" / "last").exists()
     finally:
         dummy_mod.DummyDatastore.__init__ = orig_init

@@ -37,7 +37,7 @@ def setup(tmp_path_factory):
     return datastore, config, graph, args
 
 
-@pytest.mark.parametrize("scheme", ["psum", "rs"])
+@pytest.mark.parametrize("scheme", ["psum", "rs", "halo"])
 def test_spatial_matches_single_device(setup, scheme):
     datastore, config, graph, args = setup
     mesh = make_mesh(n_data=2, n_space=4)
