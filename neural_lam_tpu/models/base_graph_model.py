@@ -39,8 +39,16 @@ class BaseGraphModel(ARModelBase):
     def _mesh_sender_rep(self, mesh_rep):
         """Hook: the mesh array edge SENDERS gather from. Identity when
         mesh state is replicated; the mesh-node-sharded scheme overrides
-        this with an all-gather of the owned rows."""
+        this with an all-gather of the owned rows (or a cut-edge halo
+        exchange)."""
         return mesh_rep
+
+    def _m2g_sender_rep(self, mesh_rep):
+        """Hook: the sender table for the m2g decoder specifically.
+        Defaults to `_mesh_sender_rep`; the halo scheme overrides it with
+        the m2g-specific exchange (its cut-edge set differs from the
+        processor's)."""
+        return self._mesh_sender_rep(mesh_rep)
 
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):
@@ -304,7 +312,7 @@ class BaseGraphModel(ARModelBase):
 
         m2g = self.graph.m2g
         w0m = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"]
-        send_tf = node_transform_flat(self._mesh_sender_rep(mesh_rep),
+        send_tf = node_transform_flat(self._m2g_sender_rep(mesh_rep),
                                       w0m[h:2 * h], cd)
         if cd is not None:
             send_tf = send_tf.astype(cd)
@@ -379,7 +387,7 @@ class BaseGraphModel(ARModelBase):
 
         grid_rep = self._inet_static(
             params["m2g_gnn"], self.graph.m2g,
-            self._mesh_sender_rep(mesh_rep), grid_rep,
+            self._m2g_sender_rep(mesh_rep), grid_rep,
             ctx["m2g"], batch_size,
         )  # (B, N_grid, d_h)
 

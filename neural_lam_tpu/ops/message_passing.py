@@ -661,7 +661,13 @@ def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
 
     aggregated = _fold_virt_flat(edges, virt)
     if psum_axis is not None:
-        if psum_mode == "scatter":
+        if callable(psum_mode):
+            # custom fold (halo scheme): compact partial -> owned rows
+            assert aggr == "sum", "fold modes implement sum aggregation"
+            aggregated, rec_rep = psum_mode(
+                aggregated, rec_rep, agg_axis=0, rec_axis=1
+            )
+        elif psum_mode == "scatter":
             assert aggr == "sum", "scatter mode implements sum aggregation"
             aggregated, rec_rep = _scatter_to_owner(
                 aggregated, rec_rep, psum_axis, agg_axis=0, rec_axis=1
@@ -939,7 +945,16 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             )
         aggregated = _fold_virt(edges, virt)
         if psum_axis is not None:
-            if psum_mode == "scatter":
+            if callable(psum_mode):
+                assert aggr == "sum", (
+                    "fold modes implement sum aggregation"
+                )
+                aggregated, rec_rep = psum_mode(
+                    aggregated, rec_rep,
+                    agg_axis=aggregated.ndim - 2,
+                    rec_axis=rec_rep.ndim - 2,
+                )
+            elif psum_mode == "scatter":
                 assert aggr == "sum", (
                     "scatter mode implements sum aggregation"
                 )
@@ -975,7 +990,13 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
             messages, edges.receivers, edges.num_rec, sorted_ids=True
         )
     if psum_axis is not None:
-        if psum_mode == "scatter":
+        if callable(psum_mode):
+            assert aggr == "sum", "fold modes implement sum aggregation"
+            aggregated, rec_rep = psum_mode(
+                aggregated, rec_rep,
+                agg_axis=aggregated.ndim - 2, rec_axis=rec_rep.ndim - 2,
+            )
+        elif psum_mode == "scatter":
             assert aggr == "sum", "scatter mode implements sum aggregation"
             aggregated, rec_rep = _scatter_to_owner(
                 aggregated, rec_rep, psum_axis,

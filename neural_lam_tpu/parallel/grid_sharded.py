@@ -206,23 +206,28 @@ def _sender_owned_chunk_edgeset(es: EdgeSet, n_shards: int,
 
 
 def _owned_chunk_edgeset(es: EdgeSet, n_shards: int, rec_block: int,
-                         num_send=None) -> EdgeSet:
+                         num_send=None, sender_map=None) -> EdgeSet:
     """Partition an EdgeSet by the RECEIVER's owner shard (contiguous
     blocks of `rec_block` receiver rows): each chunk holds ALL in-edges of
     its owned receivers in LOCAL receiver indices, so aggregation is
-    shard-complete with no collective."""
+    shard-complete with no collective. `sender_map(s, send_global)`
+    optionally rewrites each chunk's sender ids (halo scheme: compact
+    [owned ++ imports] positions)."""
     send, recv, feat = _real_edges(es)
     shard_of = recv // rec_block
     K = es.dense_k or 8
-    sets = [
-        EdgeSet.from_local(
-            send[shard_of == s], recv[shard_of == s] - s * rec_block,
-            feat[shard_of == s], num_send=num_send or es.num_send,
+    sets = []
+    for s in range(n_shards):
+        sel = shard_of == s
+        snd = send[sel]
+        if sender_map is not None:
+            snd = sender_map(s, snd)
+        sets.append(EdgeSet.from_local(
+            snd, recv[sel] - s * rec_block,
+            feat[sel], num_send=num_send or es.num_send,
             num_rec=rec_block, dense=True, dense_force_k=K,
             dense_min_virt=0,
-        )
-        for s in range(n_shards)
-    ]
+        ))
     return _stack_edgesets(sets)
 
 
@@ -436,10 +441,25 @@ class RSShard:
     num_grid: int = dataclasses.field(metadata={"static": True})
     num_mesh: int = dataclasses.field(metadata={"static": True})
     mblock: int = dataclasses.field(metadata={"static": True})
+    # halo variant: cut-edge exchange plans for the level-0 sender tables
+    # (m2m consumers and m2g) and the g2m push fold; level-0 statics in
+    # each shard's compact layout. See parallel/spatial.py's halo scheme
+    mm_send_idx: jax.Array | None = None  # (S, Xmm) owner-local rows
+    mg_send_idx: jax.Array | None = None  # (S, Xmg)
+    g2m_add_pos: jax.Array | None = None  # (S, Yg) owner-local positions
+    mesh_static0_c: jax.Array | None = None  # (S, mblock + Yg, d)
+    mm_plan: tuple = dataclasses.field(default=(),
+                                       metadata={"static": True})
+    mg_plan: tuple = dataclasses.field(default=(),
+                                       metadata={"static": True})
+    g2m_plan: tuple = dataclasses.field(default=(),
+                                        metadata={"static": True})
+    halo: bool = dataclasses.field(default=False,
+                                   metadata={"static": True})
 
 
 def build_rs_shard(graph: LoadedGraph, n_shards: int,
-                   grid_static_features) -> RSShard:
+                   grid_static_features, halo: bool = False) -> RSShard:
     ng = graph.num_grid_nodes
     nm = graph.level_sizes[0]
     block = -(-ng // n_shards)
@@ -447,36 +467,121 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
     mblock = -(-nm // n_shards)
     nm_pad = mblock * n_shards
 
+    halo_extra = {}
+    mm_sender_map = mg_sender_map = None
+    mm_num_send = mg_num_send = nm_pad
+    g2m_rec_map = None
+    g2m_num_rec = nm_pad
+    if halo:
+        from .spatial import _build_gather_halo, _build_push_halo
+
+        def owner(gids):
+            return np.minimum(np.asarray(gids, np.int64) // mblock,
+                              n_shards - 1)
+
+        def make_map(remap):
+            def sender_map(s, gids):
+                gids = np.asarray(gids, np.int64)
+                own = owner(gids)
+                out = np.empty(len(gids), np.int64)
+                for i, g_ in enumerate(gids):
+                    out[i] = g_ - s * mblock if own[i] == s \
+                        else remap[s][int(g_)]
+                return out
+            return sender_map
+
+        send, recv, _ = _real_edges(graph.m2m[0])
+        mm_plan, mm_send_idx, mm_remap = _build_gather_halo(
+            send, owner(recv), mblock, n_shards
+        )
+        mm_sender_map = make_map(mm_remap)
+        mm_num_send = mblock + sum(w for _, w in mm_plan)
+
+        send, recv, _ = _real_edges(graph.m2g)
+        mg_plan, mg_send_idx, mg_remap = _build_gather_halo(
+            send, np.minimum(recv // block, n_shards - 1), mblock, n_shards
+        )
+        mg_sender_map = make_map(mg_remap)
+        mg_num_send = mblock + sum(w for _, w in mg_plan)
+
+        # g2m push halo: aggregate into a compact [owned ++ pushed]
+        # layout, ppermute only pushed boundary rows to their owners
+        send, recv, _ = _real_edges(graph.g2m)
+        g2m_plan, g2m_push_pos, g2m_add_pos, yg = _build_push_halo(
+            recv, np.minimum(send // block, n_shards - 1), mblock,
+            n_shards,
+        )
+        g2m_num_rec = mblock + yg
+
+        def g2m_rec_map(s, gids):
+            gids = np.asarray(gids, np.int64)
+            own = owner(gids)
+            out = np.empty(len(gids), np.int64)
+            for i, g_ in enumerate(gids):
+                out[i] = g_ - s * mblock if own[i] == s \
+                    else g2m_push_pos[s][int(g_)]
+            return out
+
+        # level-0 statics in each shard's compact layout (rec_t for g2m
+        # and the initial mesh embedding are computed on these rows —
+        # nothing full-mesh is computed replicated)
+        ms0 = _pad_axis(
+            np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
+        )
+        ms0_c = np.zeros((n_shards, g2m_num_rec, ms0.shape[1]), np.float32)
+        for s in range(n_shards):
+            ms0_c[s, :mblock] = ms0[s * mblock:(s + 1) * mblock]
+            for gid, pos in g2m_push_pos[s].items():
+                ms0_c[s, pos] = ms0[gid]
+
+        halo_extra = {
+            "mm_send_idx": jnp.asarray(mm_send_idx),
+            "mg_send_idx": jnp.asarray(mg_send_idx),
+            "g2m_add_pos": jnp.asarray(g2m_add_pos),
+            "mesh_static0_c": jnp.asarray(ms0_c),
+            "mm_plan": mm_plan, "mg_plan": mg_plan, "g2m_plan": g2m_plan,
+            "halo": True,
+        }
+
     # g2m by sender grid block; receiver space padded so the partial
-    # aggregation reduce-scatters evenly to owners
+    # aggregation reduce-scatters evenly to owners ("rs") or remapped to
+    # each shard's compact [owned ++ pushed] layout ("halo")
     send, recv, feat = _real_edges(graph.g2m)
     shard_of = send // block
     k_g2m = graph.g2m.dense_k or 8
-    g2m_sets = [
-        EdgeSet.from_local(
-            send[shard_of == s] - s * block, recv[shard_of == s],
-            feat[shard_of == s], num_send=block, num_rec=nm_pad,
+    g2m_sets = []
+    for s in range(n_shards):
+        sel = shard_of == s
+        rcv = recv[sel]
+        if g2m_rec_map is not None:
+            rcv = g2m_rec_map(s, rcv)
+        g2m_sets.append(EdgeSet.from_local(
+            send[sel] - s * block, rcv,
+            feat[sel], num_send=block, num_rec=g2m_num_rec,
             dense=True, dense_force_k=k_g2m,
-        )
-        for s in range(n_shards)
-    ]
+        ))
     # m2g by receiver grid block; senders gather from the all-gathered
-    # (B, nm_pad, h) table
+    # (B, nm_pad, h) table ("rs") or the compact [owned ++ halo imports]
+    # table ("halo" — sender ids remapped here)
     send, recv, feat = _real_edges(graph.m2g)
     shard_of = recv // block
     k_m2g = graph.m2g.dense_k or 8
-    m2g_sets = [
-        EdgeSet.from_local(
-            send[shard_of == s], recv[shard_of == s] - s * block,
-            feat[shard_of == s], num_send=nm_pad, num_rec=block,
+    m2g_sets = []
+    for s in range(n_shards):
+        sel = shard_of == s
+        snd = send[sel]
+        if mg_sender_map is not None:
+            snd = mg_sender_map(s, snd)
+        m2g_sets.append(EdgeSet.from_local(
+            snd, recv[sel] - s * block,
+            feat[sel], num_send=mg_num_send, num_rec=block,
             dense=True, dense_force_k=k_m2g,
-        )
-        for s in range(n_shards)
-    ]
+        ))
     # level-0 m2m by receiver OWNER: local receivers, shard-local
     # aggregation; upper-level edge sets as balanced scheme-1 chunks
     m2m = (_owned_chunk_edgeset(graph.m2m[0], n_shards, mblock,
-                                num_send=nm_pad),) + tuple(
+                                num_send=mm_num_send,
+                                sender_map=mm_sender_map),) + tuple(
         _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
     )
     # up[0] senders are the sharded level-0 rows: partition by SENDER
@@ -513,12 +618,16 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
         num_grid=int(ng),
         num_mesh=int(nm),
         mblock=int(mblock),
+        **halo_extra,
     )
 
 
-def spatialize_rs(model, mesh: Mesh):
+def spatialize_rs(model, mesh: Mesh, halo: bool = False):
     """Mesh-node-sharded copy of a model: level-0 mesh rows live with
-    their owner shard (flat graph_lam and the hierarchical families)."""
+    their owner shard (flat graph_lam and the hierarchical families).
+    halo=True swaps the full-table sender all-gathers for cut-edge halo
+    ppermutes (the sender tables become compact [owned ++ imports]
+    layouts; the edge chunks' sender ids are remapped at build time)."""
     assert "space" in mesh.axis_names
     assert getattr(model.args, "mesh_aggr", "sum") == "sum", (
         "scatter mode implements sum aggregation"
@@ -532,7 +641,8 @@ def spatialize_rs(model, mesh: Mesh):
     sp = copy.copy(model)
     base_cls = type(model)
     sp.spatial = build_rs_shard(
-        model.graph, n_space, model.statics.grid_static_features
+        model.graph, n_space, model.statics.grid_static_features,
+        halo=halo,
     )
     sp.mesh = mesh
     sp._array_fields = tuple(model._array_fields) + ("spatial",)
@@ -542,9 +652,43 @@ def spatialize_rs(model, mesh: Mesh):
         local = copy.copy(self)
         local.__class__ = base_cls
 
-        def gather0(rep):
-            return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+        if part.halo:
+            from .spatial import _halo_exchange, _halo_fold
 
+            S = part.n_shards
+
+            def gather0(rep):
+                return jnp.concatenate([
+                    rep,
+                    _halo_exchange(rep, part.mm_send_idx[0],
+                                   part.mm_plan, S),
+                ], axis=1)
+
+            def gather_m2g(rep):
+                return jnp.concatenate([
+                    rep,
+                    _halo_exchange(rep, part.mg_send_idx[0],
+                                   part.mg_plan, S),
+                ], axis=1)
+
+            def g2m_fold(aggregated, rec_rep, agg_axis, rec_axis):
+                return _halo_fold(
+                    aggregated, rec_rep, agg_axis, rec_axis,
+                    part.g2m_add_pos[0], part.g2m_plan, part.mblock, S,
+                )
+
+            local._m2g_sender_rep = gather_m2g
+        else:
+            def gather0(rep):
+                return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+
+        mesh_static = part.mesh_static
+        if part.halo:
+            # level-0 statics in the compact [owned ++ pushed] layout:
+            # the initial mesh embedding and the g2m receiver transform
+            # are computed per shard on exactly these rows
+            mesh_static = ((part.mesh_static0_c[0],)
+                           + tuple(part.mesh_static[1:]))
         local.graph = dataclasses.replace(
             self.graph,
             g2m=_unstack_edgeset(part.g2m),
@@ -552,13 +696,13 @@ def spatialize_rs(model, mesh: Mesh):
             m2m=tuple(_unstack_edgeset(es) for es in part.m2m),
             up=tuple(_unstack_edgeset(es) for es in part.up),
             down=tuple(_unstack_edgeset(es) for es in part.down),
-            mesh_static_features=part.mesh_static,
+            mesh_static_features=mesh_static,
         )
         local.statics = dataclasses.replace(
             self.statics, grid_static_features=part.grid_static
         )
         local._g2m_psum_axis = "space"
-        local._g2m_psum_mode = "scatter"
+        local._g2m_psum_mode = g2m_fold if part.halo else "scatter"
         # level 0 is receiver-owned: local aggregation, all-gathered
         # sender tables; upper levels keep the scheme-1 chunk+psum
         local._mesh_psum_axis = None

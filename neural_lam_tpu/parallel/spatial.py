@@ -473,6 +473,39 @@ def _halo_exchange(owned, send_idx, plan, n_shards):
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
+def _halo_fold(aggregated, rec_rep, agg_axis, rec_axis, add_pos, plan,
+               mblock, n_shards):
+    """Push-type cut-edge halo fold: compact [owned ++ pushed] partial
+    aggregation -> owned rows.
+
+    Each pushed segment (plan rounds) is ppermuted to its owner shard and
+    added at static `add_pos` positions (sentinel mblock drops padding);
+    rec_rep's owned rows are its leading block (static slice). Signature
+    matches the callable psum_mode hook of apply_interaction_net /
+    _apply_inet_flat, handling both the flat (N, B*h) and batched
+    (B, N, h) aggregation layouts via agg_axis/rec_axis."""
+    a = jnp.moveaxis(aggregated, agg_axis, 0)
+    own = jnp.pad(
+        jax.lax.slice_in_dim(a, 0, mblock, axis=0),
+        [(0, 1)] + [(0, 0)] * (a.ndim - 1),
+    )  # sentinel row mblock absorbs padded positions
+    base = mblock
+    for d, w in plan:
+        seg = jax.lax.slice_in_dim(a, base, base + w, axis=0)
+        perm = [(s, s + d) for s in range(n_shards)
+                if 0 <= s + d < n_shards]
+        recv = jax.lax.ppermute(seg, "space", perm=perm)
+        pos = jax.lax.slice_in_dim(add_pos, base - mblock,
+                                   base - mblock + w, axis=0)
+        own = own.at[pos].add(recv)
+        base += w
+    own = jnp.moveaxis(
+        jax.lax.slice_in_dim(own, 0, mblock, axis=0), 0, agg_axis
+    )
+    rec = jax.lax.slice_in_dim(rec_rep, 0, mblock, axis=rec_axis)
+    return own, rec
+
+
 def _edge_messages(params, edge_emb, send_t_rows, rec_t_rows, cd):
     """EdgeMLP tail given already-gathered decomposed first-layer pieces.
 

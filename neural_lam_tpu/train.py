@@ -872,12 +872,11 @@ def main(input_args=None):
                              "scatter/all-gather (hierarchical graphs "
                              "shard the bottom level) — 40-60%% less "
                              "collective traffic and sharded mesh-node "
-                             "MLPs; mesh_halo: mesh-node sharding with "
-                             "CUT-EDGE halo exchange (ppermute of the "
-                             "~2-4%% boundary rows instead of full-mesh "
-                             "all-gathers; graph_lam only; "
-                             "docs/SCALING.md). grid/mesh_rs support "
-                             "every non-latent family")
+                             "MLPs; mesh_halo: mesh_rs with CUT-EDGE "
+                             "halo exchange (ppermute of the ~2-4%% "
+                             "boundary rows instead of full-table "
+                             "all-gathers; docs/SCALING.md). All three "
+                             "support every non-latent family")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")
@@ -976,21 +975,12 @@ def main(input_args=None):
             n_data=min(best_data_axis(args.batch_size), n_dev // n_space),
             n_space=n_space,
         )
-        if args.spatial_scheme == "mesh_rs":
+        if args.spatial_scheme in ("mesh_rs", "mesh_halo"):
             from .parallel.grid_sharded import spatialize_rs
 
-            model = spatialize_rs(model, mesh)
-        elif args.spatial_scheme == "mesh_halo":
-            from .parallel.spatial import SpatialGraphLAM
-
-            assert args.model == "graph_lam", (
-                "--spatial_scheme mesh_halo (cut-edge halo exchange) "
-                "currently supports flat graphs (graph_lam) only; use "
-                "mesh_rs for hierarchical models"
+            model = spatialize_rs(
+                model, mesh, halo=args.spatial_scheme == "mesh_halo"
             )
-            model = SpatialGraphLAM(model_args, config, datastore,
-                                    graph=model.graph, mesh=mesh,
-                                    scheme="halo")
         else:
             model = spatialize(model, mesh)
     elif multihost:

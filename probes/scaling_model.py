@@ -66,7 +66,10 @@ REPL_FRACTION = {"graph_lam": 0.04, "hi_lam": 0.09, "hi_lam_parallel": 0.09,
                  "hi_lam_parallel_rs": 0.025,
                  # halo computes mesh embedding / g2m rec_t on the compact
                  # per-shard row set — no full-mesh replicated compute left
-                 "graph_lam_halo": 0.003}
+                 "graph_lam_halo": 0.003,
+                 # production halo (grid_sharded spatialize_rs(halo=True)):
+                 # upper-level replicated residue as in rs
+                 "hi_lam_halo": 0.025, "hi_lam_parallel_halo": 0.025}
 
 # scheme "halo" (parallel/spatial.py): cut-edge ppermute rows measured from
 # the MEPS graph's exchange plans at S=8 (offsets +-1 dominate, +-2..3 add
@@ -123,18 +126,48 @@ def collective_units(family):
     return len(sizes), 2.0 * sum(sizes) * BYTES
 
 
+def halo_mix(family):
+    """Halo schemes (parallel/spatial.py scheme="halo" and grid_sharded
+    spatialize_rs(halo=True)): every LEVEL-0 collective — the per-layer
+    m2m sender tables, the m2g sender table AND the g2m partial push —
+    rides cut-edge halo rows; only the hierarchical UPPER levels keep
+    their small psums. Returns (full_bytes_units, halo_rows, rounds) —
+    full_bytes still scale with (S-1)/S, halo rows are ~constant in S."""
+    arr = lambda n: B * n * D
+    n1, n2 = HI_LEVELS[1], HI_LEVELS[2]
+    g2m_rows = HALO_ROWS["g2m"]
+    if family == "graph_lam_halo":
+        rows = (g2m_rows + P * HALO_ROWS["m2m_per_layer"]
+                + HALO_ROWS["m2g"])
+        rounds = (HALO_ROUNDS["g2m"] + P * HALO_ROUNDS["m2m_per_layer"]
+                  + HALO_ROUNDS["m2g"])
+        return 0.0, rows, rounds
+    if family == "hi_lam_halo":
+        full = [(2, arr(n1))] * (2 + 4 * P) + [(2, arr(n2))] * (1 + 3 * P)
+        rows = (g2m_rows + 2 * P * HALO_ROWS["m2m_per_layer"]
+                + HALO_ROWS["m2g"])
+        rounds = len(full) + HALO_ROUNDS["g2m"] \
+            + 2 * P * HALO_ROUNDS["m2m_per_layer"] + HALO_ROUNDS["m2g"]
+        return float(sum(u * e for u, e in full)) * BYTES, rows, rounds
+    if family == "hi_lam_parallel_halo":
+        full = [(2, arr(n1))] * (2 + P) + [(2, arr(n2))] * (1 + P)
+        rows = (g2m_rows + P * HALO_ROWS["m2m_per_layer"]
+                + HALO_ROWS["m2g"])
+        rounds = len(full) + HALO_ROUNDS["g2m"] \
+            + P * HALO_ROUNDS["m2m_per_layer"] + HALO_ROUNDS["m2g"]
+        return float(sum(u * e for u, e in full)) * BYTES, rows, rounds
+    raise ValueError(family)
+
+
 def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
     rows = []
     for family in ("graph_lam", "hi_lam", "hi_lam_parallel",
                    "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs",
-                   "graph_lam_halo"):
+                   "graph_lam_halo", "hi_lam_halo", "hi_lam_parallel_halo"):
         halo = family.endswith("_halo")
         if halo:
-            halo_rows = (HALO_ROWS["g2m"] + P * HALO_ROWS["m2m_per_layer"]
-                         + HALO_ROWS["m2g"])
-            payload = float(halo_rows * B * D * BYTES)
-            n_coll = (HALO_ROUNDS["g2m"] + P * HALO_ROUNDS["m2m_per_layer"]
-                      + HALO_ROUNDS["m2g"])
+            full_bytes, halo_rows, n_coll = halo_mix(family)
+            payload = full_bytes + halo_rows * B * D * BYTES
         else:
             n_coll, payload = collective_units(family)
         repl = REPL_FRACTION[family]
@@ -142,10 +175,15 @@ def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
             lat = n_coll * latency_us * 1e-6
 
             # strong: fixed problem; replicated node work constant.
-            # halo: boundary bytes don't scale with (S-1)/S — constant
-            comm = (payload / (ici_gbps * 1e9) + lat) if halo else (
-                payload * (S - 1) / S / (ici_gbps * 1e9) + lat
-            )
+            # halo: boundary bytes don't scale with (S-1)/S — constant;
+            # any remaining full-array collectives (g2m rs, upper-level
+            # psums in the hierarchical mixes) still do
+            if halo:
+                halo_b = halo_rows * B * D * BYTES
+                comm = (full_bytes * (S - 1) / S + halo_b) \
+                    / (ici_gbps * 1e9) + lat
+            else:
+                comm = payload * (S - 1) / S / (ici_gbps * 1e9) + lat
             t1 = step_ms / 1000.0
             # `overhead` = measured S=1 cost ratio of the sharded body vs
             # the unsharded step (probes/rs_overhead.py: ~1.27) — chunk
@@ -157,9 +195,11 @@ def model_rows(step_ms, train_ms, ici_gbps, latency_us, overhead=1.0):
             # weak: domain grows with S -> payload and replicated node
             # work grow ~S; local work constant. halo: cut bands per
             # shard stay constant as the domain grows
-            comm_w = comm if halo else (
-                payload * (S - 1) / (ici_gbps * 1e9) + lat
-            )
+            if halo:
+                comm_w = (full_bytes * (S - 1) + halo_b) \
+                    / (ici_gbps * 1e9) + lat
+            else:
+                comm_w = payload * (S - 1) / (ici_gbps * 1e9) + lat
             t_w = overhead * t1 * ((1 - repl) + repl * S) + comm_w
             weak = t1 / t_w
 

@@ -39,20 +39,21 @@ def env(tmp_path_factory):
 
 @pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam",
                                         "hi_lam_parallel", "graph_lam:rs",
-                                        "hi_lam:rs", "hi_lam_parallel:rs"])
+                                        "hi_lam:rs", "hi_lam_parallel:rs",
+                                        "graph_lam:halo", "hi_lam:halo",
+                                        "hi_lam_parallel:halo"])
 def test_grid_sharded_matches(model_name, env):
     datastore, config, flat, hier = env
-    rs = model_name.endswith(":rs")
-    model_name = model_name.split(":")[0]
+    model_name, _, variant = model_name.partition(":")
     graph = flat if model_name == "graph_lam" else hier
     args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
     model = MODELS[model_name](args, config, datastore, graph)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=2, n_space=4)
-    if rs:
+    if variant:
         from neural_lam_tpu.parallel.grid_sharded import spatialize_rs
 
-        sp = spatialize_rs(model, mesh)
+        sp = spatialize_rs(model, mesh, halo=variant == "halo")
     else:
         sp = spatialize(model, mesh)
 
