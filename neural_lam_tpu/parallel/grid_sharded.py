@@ -441,15 +441,24 @@ class RSShard:
     num_grid: int = dataclasses.field(metadata={"static": True})
     num_mesh: int = dataclasses.field(metadata={"static": True})
     mblock: int = dataclasses.field(metadata={"static": True})
-    # halo variant: cut-edge exchange plans for the level-0 sender tables
-    # (m2m consumers and m2g) and the g2m push fold; level-0 statics in
-    # each shard's compact layout. See parallel/spatial.py's halo scheme
-    mm_send_idx: jax.Array | None = None  # (S, Xmm) owner-local rows
+    # halo variant: EVERY level's node state is receiver-owned and every
+    # sender table rides cut-edge exchange plans (per-edge-set send lists
+    # + static ppermute plans); the g2m partial push-folds to owners;
+    # statics live in each shard's owned/compact layout. See
+    # parallel/spatial.py's halo scheme
+    mm_send_idx: tuple = ()    # per m2m level: (S, X) owner-local rows
+    up_send_idx: tuple = ()    # per up edge set
+    down_send_idx: tuple = ()  # per down edge set
     mg_send_idx: jax.Array | None = None  # (S, Xmg)
     g2m_add_pos: jax.Array | None = None  # (S, Yg) owner-local positions
-    mesh_static0_c: jax.Array | None = None  # (S, mblock + Yg, d)
-    mm_plan: tuple = dataclasses.field(default=(),
-                                       metadata={"static": True})
+    mesh_static0_c: jax.Array | None = None  # (S, mblock0 + Yg, d)
+    mesh_static_own: tuple = ()  # upper levels: (S, mblock_l, d)
+    mm_plans: tuple = dataclasses.field(default=(),
+                                        metadata={"static": True})
+    up_plans: tuple = dataclasses.field(default=(),
+                                        metadata={"static": True})
+    down_plans: tuple = dataclasses.field(default=(),
+                                          metadata={"static": True})
     mg_plan: tuple = dataclasses.field(default=(),
                                        metadata={"static": True})
     g2m_plan: tuple = dataclasses.field(default=(),
@@ -468,40 +477,61 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
     nm_pad = mblock * n_shards
 
     halo_extra = {}
-    mm_sender_map = mg_sender_map = None
-    mm_num_send = mg_num_send = nm_pad
+    mg_sender_map = None
+    mg_num_send = nm_pad
     g2m_rec_map = None
     g2m_num_rec = nm_pad
+    # per-level owned-block sizes (level 0 == mblock)
+    mblocks = [-(-n_l // n_shards) for n_l in graph.level_sizes]
     if halo:
         from .spatial import _build_gather_halo, _build_push_halo
 
-        def owner(gids):
-            return np.minimum(np.asarray(gids, np.int64) // mblock,
-                              n_shards - 1)
+        def gather_plan(es, send_blk, rec_blk):
+            """Cut-edge exchange plan for one edge set: per-shard send
+            lists, static ppermute rounds, a sender-id remapper into the
+            [owned ++ imports] compact space, and its width."""
+            send, recv, _ = _real_edges(es)
+            plan, send_idx, remap = _build_gather_halo(
+                send, np.minimum(recv // rec_blk, n_shards - 1),
+                send_blk, n_shards,
+            )
 
-        def make_map(remap):
-            def sender_map(s, gids):
+            def smap(s, gids):
                 gids = np.asarray(gids, np.int64)
-                own = owner(gids)
+                own = np.minimum(gids // send_blk, n_shards - 1)
                 out = np.empty(len(gids), np.int64)
                 for i, g_ in enumerate(gids):
-                    out[i] = g_ - s * mblock if own[i] == s \
+                    out[i] = g_ - s * send_blk if own[i] == s \
                         else remap[s][int(g_)]
                 return out
-            return sender_map
 
-        send, recv, _ = _real_edges(graph.m2m[0])
-        mm_plan, mm_send_idx, mm_remap = _build_gather_halo(
-            send, owner(recv), mblock, n_shards
-        )
-        mm_sender_map = make_map(mm_remap)
-        mm_num_send = mblock + sum(w for _, w in mm_plan)
+            num_send = send_blk + sum(w for _, w in plan)
+            return plan, jnp.asarray(send_idx), smap, num_send
+
+        # m2m[l]: senders and receivers at level l (owned by mblocks[l])
+        mm = [gather_plan(es, mblocks[l], mblocks[l])
+              for l, es in enumerate(graph.m2m)]
+        # up[l]: level-l senders -> level-(l+1) owned receivers
+        up_p = [gather_plan(es, mblocks[l], mblocks[l + 1])
+                for l, es in enumerate(graph.up)]
+        # down[l]: level-(l+1) senders -> level-l owned receivers
+        down_p = [gather_plan(es, mblocks[l + 1], mblocks[l])
+                  for l, es in enumerate(graph.down)]
 
         send, recv, _ = _real_edges(graph.m2g)
         mg_plan, mg_send_idx, mg_remap = _build_gather_halo(
             send, np.minimum(recv // block, n_shards - 1), mblock, n_shards
         )
-        mg_sender_map = make_map(mg_remap)
+
+        def mg_sender_map(s, gids):
+            gids = np.asarray(gids, np.int64)
+            own = np.minimum(gids // mblock, n_shards - 1)
+            out = np.empty(len(gids), np.int64)
+            for i, g_ in enumerate(gids):
+                out[i] = g_ - s * mblock if own[i] == s \
+                    else mg_remap[s][int(g_)]
+            return out
+
         mg_num_send = mblock + sum(w for _, w in mg_plan)
 
         # g2m push halo: aggregate into a compact [owned ++ pushed]
@@ -515,7 +545,7 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
 
         def g2m_rec_map(s, gids):
             gids = np.asarray(gids, np.int64)
-            own = owner(gids)
+            own = np.minimum(gids // mblock, n_shards - 1)
             out = np.empty(len(gids), np.int64)
             for i, g_ in enumerate(gids):
                 out[i] = g_ - s * mblock if own[i] == s \
@@ -523,8 +553,9 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
             return out
 
         # level-0 statics in each shard's compact layout (rec_t for g2m
-        # and the initial mesh embedding are computed on these rows —
-        # nothing full-mesh is computed replicated)
+        # and the initial mesh embedding are computed on these rows);
+        # upper levels carry their OWNED slices only — nothing full-mesh
+        # is computed replicated
         ms0 = _pad_axis(
             np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
         )
@@ -533,13 +564,26 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
             ms0_c[s, :mblock] = ms0[s * mblock:(s + 1) * mblock]
             for gid, pos in g2m_push_pos[s].items():
                 ms0_c[s, pos] = ms0[gid]
+        ms_own = []
+        for l, feat in enumerate(graph.mesh_static_features[1:], start=1):
+            f = _pad_axis(np.asarray(feat, np.float32),
+                          mblocks[l] * n_shards)
+            ms_own.append(jnp.asarray(
+                f.reshape(n_shards, mblocks[l], f.shape[1])
+            ))
 
         halo_extra = {
-            "mm_send_idx": jnp.asarray(mm_send_idx),
+            "mm_send_idx": tuple(p[1] for p in mm),
+            "up_send_idx": tuple(p[1] for p in up_p),
+            "down_send_idx": tuple(p[1] for p in down_p),
             "mg_send_idx": jnp.asarray(mg_send_idx),
             "g2m_add_pos": jnp.asarray(g2m_add_pos),
             "mesh_static0_c": jnp.asarray(ms0_c),
-            "mm_plan": mm_plan, "mg_plan": mg_plan, "g2m_plan": g2m_plan,
+            "mesh_static_own": tuple(ms_own),
+            "mm_plans": tuple(p[0] for p in mm),
+            "up_plans": tuple(p[0] for p in up_p),
+            "down_plans": tuple(p[0] for p in down_p),
+            "mg_plan": mg_plan, "g2m_plan": g2m_plan,
             "halo": True,
         }
 
@@ -577,26 +621,46 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
             feat[sel], num_send=mg_num_send, num_rec=block,
             dense=True, dense_force_k=k_m2g,
         ))
-    # level-0 m2m by receiver OWNER: local receivers, shard-local
-    # aggregation; upper-level edge sets as balanced scheme-1 chunks
-    m2m = (_owned_chunk_edgeset(graph.m2m[0], n_shards, mblock,
-                                num_send=mm_num_send,
-                                sender_map=mm_sender_map),) + tuple(
-        _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
-    )
-    # up[0] senders are the sharded level-0 rows: partition by SENDER
-    # owner so messages read only owned rows (no gather; the level-1
-    # partial aggregation is psum'd anyway)
-    up = tuple(
-        _sender_owned_chunk_edgeset(es, n_shards, mblock) if i == 0
-        else _chunk_edgeset(es, n_shards)
-        for i, es in enumerate(graph.up)
-    )
-    down = tuple(
-        _owned_chunk_edgeset(es, n_shards, mblock) if i == 0
-        else _chunk_edgeset(es, n_shards)
-        for i, es in enumerate(graph.down)
-    )
+    if halo:
+        # EVERY level is receiver-owned; all sender tables are compact
+        # [owned ++ halo imports] layouts (ids remapped here)
+        m2m = tuple(
+            _owned_chunk_edgeset(es, n_shards, mblocks[l],
+                                 num_send=mm[l][3], sender_map=mm[l][2])
+            for l, es in enumerate(graph.m2m)
+        )
+        up = tuple(
+            _owned_chunk_edgeset(es, n_shards, mblocks[l + 1],
+                                 num_send=up_p[l][3],
+                                 sender_map=up_p[l][2])
+            for l, es in enumerate(graph.up)
+        )
+        down = tuple(
+            _owned_chunk_edgeset(es, n_shards, mblocks[l],
+                                 num_send=down_p[l][3],
+                                 sender_map=down_p[l][2])
+            for l, es in enumerate(graph.down)
+        )
+    else:
+        # level-0 m2m by receiver OWNER: local receivers, shard-local
+        # aggregation; upper-level edge sets as balanced scheme-1 chunks
+        m2m = (_owned_chunk_edgeset(graph.m2m[0], n_shards, mblock,
+                                    num_send=nm_pad),) + tuple(
+            _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
+        )
+        # up[0] senders are the sharded level-0 rows: partition by SENDER
+        # owner so messages read only owned rows (no gather; the level-1
+        # partial aggregation is psum'd anyway)
+        up = tuple(
+            _sender_owned_chunk_edgeset(es, n_shards, mblock) if i == 0
+            else _chunk_edgeset(es, n_shards)
+            for i, es in enumerate(graph.up)
+        )
+        down = tuple(
+            _owned_chunk_edgeset(es, n_shards, mblock) if i == 0
+            else _chunk_edgeset(es, n_shards)
+            for i, es in enumerate(graph.down)
+        )
     mesh_static = (jnp.asarray(_pad_axis(
         np.asarray(graph.mesh_static_features[0], np.float32), nm_pad
     )),) + tuple(
@@ -657,12 +721,24 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
 
             S = part.n_shards
 
-            def gather0(rep):
+            def hi_send(rep, kind, idx):
+                """Cut-edge halo import for edge set (kind, idx): extend
+                the owned sender rows with the rows this shard's edges
+                reference on other shards."""
+                arrs, plans = {
+                    "m2m": (part.mm_send_idx, part.mm_plans),
+                    "up": (part.up_send_idx, part.up_plans),
+                    "down": (part.down_send_idx, part.down_plans),
+                }[kind]
+                plan = plans[idx]
+                if not plan:
+                    return rep
                 return jnp.concatenate([
-                    rep,
-                    _halo_exchange(rep, part.mm_send_idx[0],
-                                   part.mm_plan, S),
+                    rep, _halo_exchange(rep, arrs[idx][0], plan, S)
                 ], axis=1)
+
+            def gather0(rep):
+                return hi_send(rep, "m2m", 0)
 
             def gather_m2g(rep):
                 return jnp.concatenate([
@@ -684,11 +760,12 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
 
         mesh_static = part.mesh_static
         if part.halo:
-            # level-0 statics in the compact [owned ++ pushed] layout:
-            # the initial mesh embedding and the g2m receiver transform
-            # are computed per shard on exactly these rows
+            # level-0 statics in the compact [owned ++ pushed] layout,
+            # upper levels owned slices: every level's embedding and the
+            # g2m receiver transform are computed per shard on exactly
+            # the rows it owns/touches
             mesh_static = ((part.mesh_static0_c[0],)
-                           + tuple(part.mesh_static[1:]))
+                           + tuple(m[0] for m in part.mesh_static_own))
         local.graph = dataclasses.replace(
             self.graph,
             g2m=_unstack_edgeset(part.g2m),
@@ -704,20 +781,28 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
         local._g2m_psum_axis = "space"
         local._g2m_psum_mode = g2m_fold if part.halo else "scatter"
         # level 0 is receiver-owned: local aggregation, all-gathered
-        # sender tables; upper levels keep the scheme-1 chunk+psum
+        # sender tables; upper levels keep the scheme-1 chunk+psum in
+        # "rs" and are receiver-owned with halo imports in "halo"
         local._mesh_psum_axis = None
         local._mesh_sender_rep = gather0
         if self.hierarchical:
-            local._hi_psum_axis = (
-                lambda rec_level: None if rec_level == 0 else "space"
-            )
-            # only m2m[0] reads distributed senders: its receiver-owned
-            # chunks gather from the full level-0 table. up[0] is
-            # sender-owned (local rows), down/up upper levels replicated.
-            local._hi_sender_rep = (
-                lambda rep, kind, idx:
-                gather0(rep) if (kind, idx) == ("m2m", 0) else rep
-            )
+            if part.halo:
+                # every level receiver-owned: no psums at all; every
+                # sender table is its edge set's halo import
+                local._hi_psum_axis = lambda rec_level: None
+                local._hi_sender_rep = hi_send
+            else:
+                local._hi_psum_axis = (
+                    lambda rec_level: None if rec_level == 0 else "space"
+                )
+                # only m2m[0] reads distributed senders: its
+                # receiver-owned chunks gather from the full level-0
+                # table. up[0] is sender-owned (local rows), down/up
+                # upper levels replicated.
+                local._hi_sender_rep = (
+                    lambda rep, kind, idx:
+                    gather0(rep) if (kind, idx) == ("m2m", 0) else rep
+                )
         return local
 
     def _part_specs(part: RSShard):

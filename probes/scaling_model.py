@@ -67,17 +67,26 @@ REPL_FRACTION = {"graph_lam": 0.04, "hi_lam": 0.09, "hi_lam_parallel": 0.09,
                  # halo computes mesh embedding / g2m rec_t on the compact
                  # per-shard row set — no full-mesh replicated compute left
                  "graph_lam_halo": 0.003,
-                 # production halo (grid_sharded spatialize_rs(halo=True)):
-                 # upper-level replicated residue as in rs
-                 "hi_lam_halo": 0.025, "hi_lam_parallel_halo": 0.025}
+                 # per-level-owned halo: no replicated mesh compute; the
+                 # residue is upper-level padding waste (tiny blocks pad
+                 # to mblock_l, e.g. level-3's 9 rows pad to 2x8 at S=8)
+                 "hi_lam_halo": 0.015, "hi_lam_parallel_halo": 0.015}
 
-# scheme "halo" (parallel/spatial.py): cut-edge ppermute rows measured from
-# the MEPS graph's exchange plans at S=8 (offsets +-1 dominate, +-2..3 add
-# a handful of long-stride rows). Per-device one-way rows per step — these
-# are BOUNDARY sizes: constant under weak scaling (domain grows, the cut
+# scheme "halo": cut-edge ppermute rows measured from the MEPS graphs'
+# exchange plans at S=8 (offsets +-1 dominate, longer strides add a
+# handful of rows). Per-device one-way rows per exchange — these are
+# BOUNDARY sizes: constant under weak scaling (domain grows, the cut
 # band per shard doesn't) and ~constant under strong scaling.
 HALO_ROWS = {"g2m": 477, "m2m_per_layer": 246, "m2g": 199}
 HALO_ROUNDS = {"g2m": 2, "m2m_per_layer": 6, "m2g": 2}
+# hierarchical graph (levels 6561/729/81/9), measured from
+# build_rs_shard(halo=True) at S=8: per-exchange rows and ppermute rounds
+HALO_HI = {
+    "m2m": (164, 56, 20, 8), "up": (120, 59, 28), "down": (39, 14, 8),
+    "g2m": 125, "m2g": 199,
+    "rounds": {"m2m": (2, 2, 2, 4), "up": (2, 2, 5), "down": (2, 2, 5),
+               "g2m": 2, "m2g": 2},
+}
 
 
 def rs_collectives(family):
@@ -142,20 +151,27 @@ def halo_mix(family):
         rounds = (HALO_ROUNDS["g2m"] + P * HALO_ROUNDS["m2m_per_layer"]
                   + HALO_ROUNDS["m2g"])
         return 0.0, rows, rounds
+    # hierarchical: EVERY level receiver-owned — no psums remain at all;
+    # rows/rounds from the measured per-edge-set plans (HALO_HI)
+    hh = HALO_HI
+    rr = hh["rounds"]
+    s_mm, s_up, s_dn = sum(hh["m2m"]), sum(hh["up"]), sum(hh["down"])
+    r_mm, r_up, r_dn = sum(rr["m2m"]), sum(rr["up"]), sum(rr["down"])
     if family == "hi_lam_halo":
-        full = [(2, arr(n1))] * (2 + 4 * P) + [(2, arr(n2))] * (1 + 3 * P)
-        rows = (g2m_rows + 2 * P * HALO_ROWS["m2m_per_layer"]
-                + HALO_ROWS["m2g"])
-        rounds = len(full) + HALO_ROUNDS["g2m"] \
-            + 2 * P * HALO_ROUNDS["m2m_per_layer"] + HALO_ROUNDS["m2g"]
-        return float(sum(u * e for u, e in full)) * BYTES, rows, rounds
+        # init up-sweep + P x (down sweep: all m2m + all down; up sweep:
+        # all m2m + all up) + read-out down-sweep + g2m push + m2g
+        rows = (s_up + P * (2 * s_mm + s_up + s_dn) + s_dn
+                + hh["g2m"] + hh["m2g"])
+        rounds = (r_up + P * (2 * r_mm + r_up + r_dn) + r_dn
+                  + rr["g2m"] + rr["m2g"])
+        return 0.0, rows, rounds
     if family == "hi_lam_parallel_halo":
-        full = [(2, arr(n1))] * (2 + P) + [(2, arr(n2))] * (1 + P)
-        rows = (g2m_rows + P * HALO_ROWS["m2m_per_layer"]
-                + HALO_ROWS["m2g"])
-        rounds = len(full) + HALO_ROUNDS["g2m"] \
-            + P * HALO_ROUNDS["m2m_per_layer"] + HALO_ROUNDS["m2g"]
-        return float(sum(u * e for u, e in full)) * BYTES, rows, rounds
+        # init + P x (each chunk once) + read-out + g2m push + m2g
+        rows = (s_up + P * (s_mm + s_up + s_dn) + s_dn
+                + hh["g2m"] + hh["m2g"])
+        rounds = (r_up + P * (r_mm + r_up + r_dn) + r_dn
+                  + rr["g2m"] + rr["m2g"])
+        return 0.0, rows, rounds
     raise ValueError(family)
 
 
