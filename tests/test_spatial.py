@@ -94,3 +94,77 @@ def test_spatial_output_std(setup):
                                atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sp),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_halo_plan_invariants():
+    """_build_gather_halo / _build_push_halo reproduce exact gathers and
+    segment-sums when the exchange is simulated with plain numpy."""
+    from neural_lam_tpu.parallel.spatial import (
+        _build_gather_halo,
+        _build_push_halo,
+    )
+
+    rng = np.random.default_rng(0)
+    S, blk = 4, 7
+    n_rows = S * blk - 3  # ragged last block
+    E = 200
+    send = rng.integers(0, n_rows, E)
+    # destination shards biased to the sender's neighborhood (like real
+    # cut edges) plus a few long-range ones
+    dst = np.clip(send // blk + rng.integers(-1, 2, E), 0, S - 1)
+    dst[:5] = (send[:5] // blk + 2) % S
+
+    # --- gather halo: simulate [owned ++ imports] tables per shard ---
+    plan, send_idx, remap = _build_gather_halo(send, dst, blk, S)
+    table = rng.standard_normal((S * blk, 3)).astype(np.float32)
+    owned = table.reshape(S, blk, 3)
+    # simulate the per-offset ppermute rounds
+    imports = np.zeros((S, sum(w for _, w in plan), 3), np.float32)
+    base = 0
+    for d, w in plan:
+        for src in range(S):
+            t = src + d
+            if 0 <= t < S:
+                imports[t, base:base + w] = owned[src][
+                    send_idx[src, base:base + w]
+                ]
+        base += w
+    ext = np.concatenate([owned, imports], axis=1)  # (S, blk + X, 3)
+    for e in range(E):
+        s = int(dst[e])
+        owner = min(send[e] // blk, S - 1)
+        pos = (send[e] - owner * blk if owner == s
+               else remap[s][int(send[e])])
+        np.testing.assert_array_equal(ext[s, pos], table[send[e]])
+
+    # --- push halo: compact fold == dense segment-sum ---
+    recv = rng.integers(0, n_rows, E)
+    src_shard = np.clip(recv // blk + rng.integers(-1, 2, E), 0, S - 1)
+    plan_p, push_pos, add_pos, y_tot = _build_push_halo(
+        recv, src_shard, blk, S
+    )
+    vals = rng.standard_normal(E).astype(np.float64)
+    # per-shard compact accumulation
+    compact = np.zeros((S, blk + y_tot), np.float64)
+    for e in range(E):
+        s = int(src_shard[e])
+        owner = min(recv[e] // blk, S - 1)
+        pos = (recv[e] - owner * blk if owner == s
+               else push_pos[s][int(recv[e])])
+        compact[s, pos] += vals[e]
+    # simulate the push rounds + fold
+    owned_acc = np.zeros((S, blk + 1), np.float64)  # sentinel row blk
+    owned_acc[:, :blk] = compact[:, :blk]
+    base = 0
+    for d, w in plan_p:
+        for src in range(S):
+            t = src + d
+            if 0 <= t < S:
+                seg = compact[src, blk + base:blk + base + w]
+                np.add.at(owned_acc[t], add_pos[t, base:base + w], seg)
+        base += w
+    dense = np.zeros(S * blk, np.float64)
+    np.add.at(dense, recv, vals)
+    np.testing.assert_allclose(
+        owned_acc[:, :blk].reshape(-1), dense, atol=1e-12
+    )
