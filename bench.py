@@ -231,6 +231,7 @@ def main():
     except Exception as e:
         print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
 
+    ms_train = None
     try:
         import jax.numpy as _jnp
 
@@ -253,7 +254,9 @@ def main():
         # host-side input pipeline vs the device step budget (CPU only)
         from bench_input import measure_pipeline
 
-        pipe = measure_pipeline(device_step_ms=ms_per_step, quick=True)
+        pipe = measure_pipeline(
+            device_step_ms=ms_per_step, quick=True, train_step_ms=ms_train,
+        )
         print(f"[bench] input pipeline: {json.dumps(pipe)}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] input-pipeline measurement failed: {e}",

@@ -178,7 +178,8 @@ def _measure_loader(config_path, batch_size=4, ar_steps=3, num_workers=0):
 
 
 def measure_pipeline(n_t=24, batch_size=4, ar_steps=3,
-                     device_step_ms=None, keep_dir=None, quick=False):
+                     device_step_ms=None, keep_dir=None, quick=False,
+                     train_step_ms=None):
     """Run all measurements; returns a dict of results. quick=True measures
     only the production config (native decoder + worker pool)."""
     from pathlib import Path
@@ -245,6 +246,15 @@ def measure_pipeline(n_t=24, batch_size=4, ar_steps=3,
             results["required_samples_per_s"] = round(need, 1)
             results["pipeline_headroom_x"] = round(
                 results["samples_per_s_native"] / need, 2
+            )
+        if train_step_ms:
+            # exact budget from the MEASURED ar=1 train step (an ar_steps
+            # sample costs ~ar_steps x the ar=1 step)
+            need_m = batch_size / (ar_steps * train_step_ms / 1e3)
+            results["train_step_ms_measured"] = round(train_step_ms, 2)
+            results["required_samples_per_s_measured"] = round(need_m, 1)
+            results["pipeline_headroom_x_measured"] = round(
+                results["samples_per_s_native"] / need_m, 2
             )
         return results
     finally:
