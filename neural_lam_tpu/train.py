@@ -195,8 +195,13 @@ class MetricsLogger:
 class Trainer:
     """Explicit training loop over a model + datamodule."""
 
-    def __init__(self, model, flags: TrainFlags, run_dir=None, mesh=None):
+    def __init__(self, model, flags: TrainFlags, run_dir=None, mesh=None,
+                 eval_model=None):
         self.model = model
+        # evaluation runs host-local under multi-host training; a model
+        # whose predict_step is bound to the GLOBAL mesh (spatial sharding
+        # + --num_nodes) needs a host-local twin for the eval paths
+        self.eval_model = eval_model if eval_model is not None else model
         self.flags = flags
         self.rank = jax.process_index()
         self.run_dir = Path(run_dir or Path(flags.save_dir) / flags.run_name)
@@ -220,11 +225,16 @@ class Trainer:
         # runs host-local on each host's shard of the eval set, merged by
         # fixed-shape cross-host sums (ref: ar_model.py:311-320 gathers)
         if dist.is_multiprocess():
-            self._eval_mesh = make_mesh(
-                n_data=best_data_axis(flags.batch_size,
-                                      jax.local_device_count()),
-                devices=jax.local_devices(),
-            )
+            if eval_model is not None and getattr(eval_model, "mesh", None) \
+                    is not None:
+                # host-local spatialized twin: evaluate on its local mesh
+                self._eval_mesh = eval_model.mesh
+            else:
+                self._eval_mesh = make_mesh(
+                    n_data=best_data_axis(flags.batch_size,
+                                          jax.local_device_count()),
+                    devices=jax.local_devices(),
+                )
         else:
             self._eval_mesh = mesh
         lr = model.args.lr
@@ -263,7 +273,8 @@ class Trainer:
         self._train_step = lambda p, o, b: train_step(
             model_arrays, p, o, b, jnp.asarray(self.global_step, jnp.int32)
         )
-        self._eval_step = jit_model_method(model, "eval_step_metrics")
+        self._eval_step = jit_model_method(self.eval_model,
+                                           "eval_step_metrics")
 
     # --- setup ---
 
@@ -527,7 +538,7 @@ class Trainer:
         summary = agg.summarize()
         make_plots = make_plots and self.rank == 0
 
-        model = self.model
+        model = self.eval_model
         datastore = model.datastore
         state_std = np.asarray(model.statics.state_std)
         log = {"test_mean_loss": summary["val_mean_loss"]}
@@ -605,7 +616,7 @@ class Trainer:
         (ref: ar_model.py:456-566)."""
         from . import vis
 
-        model = self.model
+        model = self.eval_model
         datastore = model.datastore
         jbatch = tuple(jnp.asarray(b) for b in batch)
         prediction, target, _, _ = model.common_step(params, jbatch)
@@ -656,7 +667,7 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
         batch, n_valid = self._pad_batch(batch)
         key, sub = jax.random.split(key)
         jb = tuple(jnp.asarray(b) for b in batch)
-        out = evaluate_ensemble(self.model, params, jb, sub, n_members,
+        out = evaluate_ensemble(self.eval_model, params, jb, sub, n_members,
                                 per_sample=True)
         out = {k: np.asarray(v)[:n_valid].sum(axis=0) for k, v in out.items()}
         sums = out if sums is None else {
@@ -669,7 +680,7 @@ def _trainer_evaluate_ensemble(self, datamodule, params, n_members=5,
             zb = tuple(jnp.asarray(b) for b in self._zero_eval_batch(
                 self.flags.ar_steps_eval
             ))
-            out = evaluate_ensemble(self.model, params, zb,
+            out = evaluate_ensemble(self.eval_model, params, zb,
                                     jax.random.PRNGKey(0), n_members,
                                     per_sample=True)
             sums = {k: np.asarray(v)[:0].sum(axis=0) for k, v in out.items()}
@@ -960,38 +971,52 @@ def main(input_args=None):
     )
 
     model = MODELS[args.model](model_args, config, datastore)
+    eval_model = None
     mesh = None
     if args.spatial_shards > 1:
-        from .parallel.grid_sharded import spatialize
+        from .parallel.grid_sharded import spatialize, spatialize_rs
 
-        assert not multihost, (
-            "--spatial_shards with --num_nodes > 1 is not supported yet: "
-            "spatial sharding currently targets a single host's ICI domain"
-        )
-        n_dev = len(jax.devices())
         n_space = args.spatial_shards
-        assert n_dev % n_space == 0, (n_dev, n_space)
-        mesh = make_mesh(
-            n_data=min(best_data_axis(args.batch_size), n_dev // n_space),
-            n_space=n_space,
-        )
-        if args.spatial_scheme in ("mesh_rs", "mesh_halo"):
-            from .parallel.grid_sharded import spatialize_rs
 
-            model = spatialize_rs(
-                model, mesh, halo=args.spatial_scheme == "mesh_halo"
+        def spat(m, on_mesh):
+            if args.spatial_scheme in ("mesh_rs", "mesh_halo"):
+                return spatialize_rs(
+                    m, on_mesh, halo=args.spatial_scheme == "mesh_halo"
+                )
+            return spatialize(m, on_mesh)
+
+        if multihost:
+            # 'space' stays inside each host's ICI domain, 'data' spans
+            # hosts over DCN (one gradient all-reduce per step). Eval runs
+            # host-local (per-host eval shards, cross-host metric sums),
+            # so it gets a twin sharded over this host's local mesh.
+            mesh = dist.make_global_mesh(n_space=n_space)
+            n_local = jax.local_device_count()
+            assert n_local % n_space == 0, (n_local, n_space)
+            local_mesh = make_mesh(
+                n_data=n_local // n_space, n_space=n_space,
+                devices=jax.local_devices(),
             )
+            eval_model = spat(model, local_mesh)
         else:
-            model = spatialize(model, mesh)
+            n_dev = len(jax.devices())
+            assert n_dev % n_space == 0, (n_dev, n_space)
+            mesh = make_mesh(
+                n_data=min(best_data_axis(args.batch_size),
+                           n_dev // n_space),
+                n_space=n_space,
+            )
+        model = spat(model, mesh)
     elif multihost:
         mesh = dist.make_global_mesh(n_space=1)
+    if multihost:
         global_batch = args.batch_size * jax.process_count()
         assert global_batch % mesh.shape["data"] == 0, (
             f"per-host batch {args.batch_size} x {jax.process_count()} hosts "
             f"must be divisible by the global data axis "
             f"({mesh.shape['data']} devices)"
         )
-    trainer = Trainer(model, flags, mesh=mesh)
+    trainer = Trainer(model, flags, mesh=mesh, eval_model=eval_model)
 
     if args.eval:
         params, opt_state = trainer.init_state()

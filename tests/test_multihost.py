@@ -181,3 +181,48 @@ def test_zero_eval_batch_host_does_not_deadlock(tmp_path):
     assert m, f"no val_mean_loss in output:\n{out0[-2000:]}"
     np.testing.assert_allclose(float(m.group(1)), m1["val_mean_loss"],
                                rtol=5e-5)
+
+
+@pytest.mark.slow
+def test_two_process_spatial_halo_matches_single(tmp_path):
+    """Multi-host data parallelism COMPOSED with intra-host spatial
+    sharding (mesh_halo): 2 processes x (data=1, space=4) vs one process
+    with the same global batch on (data=2, space=4) produce the same
+    trajectory. Training runs lockstep on the global ('data','space')
+    mesh; evaluation runs on each host's local spatialized twin."""
+    cfg = _write_config(tmp_path)
+    subprocess.run(
+        [sys.executable, "-m", "neural_lam_tpu.graph.build",
+         "--config_path", str(cfg), "--name", "mh", "--levels", "1"],
+        env=_env(1), check=True, timeout=300,
+    )
+    spatial = ["--spatial_shards", "4", "--spatial_scheme", "mesh_halo"]
+
+    single = subprocess.run(
+        _train_args(cfg, "single", tmp_path / "s1", 8) + spatial,
+        env=_env(8), check=True, timeout=900,
+    )
+    assert single.returncode == 0
+
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        procs.append(subprocess.Popen(
+            _train_args(cfg, "multi", tmp_path / "s2", 4) + spatial
+            + ["--num_nodes", "2", "--node_rank", str(rank),
+               "--coordinator_address", f"localhost:{port}"],
+            env=_env(4),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    m1 = _read_metrics(tmp_path / "s1" / "single")
+    m2 = _read_metrics(tmp_path / "s2" / "multi")
+    np.testing.assert_allclose(m2["train_loss"], m1["train_loss"], rtol=5e-5)
+    np.testing.assert_allclose(m2["val_mean_loss"], m1["val_mean_loss"],
+                               rtol=5e-5)
