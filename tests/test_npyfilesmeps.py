@@ -160,3 +160,23 @@ def test_stats_workers_identical(tmp_path):
         a = torch.load(cfg_a.parent / "static" / name, weights_only=True)
         b = torch.load(cfg_b.parent / "static" / name, weights_only=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stats_sharded_matches_single(tmp_path):
+    """Multi-node mode (--num_shards/--shard_id): strided shards reduce to
+    float64 partials, the last shard merges — final stats match the
+    single-process pass to fp tolerance (the float64 partial sums and the
+    raw-diff/std reformulation reorder float ops)."""
+    root_a = tmp_path / "a"
+    root_b = tmp_path / "b"
+    cfg_a = make_meps_dataset(root_a, seed=5)
+    cfg_b = make_meps_dataset(root_b, seed=5)
+    stats_main(cfg_a, step_length=2)
+    for shard in (1, 0, 2):  # any completion order; last one merges
+        stats_main(cfg_b, step_length=2, num_shards=3, shard_id=shard)
+    for name in ["parameter_mean.pt", "parameter_std.pt", "flux_stats.pt",
+                 "diff_mean.pt", "diff_std.pt"]:
+        a = torch.load(cfg_a.parent / "static" / name, weights_only=True)
+        b = torch.load(cfg_b.parent / "static" / name, weights_only=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
