@@ -230,6 +230,8 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] extra measurements failed: {e}", file=sys.stderr)
+    finally:
+        model.compute_dtype = None  # never leak bf16 into later blocks
 
     ms_train = None
     try:
@@ -243,12 +245,13 @@ def main():
         model.compute_dtype = _jnp.bfloat16
         ms_train_bf16 = measure_train_step_ms(model, params, prev, prevprev,
                                               forcing)
-        model.compute_dtype = None
         print(f"[bench] bf16 train step: {ms_train_bf16:.2f} ms, "
               f"{BATCH * 1000.0 / ms_train_bf16:.1f} samples/s/chip",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] train-step measurement failed: {e}", file=sys.stderr)
+    finally:
+        model.compute_dtype = None
 
     try:
         # host-side input pipeline vs the device step budget (CPU only)

@@ -453,7 +453,7 @@ class WeatherDataLoader:
                 batch = self._alloc_batch(len(b))
                 init, tgt, forc, tms = batch
 
-                def fill_row(j, i=None):
+                def fill_row(j):
                     tms[j] = self.dataset.write_item(
                         int(b[j]), init[j], tgt[j], forc[j]
                     )

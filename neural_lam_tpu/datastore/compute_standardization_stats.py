@@ -66,19 +66,35 @@ def _map_shard(ds, fn, n_workers, num_shards, shard_id):
         yield from pool.map(lambda i: fn(ds[i]), idxs)
 
 
-def _merge_parts(static_dir_path, num_shards):
+def _part_path(static_dir_path, shard_id, num_shards, job_tag):
+    return static_dir_path / (
+        f"stats_part_{shard_id}of{num_shards}.{job_tag}.npz"
+    )
+
+
+def _atomic_torch_save(tensor, path):
+    import torch
+
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    torch.save(tensor, tmp)
+    os.replace(tmp, path)
+
+
+def _merge_parts(static_dir_path, num_shards, job_tag):
     """Combine all shard partials (float64 sums + counts) and write the
     final .pt stats — the filesystem-based analogue of the reference's
     rank-merge (ref: compute_standardization_stats.py:223-260
-    all_gather_object + rank-0 reduce)."""
-    import torch
-
-    parts = [static_dir_path / f"stats_part_{i}of{num_shards}.npz"
+    all_gather_object + rank-0 reduce). Partials are tagged with the
+    job's `job_tag` so a re-run never mixes another run's leftovers, and
+    the final files are written atomically (tmp + os.replace) — if two
+    shards race to merge, both write identical content, so concurrent
+    merges are benign."""
+    parts = [_part_path(static_dir_path, i, num_shards, job_tag)
              for i in range(num_shards)]
     if not all(p.exists() for p in parts):
         done = sum(p.exists() for p in parts)
-        print(f"{done}/{num_shards} shard partials present; merge will "
-              "run when the last shard finishes")
+        print(f"{done}/{num_shards} shard partials present (tag "
+              f"{job_tag}); merge will run when the last shard finishes")
         return False
     acc = None
     for p in parts:
@@ -96,28 +112,33 @@ def _merge_parts(static_dir_path, num_shards):
     diff_mean = acc["diff_mean_sum"] / acc["n_diff"] / std
     diff_second = acc["diff_sq_sum"] / acc["n_diff"] / std**2
     diff_std = np.sqrt(diff_second - diff_mean**2)
-    torch.save(torch.tensor(mean, dtype=torch.float32),
-               static_dir_path / "parameter_mean.pt")
-    torch.save(torch.tensor(std, dtype=torch.float32),
-               static_dir_path / "parameter_std.pt")
-    torch.save(torch.tensor([flux_mean, flux_std], dtype=torch.float32),
-               static_dir_path / "flux_stats.pt")
-    torch.save(torch.tensor(diff_mean, dtype=torch.float32),
-               static_dir_path / "diff_mean.pt")
-    torch.save(torch.tensor(diff_std, dtype=torch.float32),
-               static_dir_path / "diff_std.pt")
+    import torch
+
+    _atomic_torch_save(torch.tensor(mean, dtype=torch.float32),
+                       static_dir_path / "parameter_mean.pt")
+    _atomic_torch_save(torch.tensor(std, dtype=torch.float32),
+                       static_dir_path / "parameter_std.pt")
+    _atomic_torch_save(torch.tensor([flux_mean, flux_std],
+                                    dtype=torch.float32),
+                       static_dir_path / "flux_stats.pt")
+    _atomic_torch_save(torch.tensor(diff_mean, dtype=torch.float32),
+                       static_dir_path / "diff_mean.pt")
+    _atomic_torch_save(torch.tensor(diff_std, dtype=torch.float32),
+                       static_dir_path / "diff_std.pt")
     print(f"Merged {num_shards} shard partials into final stats at "
           f"{static_dir_path}")
     return True
 
 
 def _main_sharded(datastore, static_dir_path, step_length, n_workers,
-                  num_shards, shard_id):
+                  num_shards, shard_id, job_tag):
     """Multi-node mode: each shard reduces its strided sample subset to
-    float64 partial sums, writes stats_part_<i>of<N>.npz, and whichever
-    shard finds all partials present performs the merge. Launch one
-    process per node (e.g. SLURM: --shard_id $SLURM_PROCID
-    --num_shards $SLURM_NTASKS); no process group needed."""
+    float64 partial sums, writes stats_part_<i>of<N>.<tag>.npz, and
+    whichever shard finds all partials present performs the merge. Launch
+    one process per node (e.g. SLURM: --shard_id $SLURM_PROCID
+    --num_shards $SLURM_NTASKS); no process group needed. The tag
+    (default: $SLURM_JOB_ID, else "0") isolates runs from each other's
+    leftover partials — use a fresh tag per run."""
     T = datastore.config.dataset.num_timesteps
     ar_steps = T - 2
     ds = WeatherDataset(
@@ -178,16 +199,16 @@ def _main_sharded(datastore, static_dir_path, step_length, n_workers,
             part["n_diff"] += 1
 
     os.makedirs(static_dir_path, exist_ok=True)
-    out = static_dir_path / f"stats_part_{shard_id}of{num_shards}.npz"
+    out = _part_path(static_dir_path, shard_id, num_shards, job_tag)
     tmp = out.with_suffix(".tmp.npz")
     np.savez(tmp, **part)
     os.replace(tmp, out)
     print(f"Wrote shard partial {out}")
-    _merge_parts(static_dir_path, num_shards)
+    _merge_parts(static_dir_path, num_shards, job_tag)
 
 
 def main(datastore_config_path, step_length=3, n_workers=1, num_shards=1,
-         shard_id=0):
+         shard_id=0, job_tag=None):
     import torch
 
     datastore = NpyFilesDatastoreMEPS(config_path=datastore_config_path)
@@ -195,8 +216,10 @@ def main(datastore_config_path, step_length=3, n_workers=1, num_shards=1,
     os.makedirs(static_dir_path, exist_ok=True)
 
     if num_shards > 1:
+        if job_tag is None:
+            job_tag = os.environ.get("SLURM_JOB_ID", "0")
         return _main_sharded(datastore, static_dir_path, step_length,
-                             n_workers, num_shards, shard_id)
+                             n_workers, num_shards, shard_id, job_tag)
 
     T = datastore.config.dataset.num_timesteps
     ar_steps = T - 2
@@ -292,10 +315,15 @@ def cli(input_args=None):
                              "without a process group)")
     parser.add_argument("--shard_id", type=int, default=0,
                         help="this process's shard id (e.g. SLURM_PROCID)")
+    parser.add_argument("--job_tag", type=str, default=None,
+                        help="run tag embedded in partial filenames so a "
+                             "re-run never merges another run's leftover "
+                             "partials (default: $SLURM_JOB_ID, else 0; "
+                             "use a fresh tag per run)")
     args = parser.parse_args(input_args)
     main(args.datastore_config_path, step_length=args.step_length,
          n_workers=args.n_workers, num_shards=args.num_shards,
-         shard_id=args.shard_id)
+         shard_id=args.shard_id, job_tag=args.job_tag)
 
 
 if __name__ == "__main__":

@@ -383,19 +383,22 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     # that cover it — d_table[r] = sum over those slots. Capped at
     # _MAX_K_FOLD overlapping windows per row (heavily clamped tails
     # would blow up the gather-accumulate); beyond the cap the backward
-    # falls back to the un-windowed pair.
-    cover = [[] for _ in range(num_send)]
-    for t, s in enumerate(starts):
-        base = t * wrows
-        for j in range(wrows):
-            cover[int(s) + j].append(base + j)
-    k_fold = max(len(c) for c in cover)
+    # falls back to the un-windowed pair. Built vectorized (stable-sort
+    # slots by row, place at within-row rank) — the per-slot Python loop
+    # was measurable at every model construction.
+    rows = (starts[:, None] + np.arange(wrows)[None, :]).reshape(-1)
+    slots = np.arange(rows.size)
+    order = np.argsort(rows, kind="stable")
+    rows_s, slots_s = rows[order], slots[order]
+    counts = np.bincount(rows_s, minlength=num_send)
+    k_fold = int(counts.max())
     if k_fold <= _MAX_K_FOLD:
+        seg_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(rows_s.size) - seg_starts[rows_s]
         fold_slots = np.zeros((num_send, k_fold), np.int32)
         fold_mask = np.zeros((num_send, k_fold), np.float32)
-        for r, slots in enumerate(cover):
-            fold_slots[r, :len(slots)] = slots
-            fold_mask[r, :len(slots)] = 1.0
+        fold_slots[rows_s, within] = slots_s
+        fold_mask[rows_s, within] = 1.0
         arrays["fold_slots"] = jnp.asarray(fold_slots)
         arrays["fold_mask"] = jnp.asarray(fold_mask)
         static["k_fold"] = k_fold

@@ -484,7 +484,11 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
     # per-level owned-block sizes (level 0 == mblock)
     mblocks = [-(-n_l // n_shards) for n_l in graph.level_sizes]
     if halo:
-        from .spatial import _build_gather_halo, _build_push_halo
+        from .spatial import (
+            _build_gather_halo,
+            _build_push_halo,
+            _remap_to_extended,
+        )
 
         def gather_plan(es, send_blk, rec_blk):
             """Cut-edge exchange plan for one edge set: per-shard send
@@ -497,13 +501,8 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
             )
 
             def smap(s, gids):
-                gids = np.asarray(gids, np.int64)
-                own = np.minimum(gids // send_blk, n_shards - 1)
-                out = np.empty(len(gids), np.int64)
-                for i, g_ in enumerate(gids):
-                    out[i] = g_ - s * send_blk if own[i] == s \
-                        else remap[s][int(g_)]
-                return out
+                return _remap_to_extended(gids, s, send_blk, remap,
+                                          n_shards)
 
             num_send = send_blk + sum(w for _, w in plan)
             return plan, jnp.asarray(send_idx), smap, num_send
@@ -524,13 +523,7 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
         )
 
         def mg_sender_map(s, gids):
-            gids = np.asarray(gids, np.int64)
-            own = np.minimum(gids // mblock, n_shards - 1)
-            out = np.empty(len(gids), np.int64)
-            for i, g_ in enumerate(gids):
-                out[i] = g_ - s * mblock if own[i] == s \
-                    else mg_remap[s][int(g_)]
-            return out
+            return _remap_to_extended(gids, s, mblock, mg_remap, n_shards)
 
         mg_num_send = mblock + sum(w for _, w in mg_plan)
 
@@ -544,13 +537,8 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
         g2m_num_rec = mblock + yg
 
         def g2m_rec_map(s, gids):
-            gids = np.asarray(gids, np.int64)
-            own = np.minimum(gids // mblock, n_shards - 1)
-            out = np.empty(len(gids), np.int64)
-            for i, g_ in enumerate(gids):
-                out[i] = g_ - s * mblock if own[i] == s \
-                    else g2m_push_pos[s][int(g_)]
-            return out
+            return _remap_to_extended(gids, s, mblock, g2m_push_pos,
+                                      n_shards)
 
         # level-0 statics in each shard's compact layout (rec_t for g2m
         # and the initial mesh embedding are computed on these rows);

@@ -285,13 +285,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
 
     def remap_rows(gids, s, remap):
         """Global mesh row ids -> extended-table positions at shard s."""
-        gids = np.asarray(gids, np.int64)
-        owner = mesh_owner(gids)
-        out = np.empty(len(gids), np.int64)
-        for i, g_ in enumerate(gids):
-            out[i] = g_ - s * mblock if owner[i] == s \
-                else remap[s][int(g_)]
-        return out
+        return _remap_to_extended(gids, s, mblock, remap, n_shards)
 
     # --- g2m (partition by sender grid node) ---
     send, recv, feat = real_edges(graph.g2m)
@@ -308,15 +302,10 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         g2m_plan, g2m_push_pos, g2m_add_pos, yg = _build_push_halo(
             recv, src_shard, mblock, n_shards
         )
-        compact = []
-        for s, g in enumerate(groups):
-            rows = np.asarray(g[1], np.int64)
-            owner = mesh_owner(rows)
-            pos = np.empty(len(rows), np.int64)
-            for i, r in enumerate(rows):
-                pos[i] = r - s * mblock if owner[i] == s \
-                    else g2m_push_pos[s][int(r)]
-            compact.append(pos)
+        compact = [
+            _remap_to_extended(g[1], s, mblock, g2m_push_pos, n_shards)
+            for s, g in enumerate(groups)
+        ]
         g2m_table = _build_shard_tables(compact, mblock + yg, eg)
         # g2m receivers in compact positions (rec_t is computed on the
         # compact row set, see mesh_static_c)
@@ -473,17 +462,26 @@ def _halo_exchange(owned, send_idx, plan, n_shards):
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
-def _halo_fold(aggregated, rec_rep, agg_axis, rec_axis, add_pos, plan,
-               mblock, n_shards):
-    """Push-type cut-edge halo fold: compact [owned ++ pushed] partial
-    aggregation -> owned rows.
+def _remap_to_extended(gids, s, blk, remap, n_shards):
+    """Owner-local position for shard s's OWNED rows, extended/compact
+    position (from a halo plan's per-shard remap/push dict) for remote
+    rows. Shared by the hand-rolled (this file) and production
+    (grid_sharded) halo builders so the clamping/remap semantics live in
+    exactly one place."""
+    gids = np.asarray(gids, np.int64)
+    own = np.minimum(gids // blk, n_shards - 1)
+    out = gids - s * blk
+    table = remap[s]
+    for i in np.nonzero(own != s)[0]:
+        out[i] = table[int(gids[i])]
+    return out
 
-    Each pushed segment (plan rounds) is ppermuted to its owner shard and
-    added at static `add_pos` positions (sentinel mblock drops padding);
-    rec_rep's owned rows are its leading block (static slice). Signature
-    matches the callable psum_mode hook of apply_interaction_net /
-    _apply_inet_flat, handling both the flat (N, B*h) and batched
-    (B, N, h) aggregation layouts via agg_axis/rec_axis."""
+
+def _halo_fold_agg(aggregated, agg_axis, add_pos, plan, mblock, n_shards):
+    """Push-type cut-edge halo fold: compact [owned ++ pushed] partial
+    aggregation -> owned rows. Each pushed segment (plan rounds) is
+    ppermuted to its owner shard and added at static `add_pos` positions
+    (sentinel mblock drops padding)."""
     a = jnp.moveaxis(aggregated, agg_axis, 0)
     own = jnp.pad(
         jax.lax.slice_in_dim(a, 0, mblock, axis=0),
@@ -499,9 +497,19 @@ def _halo_fold(aggregated, rec_rep, agg_axis, rec_axis, add_pos, plan,
                                    base - mblock + w, axis=0)
         own = own.at[pos].add(recv)
         base += w
-    own = jnp.moveaxis(
+    return jnp.moveaxis(
         jax.lax.slice_in_dim(own, 0, mblock, axis=0), 0, agg_axis
     )
+
+
+def _halo_fold(aggregated, rec_rep, agg_axis, rec_axis, add_pos, plan,
+               mblock, n_shards):
+    """`_halo_fold_agg` + the owned-rows slice of rec_rep; signature
+    matches the callable psum_mode hook of apply_interaction_net /
+    _apply_inet_flat, handling both the flat (N, B*h) and batched
+    (B, N, h) aggregation layouts via agg_axis/rec_axis."""
+    own = _halo_fold_agg(aggregated, agg_axis, add_pos, plan, mblock,
+                         n_shards)
     rec = jax.lax.slice_in_dim(rec_rep, 0, mblock, axis=rec_axis)
     return own, rec
 
@@ -624,23 +632,10 @@ class SpatialGraphLAM(GraphLAM):
             if halo:
                 # compact [owned ++ pushed] partial: ppermute only the
                 # pushed boundary rows to their owners and add in place
-                mb = part.mblock
-                own_pad = jnp.pad(
-                    partial[:, :mb], ((0, 0), (0, 1), (0, 0))
-                )  # sentinel row mb absorbs padding positions
-                add_pos = idx(sp.g2m_add_pos)
-                base = 0
-                for d, w in part.g2m_plan:
-                    seg = jax.lax.slice_in_dim(partial, mb + base,
-                                               mb + base + w, axis=1)
-                    perm = [(s, s + d) for s in range(S)
-                            if 0 <= s + d < S]
-                    recv = jax.lax.ppermute(seg, "space", perm=perm)
-                    pos = jax.lax.slice_in_dim(add_pos, base, base + w,
-                                               axis=0)
-                    own_pad = own_pad.at[:, pos, :].add(recv)
-                    base += w
-                aggregated = own_pad[:, :mb]  # (B, mblock, h) owned rows
+                aggregated = _halo_fold_agg(
+                    partial, 1, idx(sp.g2m_add_pos), part.g2m_plan,
+                    part.mblock, S,
+                )  # (B, mblock, h) owned rows
             elif rs:
                 aggregated = jax.lax.psum_scatter(
                     partial, "space", scatter_dimension=1, tiled=True

@@ -142,8 +142,6 @@ def halo_mix(family):
     rides cut-edge halo rows; only the hierarchical UPPER levels keep
     their small psums. Returns (full_bytes_units, halo_rows, rounds) —
     full_bytes still scale with (S-1)/S, halo rows are ~constant in S."""
-    arr = lambda n: B * n * D
-    n1, n2 = HI_LEVELS[1], HI_LEVELS[2]
     g2m_rows = HALO_ROWS["g2m"]
     if family == "graph_lam_halo":
         rows = (g2m_rows + P * HALO_ROWS["m2m_per_layer"]
