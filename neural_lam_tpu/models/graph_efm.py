@@ -131,9 +131,13 @@ class LatentMeshMixin:
     # --- latent machinery ---
 
     def _gauss_head(self, gnn_params, head_params, edge_ctx, mesh_rep, B):
-        """One bottom-m2m interaction round + MLP head -> (mu, sigma)."""
+        """One bottom-m2m interaction round + MLP head -> (mu, sigma).
+        The sender table goes through `_mesh_sender_rep` so the heads run
+        unchanged inside mesh-node-sharded bodies (owned rows + halo/
+        all-gather imports)."""
         rep = self._inet_static(
-            gnn_params, self._latent_edges, mesh_rep, mesh_rep, edge_ctx, B,
+            gnn_params, self._latent_edges,
+            self._mesh_sender_rep(mesh_rep), mesh_rep, edge_ctx, B,
             psum_axis=self._mesh_psum_axis,
         )
         out = apply_mlp(head_params, rep, compute_dtype=self.compute_dtype)
@@ -142,7 +146,9 @@ class LatentMeshMixin:
 
     def encode_target_mesh(self, params, target_state, ctx, B):
         """Posterior conditioning: embed the target state and encode it to
-        the mesh through the dedicated g2m interaction net."""
+        the mesh through the dedicated g2m interaction net. Runs on local
+        grid rows / owned mesh rows inside sharded bodies (the g2m psum
+        axis/mode hooks apply as in the main encoder)."""
         tgt_emb = apply_mlp(
             params["post_target_embedder"], target_state,
             compute_dtype=self.compute_dtype,
@@ -150,7 +156,7 @@ class LatentMeshMixin:
         return self._inet_static(
             params["post_g2m_gnn"], self.graph.g2m, tgt_emb,
             expand_to_batch(ctx["mesh_emb"], B), ctx["post_g2m"], B,
-            psum_axis=self._g2m_psum_axis,
+            psum_axis=self._g2m_psum_axis, psum_mode=self._g2m_psum_mode,
         )
 
     def process_step(self, params, mesh_rep, batch_size, ctx=None):
@@ -162,6 +168,13 @@ class LatentMeshMixin:
             mesh_rep, B,
         )
         post_mesh = ctx.get("latent_post_mesh")
+        if post_mesh is None and ctx.get("latent_target") is not None:
+            # posterior conditioning computed HERE (inside any sharded
+            # body) from the per-step target carried in ctx — the target
+            # rides the same grid sharding as the other inputs
+            post_mesh = self.encode_target_mesh(
+                params, ctx["latent_target"], ctx, B
+            )
         if post_mesh is not None:
             mu_q, sigma_q = self._gauss_head(
                 params["post_gnn"], params["post_head"], ctx["post_m2m"],
@@ -220,25 +233,25 @@ class LatentMeshMixin:
             return self._crps_training_loss(params, batch, rng)
         mask = self.interior_mask_bool()
 
+        # sharded wrappers own more latent rows than the graph has (level-0
+        # padding); KL on the padded tail is sliced off below
+        latent_rows = getattr(self, "_latent_rows", self.latent_num_nodes)
+
         def step(carry, xs):
             prev_prev_state, prev_state, key = carry
             forcing_t, target_t = xs
             key, k_eps = jax.random.split(key)
             eps = jax.random.normal(
-                k_eps, (B, self.latent_num_nodes, self.latent_dim),
-                jnp.float32,
+                k_eps, (B, latent_rows, self.latent_dim), jnp.float32,
             )
-            ctx_t = {
-                **ctx,
-                "latent_eps": eps,
-                "latent_post_mesh": self.encode_target_mesh(
-                    params, target_t, ctx, B
-                ),
-            }
+            # the per-step TARGET rides in ctx; process_step computes the
+            # posterior conditioning from it (inside the sharded body when
+            # the model is spatialized)
+            ctx_t = {**ctx, "latent_eps": eps, "latent_target": target_t}
             pred, pred_std = self.predict_step(
                 params, prev_state, prev_prev_state, forcing_t, ctx=ctx_t
             )
-            kl = ctx_t["_latent_kl"]  # (B, N_mesh)
+            kl = ctx_t["_latent_kl"][:, :self.latent_num_nodes]
             new_state = (
                 statics.boundary_mask * target_t
                 + statics.interior_mask * pred
