@@ -52,7 +52,8 @@ def sample_rollout(model, params, init_states, forcing_features, true_states,
             # per step; the decoder mean is the member state
             eps_z = jax.random.normal(
                 sub,
-                (prev_state.shape[0], model.latent_num_nodes,
+                (prev_state.shape[0],
+                 getattr(model, "_latent_rows", model.latent_num_nodes),
                  model.latent_dim),
                 jnp.float32,
             )

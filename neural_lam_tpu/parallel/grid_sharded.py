@@ -303,11 +303,11 @@ def spatialize(model, mesh: Mesh):
     )
     if getattr(model, "is_latent", False):
         raise NotImplementedError(
-            "latent-variable models (graph_efm/hi_efm) are not grid-"
-            "sharded yet: the sharded predict_step rebuilds its rollout "
-            "ctx per shard and would drop the latent draw / posterior "
-            "conditioning. Train them with data parallelism "
-            "(--spatial_shards 1)."
+            "latent-variable models (graph_efm/hi_efm) are not supported "
+            "by the grid-sharded scheme; use the mesh-node-sharded "
+            "schemes instead (--spatial_scheme mesh_rs or mesh_halo), "
+            "which thread the latent draw / posterior target / KL "
+            "through the shard bodies."
         )
     n_space = mesh.shape["space"]
 
@@ -684,10 +684,6 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
     assert getattr(model.args, "mesh_aggr", "sum") == "sum", (
         "scatter mode implements sum aggregation"
     )
-    if getattr(model, "is_latent", False):
-        raise NotImplementedError(
-            "latent-variable models are not grid-sharded; see spatialize()"
-        )
     n_space = mesh.shape["space"]
 
     sp = copy.copy(model)
@@ -698,6 +694,12 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
     )
     sp.mesh = mesh
     sp._array_fields = tuple(model._array_fields) + ("spatial",)
+    is_latent = getattr(model, "is_latent", False)
+    if is_latent:
+        # the latent field lives on the (owned) level-0 rows: eps must be
+        # drawn over the PADDED row count so it row-shards evenly; KL on
+        # the padded tail is sliced off by the mixin's training_loss
+        sp._latent_rows = sp.spatial.mblock * n_space
 
     def _local(self, part: RSShard):
         """Per-shard base-class model with the rs collective hooks."""
@@ -811,14 +813,35 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *ctx_p):
+        # latent ctx leaves have their own shardings: eps rides the owned
+        # level-0 rows, the posterior target rides the grid sharding like
+        # the other inputs; the per-step KL written by process_step inside
+        # the body is returned through shard_map and put back into the
+        # caller's ctx dict (matching the unsharded side channel)
+        orig_ctx = ctx
+        eps = tgt = None
+        if ctx is not None:
+            ctx = dict(ctx)
+            eps = ctx.pop("latent_eps", None)
+            tgt = ctx.pop("latent_target", None)
+        with_kl = tgt is not None
+
+        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *rest):
             local = _local(self, part)
+            ctx_p = dict(rest[0]) if rest else None
+            extra = rest[1:]
+            if ctx_p is not None and eps is not None:
+                ctx_p["latent_eps"] = extra[0]
+                extra = extra[1:]
+            if ctx_p is not None and tgt is not None:
+                ctx_p["latent_target"] = extra[0]
             out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p,
-                ctx=ctx_p[0] if ctx_p else None,
+                local, params, prev_p, prev_prev_p, forcing_p, ctx=ctx_p,
             )
             if std is None:
                 std = jnp.zeros_like(out)
+            if with_kl:
+                return out, std, ctx_p["_latent_kl"]
             return out, std
 
         in_specs = (P(), _part_specs(part), P("data", "space", None),
@@ -828,12 +851,24 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
         if ctx is not None:
             in_specs += (P("space"),)
             args += (ctx,)
-        new_state, pred_std = shard_map(
+            if eps is not None:
+                in_specs += (P("data", "space", None),)
+                args += (eps,)
+            if tgt is not None:
+                in_specs += (P("data", "space", None),)
+                args += (padg(tgt),)
+        out_specs = (P("data", "space", None), P("data", "space", None))
+        if with_kl:
+            out_specs += (P("data", "space"),)
+        outs = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=in_specs,
-            out_specs=(P("data", "space", None), P("data", "space", None)),
+            out_specs=out_specs,
             check_vma=False,
         )(*args)
+        new_state, pred_std = outs[:2]
+        if with_kl:
+            orig_ctx["_latent_kl"] = outs[2]
         new_state = new_state[:, :ng]
         if self.output_std:
             return new_state, pred_std[:, :ng]

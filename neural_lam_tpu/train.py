@@ -886,8 +886,10 @@ def main(input_args=None):
                              "MLPs; mesh_halo: mesh_rs with CUT-EDGE "
                              "halo exchange (ppermute of the ~2-4%% "
                              "boundary rows instead of full-table "
-                             "all-gathers; docs/SCALING.md). All three "
-                             "support every non-latent family")
+                             "all-gathers; docs/SCALING.md). mesh_rs/"
+                             "mesh_halo support EVERY family incl. the "
+                             "latent graph_efm/hi_efm; grid supports "
+                             "the non-latent families")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")

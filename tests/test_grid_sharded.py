@@ -80,3 +80,80 @@ def test_grid_sharded_matches(model_name, env):
                     jax.tree_util.tree_leaves(g_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=2e-3)
+
+
+@pytest.mark.parametrize("model_name", ["graph_efm", "hi_efm"])
+def test_latent_sharded_matches(model_name, env):
+    """Latent-variable families under the mesh-node-sharded halo scheme:
+    with a FIXED eps draw and the per-step target in ctx, the sharded
+    predict output, the KL side channel and parameter gradients all match
+    the unsharded model (the posterior conditioning runs inside the shard
+    body; eps rides the owned level-0 rows)."""
+    from neural_lam_tpu.parallel.grid_sharded import spatialize_rs
+
+    datastore, config, flat, hier = env
+    graph = flat if model_name == "graph_efm" else hier
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=1,
+                     latent_dim=4)
+    model = MODELS[model_name](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=2, n_space=4)
+    sp = spatialize_rs(model, mesh, halo=True)
+
+    nm = model.latent_num_nodes
+    nm_pad = sp._latent_rows
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    pprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forc = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    eps_pad = jnp.asarray(
+        rng.standard_normal((B, nm_pad, args.latent_dim)), jnp.float32
+    )
+
+    def run(m, eps):
+        def f(p):
+            ctx = m.precompute_rollout_ctx(p)
+            ctx_t = {**ctx, "latent_eps": eps, "latent_target": target}
+            out, _ = m.predict_step(p, prev, pprev, forc, ctx=ctx_t)
+            kl = ctx_t["_latent_kl"][:, :nm]
+            return out, kl
+
+        # scalar loss mixing both outputs so grads flow through the
+        # prediction AND the KL side channel in one trace
+        def loss(p):
+            o, k = f(p)
+            return (o**2).mean() + k.mean(), (o, k)
+
+        (_, (out, kl)), g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True)
+        )(params)
+        return np.asarray(out), np.asarray(kl), g
+
+    out_u, kl_u, g_u = run(model, eps_pad[:, :nm])
+    out_s, kl_s, g_s = run(sp, eps_pad)
+
+    np.testing.assert_allclose(out_u, out_s, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(kl_u, kl_s, atol=2e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_u),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=2e-3)
+
+    # the full ELBO training loss (scan + per-step rng + KL slicing)
+    # composes through the sharded wrapper and stays finite
+    T = 2
+    batch = (
+        jnp.stack([pprev, prev], axis=1),
+        jnp.asarray(rng.standard_normal((B, T, n, d)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, T, n, d_f)), jnp.float32),
+        jnp.zeros((B, T), jnp.int32),
+    )
+    l_sp = float(jax.jit(sp.training_loss)(params, batch))
+    assert np.isfinite(l_sp)
+    g = jax.jit(jax.grad(sp.training_loss))(params, batch)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
