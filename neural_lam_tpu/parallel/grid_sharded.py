@@ -301,14 +301,6 @@ def spatialize(model, mesh: Mesh):
         "sharded mesh edge chunks psum partial sums; mean aggregation "
         "would divide by per-shard counts"
     )
-    if getattr(model, "is_latent", False):
-        raise NotImplementedError(
-            "latent-variable models (graph_efm/hi_efm) are not supported "
-            "by the grid-sharded scheme; use the mesh-node-sharded "
-            "schemes instead (--spatial_scheme mesh_rs or mesh_halo), "
-            "which thread the latent draw / posterior target / KL "
-            "through the shard bodies."
-        )
     n_space = mesh.shape["space"]
 
     sp = copy.copy(model)
@@ -349,14 +341,34 @@ def spatialize(model, mesh: Mesh):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *ctx_p):
+        # latent ctx leaves (mesh state is REPLICATED in this scheme, so
+        # eps is replicated over space; the posterior target rides the
+        # grid sharding; the KL computed inside the bodies is identical
+        # on every shard and returned through shard_map)
+        orig_ctx = ctx
+        eps = tgt = None
+        if ctx is not None:
+            ctx = dict(ctx)
+            eps = ctx.pop("latent_eps", None)
+            tgt = ctx.pop("latent_target", None)
+        with_kl = tgt is not None
+
+        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *rest):
             local = _local(self, part)
+            ctx_p = dict(rest[0]) if rest else None
+            extra = rest[1:]
+            if ctx_p is not None and eps is not None:
+                ctx_p["latent_eps"] = extra[0]
+                extra = extra[1:]
+            if ctx_p is not None and tgt is not None:
+                ctx_p["latent_target"] = extra[0]
             out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p,
-                ctx=ctx_p[0] if ctx_p else None,
+                local, params, prev_p, prev_prev_p, forcing_p, ctx=ctx_p,
             )
             if std is None:
                 std = jnp.zeros_like(out)
+            if with_kl:
+                return out, std, ctx_p["_latent_kl"]
             return out, std
 
         part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
@@ -367,12 +379,24 @@ def spatialize(model, mesh: Mesh):
         if ctx is not None:
             in_specs += (P("space"),)
             args += (ctx,)
-        new_state, pred_std = shard_map(
+            if eps is not None:
+                in_specs += (P("data", None, None),)
+                args += (eps,)
+            if tgt is not None:
+                in_specs += (P("data", "space", None),)
+                args += (padg(tgt),)
+        out_specs = (P("data", "space", None), P("data", "space", None))
+        if with_kl:
+            out_specs += (P("data", None),)
+        outs = shard_map(
             shard_fn, mesh=mesh,
             in_specs=in_specs,
-            out_specs=(P("data", "space", None), P("data", "space", None)),
+            out_specs=out_specs,
             check_vma=False,
         )(*args)
+        new_state, pred_std = outs[:2]
+        if with_kl:
+            orig_ctx["_latent_kl"] = outs[2]
         new_state = new_state[:, :ng]
         if self.output_std:
             return new_state, pred_std[:, :ng]

@@ -888,8 +888,7 @@ def main(input_args=None):
                              "boundary rows instead of full-table "
                              "all-gathers; docs/SCALING.md). mesh_rs/"
                              "mesh_halo support EVERY family incl. the "
-                             "latent graph_efm/hi_efm; grid supports "
-                             "the non-latent families")
+                             "latent graph_efm/hi_efm; so does grid")
     parser.add_argument("--ensemble_members", type=int, default=0,
                         help="with --eval test on an --output_std model: "
                              "also compute m-member ensemble CRPS/spread")

@@ -82,26 +82,31 @@ def test_grid_sharded_matches(model_name, env):
                                    atol=5e-5, rtol=2e-3)
 
 
-@pytest.mark.parametrize("model_name", ["graph_efm", "hi_efm"])
+@pytest.mark.parametrize("model_name", ["graph_efm:halo", "hi_efm:halo",
+                                        "graph_efm:grid"])
 def test_latent_sharded_matches(model_name, env):
-    """Latent-variable families under the mesh-node-sharded halo scheme:
-    with a FIXED eps draw and the per-step target in ctx, the sharded
-    predict output, the KL side channel and parameter gradients all match
-    the unsharded model (the posterior conditioning runs inside the shard
-    body; eps rides the owned level-0 rows)."""
+    """Latent-variable families under the sharded schemes: with a FIXED
+    eps draw and the per-step target in ctx, the sharded predict output,
+    the KL side channel and parameter gradients all match the unsharded
+    model (the posterior conditioning runs inside the shard body; eps
+    rides the owned level-0 rows under halo, replicated under grid)."""
     from neural_lam_tpu.parallel.grid_sharded import spatialize_rs
 
     datastore, config, flat, hier = env
+    model_name, _, scheme = model_name.partition(":")
     graph = flat if model_name == "graph_efm" else hier
     args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=1,
                      latent_dim=4)
     model = MODELS[model_name](args, config, datastore, graph)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=2, n_space=4)
-    sp = spatialize_rs(model, mesh, halo=True)
+    if scheme == "halo":
+        sp = spatialize_rs(model, mesh, halo=True)
+    else:
+        sp = spatialize(model, mesh)
 
     nm = model.latent_num_nodes
-    nm_pad = sp._latent_rows
+    nm_pad = getattr(sp, "_latent_rows", nm)
     B, n = 2, datastore.num_grid_points
     d = datastore.get_num_data_vars("state")
     d_f = datastore.get_num_data_vars("forcing") * 3
