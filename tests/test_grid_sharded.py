@@ -83,7 +83,7 @@ def test_grid_sharded_matches(model_name, env):
 
 
 @pytest.mark.parametrize("model_name", ["graph_efm:halo", "hi_efm:halo",
-                                        "graph_efm:grid"])
+                                        "graph_efm:grid", "graph_efm:rs"])
 def test_latent_sharded_matches(model_name, env):
     """Latent-variable families under the sharded schemes: with a FIXED
     eps draw and the per-step target in ctx, the sharded predict output,
@@ -100,8 +100,8 @@ def test_latent_sharded_matches(model_name, env):
     model = MODELS[model_name](args, config, datastore, graph)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=2, n_space=4)
-    if scheme == "halo":
-        sp = spatialize_rs(model, mesh, halo=True)
+    if scheme in ("halo", "rs"):
+        sp = spatialize_rs(model, mesh, halo=scheme == "halo")
     else:
         sp = spatialize(model, mesh)
 
