@@ -293,6 +293,59 @@ def build_grid_shard(graph: LoadedGraph, n_shards: int,
     )
 
 
+def _split_latent_ctx(ctx):
+    """Pop the latent leaves out of a rollout ctx — they carry their own
+    shardings (the rest of the ctx is stacked per shard) — and report
+    whether a KL output is expected (training with a posterior target)."""
+    if ctx is None:
+        return None, None, None, False
+    ctx = dict(ctx)
+    eps = ctx.pop("latent_eps", None)
+    tgt = ctx.pop("latent_target", None)
+    return ctx, eps, tgt, tgt is not None
+
+
+def _make_shard_fn(outer, base_cls, local_fn, has_eps, has_tgt, with_kl):
+    """The shared shard_map body of both sharded predict_steps: rebuild
+    the per-shard ctx (re-attaching the latent leaves), run the base
+    model's predict_step on the local twin, and emit the KL side channel
+    as an explicit output when training a latent model."""
+    def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *rest):
+        local = local_fn(outer, part)
+        ctx_p = dict(rest[0]) if rest else None
+        extra = rest[1:]
+        if ctx_p is not None and has_eps:
+            ctx_p["latent_eps"] = extra[0]
+            extra = extra[1:]
+        if ctx_p is not None and has_tgt:
+            ctx_p["latent_target"] = extra[0]
+        out, std = base_cls.predict_step(
+            local, params, prev_p, prev_prev_p, forcing_p, ctx=ctx_p,
+        )
+        if std is None:
+            std = jnp.zeros_like(out)
+        if with_kl:
+            return out, std, ctx_p["_latent_kl"]
+        return out, std
+    return shard_fn
+
+
+def _latent_args_specs(ctx, eps, tgt, padg, eps_spec):
+    """(in_specs, args) tail for the ctx + latent leaves; the posterior
+    target rides the grid sharding like the other inputs."""
+    in_specs, args = (), ()
+    if ctx is not None:
+        in_specs += (P("space"),)
+        args += (ctx,)
+        if eps is not None:
+            in_specs += (eps_spec,)
+            args += (eps,)
+        if tgt is not None:
+            in_specs += (P("data", "space", None),)
+            args += (padg(tgt),)
+    return in_specs, args
+
+
 def spatialize(model, mesh: Mesh):
     """Return a copy of `model` whose predict_step is grid-sharded over the
     mesh's `space` axis (batch stays on `data`)."""
@@ -341,59 +394,31 @@ def spatialize(model, mesh: Mesh):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        # latent ctx leaves (mesh state is REPLICATED in this scheme, so
-        # eps is replicated over space; the posterior target rides the
-        # grid sharding; the KL computed inside the bodies is identical
-        # on every shard and returned through shard_map)
+        # latent ctx leaves: mesh state is REPLICATED in this scheme, so
+        # eps is replicated over space; the KL computed inside the bodies
+        # is identical on every shard
         orig_ctx = ctx
-        eps = tgt = None
-        if ctx is not None:
-            ctx = dict(ctx)
-            eps = ctx.pop("latent_eps", None)
-            tgt = ctx.pop("latent_target", None)
-        with_kl = tgt is not None
-
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *rest):
-            local = _local(self, part)
-            ctx_p = dict(rest[0]) if rest else None
-            extra = rest[1:]
-            if ctx_p is not None and eps is not None:
-                ctx_p["latent_eps"] = extra[0]
-                extra = extra[1:]
-            if ctx_p is not None and tgt is not None:
-                ctx_p["latent_target"] = extra[0]
-            out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p, ctx=ctx_p,
-            )
-            if std is None:
-                std = jnp.zeros_like(out)
-            if with_kl:
-                return out, std, ctx_p["_latent_kl"]
-            return out, std
+        ctx, eps, tgt, with_kl = _split_latent_ctx(ctx)
+        shard_fn = _make_shard_fn(self, base_cls, _local,
+                                  eps is not None, tgt is not None, with_kl)
 
         part_specs = jax.tree_util.tree_map(lambda _: P("space"), part)
         in_specs = (P(), part_specs, P("data", "space", None),
                     P("data", "space", None), P("data", "space", None))
         args = (params, part, padg(prev_state), padg(prev_prev_state),
                 padg(forcing))
-        if ctx is not None:
-            in_specs += (P("space"),)
-            args += (ctx,)
-            if eps is not None:
-                in_specs += (P("data", None, None),)
-                args += (eps,)
-            if tgt is not None:
-                in_specs += (P("data", "space", None),)
-                args += (padg(tgt),)
+        tail_specs, tail_args = _latent_args_specs(
+            ctx, eps, tgt, padg, eps_spec=P("data", None, None)
+        )
         out_specs = (P("data", "space", None), P("data", "space", None))
         if with_kl:
             out_specs += (P("data", None),)
         outs = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=in_specs,
+            in_specs=in_specs + tail_specs,
             out_specs=out_specs,
             check_vma=False,
-        )(*args)
+        )(*(args + tail_args))
         new_state, pred_std = outs[:2]
         if with_kl:
             orig_ctx["_latent_kl"] = outs[2]
@@ -837,59 +862,31 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
         def padg(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-        # latent ctx leaves have their own shardings: eps rides the owned
-        # level-0 rows, the posterior target rides the grid sharding like
-        # the other inputs; the per-step KL written by process_step inside
+        # latent ctx leaves: eps rides the owned level-0 rows (and the
+        # batch sharding); the per-step KL written by process_step inside
         # the body is returned through shard_map and put back into the
         # caller's ctx dict (matching the unsharded side channel)
         orig_ctx = ctx
-        eps = tgt = None
-        if ctx is not None:
-            ctx = dict(ctx)
-            eps = ctx.pop("latent_eps", None)
-            tgt = ctx.pop("latent_target", None)
-        with_kl = tgt is not None
-
-        def shard_fn(params, part, prev_p, prev_prev_p, forcing_p, *rest):
-            local = _local(self, part)
-            ctx_p = dict(rest[0]) if rest else None
-            extra = rest[1:]
-            if ctx_p is not None and eps is not None:
-                ctx_p["latent_eps"] = extra[0]
-                extra = extra[1:]
-            if ctx_p is not None and tgt is not None:
-                ctx_p["latent_target"] = extra[0]
-            out, std = base_cls.predict_step(
-                local, params, prev_p, prev_prev_p, forcing_p, ctx=ctx_p,
-            )
-            if std is None:
-                std = jnp.zeros_like(out)
-            if with_kl:
-                return out, std, ctx_p["_latent_kl"]
-            return out, std
+        ctx, eps, tgt, with_kl = _split_latent_ctx(ctx)
+        shard_fn = _make_shard_fn(self, base_cls, _local,
+                                  eps is not None, tgt is not None, with_kl)
 
         in_specs = (P(), _part_specs(part), P("data", "space", None),
                     P("data", "space", None), P("data", "space", None))
         args = (params, part, padg(prev_state), padg(prev_prev_state),
                 padg(forcing))
-        if ctx is not None:
-            in_specs += (P("space"),)
-            args += (ctx,)
-            if eps is not None:
-                in_specs += (P("data", "space", None),)
-                args += (eps,)
-            if tgt is not None:
-                in_specs += (P("data", "space", None),)
-                args += (padg(tgt),)
+        tail_specs, tail_args = _latent_args_specs(
+            ctx, eps, tgt, padg, eps_spec=P("data", "space", None)
+        )
         out_specs = (P("data", "space", None), P("data", "space", None))
         if with_kl:
             out_specs += (P("data", "space"),)
         outs = shard_map(
             shard_fn, mesh=self.mesh,
-            in_specs=in_specs,
+            in_specs=in_specs + tail_specs,
             out_specs=out_specs,
             check_vma=False,
-        )(*args)
+        )(*(args + tail_args))
         new_state, pred_std = outs[:2]
         if with_kl:
             orig_ctx["_latent_kl"] = outs[2]
