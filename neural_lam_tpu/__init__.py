@@ -23,7 +23,10 @@ if not _os.environ.get("NLT_NUMPY_HUGEPAGE"):
     # input-pipeline swings). 4 KB faults are cheap and predictable; opt
     # out via the runtime setter (the NUMPY_MADVISE_HUGEPAGE env var only
     # works when set before the interpreter starts). Set
-    # NLT_NUMPY_HUGEPAGE=1 to keep numpy's default behavior.
+    # NLT_NUMPY_HUGEPAGE=1 to keep numpy's default behavior. This is a
+    # private numpy API and may be removed in a future numpy — the
+    # hasattr guard below makes that a silent no-op (documented in
+    # README "Input pipeline notes").
     try:
         from numpy._core import multiarray as _np_ma
     except ImportError:  # numpy < 2

@@ -245,7 +245,12 @@ class WeatherDataset:
             # feature-major flattening (index = f * W + w), written in
             # place: out4[..., w] strides W in the last dim — measured the
             # same cost as the np.stack(axis=-1) it replaces, minus the
-            # batch-stack copy
+            # batch-stack copy. The in-place write requires that reshape
+            # returns a view; on a non-contiguous row it would silently
+            # return a copy and drop every forcing write.
+            assert out_forcing.flags["C_CONTIGUOUS"], (
+                "write_item requires a C-contiguous out_forcing row"
+            )
             out4 = out_forcing.reshape(n_steps, n_grid, d_f, W)
             for w in range(W):
                 out4[..., w] = buf[w:w + n_steps]

@@ -75,7 +75,10 @@ def _part_path(static_dir_path, shard_id, num_shards, job_tag):
 def _atomic_torch_save(tensor, path):
     import torch
 
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    # pid-unique tmp: with strided shards, several processes may reach the
+    # merge simultaneously; a shared tmp path would let a second writer
+    # truncate the first mid-write and publish a corrupt .pt via os.replace
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
     torch.save(tensor, tmp)
     os.replace(tmp, path)
 
@@ -86,9 +89,9 @@ def _merge_parts(static_dir_path, num_shards, job_tag):
     rank-merge (ref: compute_standardization_stats.py:223-260
     all_gather_object + rank-0 reduce). Partials are tagged with the
     job's `job_tag` so a re-run never mixes another run's leftovers, and
-    the final files are written atomically (tmp + os.replace) — if two
-    shards race to merge, both write identical content, so concurrent
-    merges are benign."""
+    the final files are written atomically (pid-unique tmp + os.replace),
+    so concurrent merges are safe: each merger writes its own tmp and the
+    last os.replace wins with identical content."""
     parts = [_part_path(static_dir_path, i, num_shards, job_tag)
              for i in range(num_shards)]
     if not all(p.exists() for p in parts):
