@@ -134,7 +134,8 @@ class BaseGraphModel(ARModelBase):
 
     def _static_edge_ctx(self, inet_params, embedder_params, edges):
         """Rollout-invariant edge tensor for an update_edges=False GNN:
-        the dense path takes ew = emb @ W_e + b0 directly."""
+        the dense path takes ew = emb @ W_e + b0 directly. Split sharded
+        sets get an extra "ew_f" for the frontier chunk."""
         import jax.numpy as jnp
 
         cd = self.compute_dtype
@@ -144,8 +145,15 @@ class BaseGraphModel(ARModelBase):
         w0 = inet_params["edge_mlp"]["layers"][0]["w"]
         b0 = inet_params["edge_mlp"]["layers"][0]["b"]
         d = w0.shape[0] // 3
-        return {"ew": jnp.dot(emb, w0[:d],
-                              preferred_element_type=jnp.float32) + b0}
+        ctx = {"ew": jnp.dot(emb, w0[:d],
+                             preferred_element_type=jnp.float32) + b0}
+        if edges.frontier is not None:
+            emb_f = apply_mlp(embedder_params, edges.frontier.features,
+                              compute_dtype=cd)
+            ctx["ew_f"] = jnp.dot(
+                emb_f, w0[:d], preferred_element_type=jnp.float32
+            ) + b0
+        return ctx
 
     def precompute_rollout_ctx(self, params, batch_size=None):
         """Embeddings of static graph features, computed once per rollout
@@ -224,9 +232,12 @@ class BaseGraphModel(ARModelBase):
         """update_edges=False interaction net with precomputed edge ctx."""
         cd = self.compute_dtype
         if "ew" in ctx_entry:
+            ew = ctx_entry["ew"]
+            if edges.frontier is not None:
+                ew = (ew, ctx_entry["ew_f"])
             return apply_interaction_net(
                 inet_params, edges, send_rep, rec_rep,
-                update_edges=False, compute_dtype=cd, ew=ctx_entry["ew"],
+                update_edges=False, compute_dtype=cd, ew=ew,
                 psum_axis=psum_axis, psum_mode=psum_mode,
                 consts=ctx_entry.get("consts"),
             )

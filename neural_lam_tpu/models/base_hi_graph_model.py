@@ -11,6 +11,7 @@ import jax
 
 from ..ops.message_passing import (
     apply_interaction_net,
+    embed_edge_features,
     expand_edge_rep,
     init_interaction_net,
 )
@@ -111,16 +112,17 @@ class BaseHiGraphModel(BaseGraphModel):
                     params["mesh_embedders"][1:], g.mesh_static_features[1:]
                 )
             ],
+            # (interior, frontier) pairs where the sharded sets are split
             "same_emb": [
-                apply_mlp(emb, es.features, compute_dtype=cd)
+                embed_edge_features(emb, es, compute_dtype=cd)
                 for emb, es in zip(params["mesh_same_embedders"], g.m2m)
             ],
             "up_emb": [
-                apply_mlp(emb, es.features, compute_dtype=cd)
+                embed_edge_features(emb, es, compute_dtype=cd)
                 for emb, es in zip(params["mesh_up_embedders"], g.up)
             ],
             "down_emb": [
-                apply_mlp(emb, es.features, compute_dtype=cd)
+                embed_edge_features(emb, es, compute_dtype=cd)
                 for emb, es in zip(params["mesh_down_embedders"], g.down)
             ],
         }

@@ -10,6 +10,7 @@ import jax
 
 from ..ops.message_passing import (
     apply_interaction_net,
+    embed_edge_features,
     expand_edge_rep,
     init_interaction_net,
 )
@@ -58,8 +59,9 @@ class GraphLAM(BaseGraphModel):
 
     def precompute_process_ctx(self, params):
         return {
-            "m2m_emb": apply_mlp(
-                params["m2m_embedder"], self.m2m.features,
+            # (interior, frontier) pair for split sharded m2m chunks
+            "m2m_emb": embed_edge_features(
+                params["m2m_embedder"], self.m2m,
                 compute_dtype=self.compute_dtype,
             )
         }

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.message_passing import (
+    SplitSend,
     _fold_virt,
     _fold_virt_flat,
     edge_messages_and_virt,
@@ -96,7 +97,40 @@ class HiLAMParallel(BaseHiGraphModel):
                     mesh_rep_levels[send_l], *chunk_kinds[c]
                 )
                 B = mesh_rep_levels[rec_l].shape[0]
-                if edge_reps[c].ndim == 2:
+                if isinstance(send_rep, SplitSend):
+                    # split sharded chunk: interior round reads only owned
+                    # rows; the frontier round is the collective's sole
+                    # consumer (overlap — see ops SplitSend)
+                    fr = es.frontier
+                    er_i, er_f = edge_reps[c]
+                    if er_i.ndim == 2:
+                        ne_i, virt_i = edge_round_flat(
+                            p["edge_mlps"][c], es, send_rep.owned,
+                            mesh_rep_levels[rec_l], er_i, compute_dtype=cd,
+                        )
+                        ne_f, virt_f = edge_round_flat(
+                            p["edge_mlps"][c], fr, send_rep.imports,
+                            mesh_rep_levels[rec_l], er_f, compute_dtype=cd,
+                        )
+                        agg_c = unflatten_nodes(
+                            _fold_virt_flat(es, virt_i)
+                            + _fold_virt_flat(fr, virt_f), B,
+                        )
+                    else:
+                        m_i, virt_i = edge_messages_and_virt(
+                            p["edge_mlps"][c], es, send_rep.owned,
+                            mesh_rep_levels[rec_l], er_i, compute_dtype=cd,
+                        )
+                        m_f, virt_f = edge_messages_and_virt(
+                            p["edge_mlps"][c], fr, send_rep.imports,
+                            mesh_rep_levels[rec_l], er_f, compute_dtype=cd,
+                        )
+                        agg_c = _fold_virt(es, virt_i) + _fold_virt(
+                            fr, virt_f
+                        )
+                        ne_i, ne_f = er_i + m_i, er_f + m_f
+                    new_edge = (ne_i, ne_f)
+                elif edge_reps[c].ndim == 2:
                     # flat-lane chunk (see ops/pallas_edge_flat.py); the
                     # per-level accumulator stays batched so mixed-layout
                     # chunks can aggregate into the same level

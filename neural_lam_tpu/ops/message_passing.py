@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,13 @@ class EdgeSet:
     # gather + masked fold (scatter is the TPU's weak spot). None when not
     # built (non-dense sets, hand-assembled shard chunks).
     transposed: "EdgeSet | None" = None
+    # Split sharded sets (parallel/grid_sharded.py): this set holds the
+    # INTERIOR edges (senders owned by the local shard) and `frontier`
+    # holds the edges whose senders are halo/all-gather imports. The
+    # frontier set's num_send indexes the IMPORT buffer, so the collective
+    # producing it has exactly one (small) consumer and XLA's
+    # latency-hiding scheduler can overlap it with the interior kernel.
+    frontier: "EdgeSet | None" = None
 
     @property
     def num_edges(self) -> int:
@@ -232,6 +240,30 @@ class EdgeSet:
         )
 
 
+class SplitSend(NamedTuple):
+    """Sender tables of a split (interior/frontier) sharded edge set.
+
+    `owned`: the shard's own sender rows — the interior edges' table.
+    `imports`: the halo-ppermuted / all-gathered rows the FRONTIER edges
+    index. Returned by the sharded sender hooks instead of the
+    concatenated [owned ++ imports] table so that the collective producing
+    `imports` has exactly one consumer — the small frontier round — and
+    the big interior edge kernel, having no data dependence on it, can run
+    while the collective is in flight (XLA latency-hiding scheduler)."""
+
+    owned: jax.Array
+    imports: jax.Array
+
+
+def embed_edge_features(embedder_params: dict, edges: "EdgeSet",
+                        compute_dtype=None):
+    """Edge-feature embedding; (interior, frontier) pair for split sets."""
+    emb = apply_mlp(embedder_params, edges.features,
+                    compute_dtype=compute_dtype)
+    if edges.frontier is not None:
+        return (emb, apply_mlp(embedder_params, edges.frontier.features,
+                               compute_dtype=compute_dtype))
+    return emb
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +383,18 @@ def flatten_nodes(x):
 def expand_edge_rep(edges: "EdgeSet", emb, batch_size: int):
     """Initial edge representation for update_edges GNN stacks, in the
     layout apply_interaction_net will use: flat (M, B*h) lane-tiled when
-    the flat path applies, else batched (..., M, h)."""
+    the flat path applies, else batched (..., M, h). Split sets take and
+    return (interior, frontier) pairs; the frontier rides the interior's
+    layout so the two folds sum without a transpose."""
+    if edges.frontier is not None:
+        emb_i, emb_f = emb
+        if flat_eligible(edges, batch_size, emb_i.shape[-1]):
+            return (jnp.tile(emb_i, (1, batch_size)),
+                    jnp.tile(emb_f, (1, batch_size)))
+        return (
+            jnp.broadcast_to(emb_i[None], (batch_size,) + emb_i.shape),
+            jnp.broadcast_to(emb_f[None], (batch_size,) + emb_f.shape),
+        )
     if flat_eligible(edges, batch_size, emb.shape[-1]):
         return jnp.tile(emb, (1, batch_size))
     return jnp.broadcast_to(emb[None], (batch_size,) + emb.shape)
@@ -475,14 +518,17 @@ def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
     if grads is not None:
         d_st, d_ew, d_ge, d_pp = grads
     else:
-        def ref(st, ge, ew, pp):
+        # arg order (st, ew, ge, pp) deliberately mirrors
+        # grid_update_flat_win_bwd's return order so both branches unpack
+        # into identical names in identical positions
+        def ref(st, ew, ge, pp):
             g = gather_send_flat(st, edges)
             return grid_update_flat(g, ew, ge, mask_p, pp, K, interp,
                                     consts=consts)
 
-        _, vjp = jax.vjp(ref, ops["send_tf"], ops["ge_f"], ops["ew"],
+        _, vjp = jax.vjp(ref, ops["send_tf"], ops["ew"], ops["ge_f"],
                          ops["pp"])
-        d_st, d_ge, d_ew, d_pp = vjp(d_out)
+        d_st, d_ew, d_ge, d_pp = vjp(d_out)
 
     def z(x):
         if x is None:
@@ -860,6 +906,75 @@ def _edge_mlp_decomposed(params: dict, edges: EdgeSet, send_rep, rec_rep,
     return x
 
 
+def _apply_inet_split(params: dict, edges: EdgeSet, send: SplitSend,
+                      rec_rep, edge_rep=None, *, update_edges: bool,
+                      aggr: str, compute_dtype=None, ew=None, consts=None):
+    """Split (interior/frontier) interaction-net round for sharded
+    receiver-owned edge sets (see `SplitSend`). The interior round reads
+    only `send.owned`; the frontier round is the sole consumer of
+    `send.imports`, so the collective producing it can overlap the (much
+    larger) interior edge kernel. The message set is identical to the
+    unsplit chunk's — only the association order of the receiver sum
+    changes (fp-level difference).
+
+    edge_rep / ew / the returned edge state are (interior, frontier)
+    pairs; the frontier uses the interior's layout (flat or batched).
+    Receiver aggregation is shard-local (receiver-owned chunks), so no
+    psum modes appear here."""
+    fr = edges.frontier
+    assert fr is not None, "split round requires edges.frontier"
+    assert aggr == "sum", "split sets implement sum aggregation"
+    cd = compute_dtype
+    er_i = er_f = None
+    if edge_rep is not None:
+        er_i, er_f = edge_rep
+    ew_i = ew_f = None
+    if ew is not None:
+        ew_i, ew_f = ew
+    B, h = rec_rep.shape[0], rec_rep.shape[-1]
+    layers = params["edge_mlp"]["layers"]
+    two_layer_ln = len(layers) == 2 and params["edge_mlp"]["ln"] is not None
+    flat = (
+        two_layer_ln
+        and flat_eligible(edges, B, h)
+        and ((er_i is not None and er_i.ndim == 2)
+             or (er_i is None and ew_i is not None and ew_i.ndim == 2))
+    )
+    if flat:
+        eo_i, virt_i = edge_round_flat(
+            params["edge_mlp"], edges, send.owned, rec_rep, er_i,
+            ew=ew_i, compute_dtype=cd, consts=consts,
+        )
+        eo_f, virt_f = edge_round_flat(
+            params["edge_mlp"], fr, send.imports, rec_rep, er_f,
+            ew=ew_f, compute_dtype=cd, consts=consts,
+        )
+        aggregated = (_fold_virt_flat(edges, virt_i)
+                      + _fold_virt_flat(fr, virt_f))
+        rec_out = rec_rep + _aggr_mlp_mixed(
+            params["aggr_mlp"], rec_rep, aggregated, compute_dtype=cd
+        )
+    else:
+        m_i, virt_i = edge_messages_and_virt(
+            params["edge_mlp"], edges, send.owned, rec_rep, er_i,
+            compute_dtype=cd, with_messages=update_edges, ew=ew_i,
+        )
+        m_f, virt_f = edge_messages_and_virt(
+            params["edge_mlp"], fr, send.imports, rec_rep, er_f,
+            compute_dtype=cd, with_messages=update_edges, ew=ew_f,
+        )
+        aggregated = _fold_virt(edges, virt_i) + _fold_virt(fr, virt_f)
+        rec_out = rec_rep + apply_mlp_concat(
+            params["aggr_mlp"], [rec_rep, aggregated],
+            compute_dtype=cd,
+        )
+        eo_i = None if m_i is None else er_i + m_i
+        eo_f = None if m_f is None else er_f + m_f
+    if update_edges:
+        return rec_out, (eo_i, eo_f)
+    return rec_out
+
+
 def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                           edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
@@ -877,6 +992,18 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     Returns rec_out (and edge_out when update_edges).
     """
     assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
+    if isinstance(send_rep, SplitSend):
+        assert psum_axis is None, (
+            "split sets are receiver-owned: aggregation is shard-local"
+        )
+        return _apply_inet_split(
+            params, edges, send_rep, rec_rep, edge_rep,
+            update_edges=update_edges, aggr=aggr,
+            compute_dtype=compute_dtype, ew=ew, consts=consts,
+        )
+    assert edges.frontier is None, (
+        "edge set has a frontier split: pass a SplitSend sender table"
+    )
     mode = _pallas_mode()
     if edges.dense_k:
         layers = params["edge_mlp"]["layers"]

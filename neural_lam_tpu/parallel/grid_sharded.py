@@ -147,6 +147,9 @@ def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
     transposed = es.transposed
     if transposed is not None:
         transposed = _unstack_edgeset(transposed)
+    frontier = es.frontier
+    if frontier is not None:
+        frontier = _unstack_edgeset(frontier)
     return dataclasses.replace(
         es,
         senders=es.senders[0],
@@ -156,6 +159,7 @@ def _unstack_edgeset(es: EdgeSet) -> EdgeSet:
         mask=es.mask[0],
         virt_to_rec=es.virt_to_rec[0],
         transposed=transposed,
+        frontier=frontier,
     )
 
 
@@ -206,29 +210,72 @@ def _sender_owned_chunk_edgeset(es: EdgeSet, n_shards: int,
 
 
 def _owned_chunk_edgeset(es: EdgeSet, n_shards: int, rec_block: int,
-                         num_send=None, sender_map=None) -> EdgeSet:
+                         num_send=None, sender_map=None,
+                         split=None) -> EdgeSet:
     """Partition an EdgeSet by the RECEIVER's owner shard (contiguous
     blocks of `rec_block` receiver rows): each chunk holds ALL in-edges of
     its owned receivers in LOCAL receiver indices, so aggregation is
     shard-complete with no collective. `sender_map(s, send_global)`
     optionally rewrites each chunk's sender ids (halo scheme: compact
-    [owned ++ imports] positions)."""
+    [owned ++ imports] positions).
+
+    `split` additionally partitions each chunk into an INTERIOR set
+    (senders owned by the shard) and a FRONTIER set (senders imported),
+    attached as `.frontier` — the overlap structure `SplitSend` consumes
+    (ops/message_passing.py). Modes:
+      {"kind": "compact", "own": X} — after sender_map, ids < X are owned
+        (kept, num_send=X) and ids >= X index the halo IMPORT buffer
+        (rebased by -X, num_send = total - X);
+      {"kind": "global", "own_block": blk} — global sender ids; owner
+        shard = id // blk; interior rebased to the owned block, frontier
+        keeps global ids into the all-gathered table."""
     send, recv, feat = _real_edges(es)
     shard_of = recv // rec_block
     K = es.dense_k or 8
-    sets = []
+    sets, fr_sets = [], []
     for s in range(n_shards):
         sel = shard_of == s
         snd = send[sel]
         if sender_map is not None:
             snd = sender_map(s, snd)
+        rcv = recv[sel] - s * rec_block
+        ft = feat[sel]
+        if split is None:
+            sets.append(EdgeSet.from_local(
+                snd, rcv, ft, num_send=num_send or es.num_send,
+                num_rec=rec_block, dense=True, dense_force_k=K,
+                dense_min_virt=0,
+            ))
+            continue
+        if split["kind"] == "compact":
+            own = split["own"]
+            interior = snd < own
+            in_send, in_num_send = snd[interior], own
+            fr_send = snd[~interior] - own
+            fr_num_send = (num_send or es.num_send) - own
+        else:
+            blk = split["own_block"]
+            interior = (send[sel] // blk) == s
+            in_send = send[sel][interior] - s * blk
+            in_num_send = blk
+            fr_send = snd[~interior]
+            fr_num_send = num_send or es.num_send
         sets.append(EdgeSet.from_local(
-            snd, recv[sel] - s * rec_block,
-            feat[sel], num_send=num_send or es.num_send,
+            in_send, rcv[interior], ft[interior], num_send=in_num_send,
             num_rec=rec_block, dense=True, dense_force_k=K,
             dense_min_virt=0,
         ))
-    return _stack_edgesets(sets)
+        fr_sets.append(EdgeSet.from_local(
+            fr_send, rcv[~interior], ft[~interior],
+            num_send=max(int(fr_num_send), 1), num_rec=rec_block,
+            dense=True, dense_force_k=K, dense_min_virt=0,
+        ))
+    stacked = _stack_edgesets(sets)
+    if split is not None:
+        stacked = dataclasses.replace(
+            stacked, frontier=_stack_edgesets(fr_sets)
+        )
+    return stacked
 
 
 @jax.tree_util.register_dataclass
@@ -659,30 +706,43 @@ def build_rs_shard(graph: LoadedGraph, n_shards: int,
             dense=True, dense_force_k=k_m2g,
         ))
     if halo:
-        # EVERY level is receiver-owned; all sender tables are compact
-        # [owned ++ halo imports] layouts (ids remapped here)
+        # EVERY level is receiver-owned; interior edges keep owner-local
+        # sender ids and frontier edges index the halo IMPORT buffer
+        # directly (split sets -> SplitSend overlap, see
+        # _owned_chunk_edgeset); sets with an empty plan stay unsplit
+        def csplit(plan, own):
+            return ({"kind": "compact", "own": own} if plan else None)
+
         m2m = tuple(
             _owned_chunk_edgeset(es, n_shards, mblocks[l],
-                                 num_send=mm[l][3], sender_map=mm[l][2])
+                                 num_send=mm[l][3], sender_map=mm[l][2],
+                                 split=csplit(mm[l][0], mblocks[l]))
             for l, es in enumerate(graph.m2m)
         )
         up = tuple(
             _owned_chunk_edgeset(es, n_shards, mblocks[l + 1],
                                  num_send=up_p[l][3],
-                                 sender_map=up_p[l][2])
+                                 sender_map=up_p[l][2],
+                                 split=csplit(up_p[l][0], mblocks[l]))
             for l, es in enumerate(graph.up)
         )
         down = tuple(
             _owned_chunk_edgeset(es, n_shards, mblocks[l],
                                  num_send=down_p[l][3],
-                                 sender_map=down_p[l][2])
+                                 sender_map=down_p[l][2],
+                                 split=csplit(down_p[l][0],
+                                              mblocks[l + 1]))
             for l, es in enumerate(graph.down)
         )
     else:
         # level-0 m2m by receiver OWNER: local receivers, shard-local
-        # aggregation; upper-level edge sets as balanced scheme-1 chunks
-        m2m = (_owned_chunk_edgeset(graph.m2m[0], n_shards, mblock,
-                                    num_send=nm_pad),) + tuple(
+        # aggregation, interior/frontier split (frontier gathers from the
+        # all-gathered padded table); upper-level edge sets as balanced
+        # scheme-1 chunks
+        m2m = (_owned_chunk_edgeset(
+            graph.m2m[0], n_shards, mblock, num_send=nm_pad,
+            split={"kind": "global", "own_block": mblock},
+        ),) + tuple(
             _chunk_edgeset(es, n_shards) for es in graph.m2m[1:]
         )
         # up[0] senders are the sharded level-0 rows: partition by SENDER
@@ -756,14 +816,16 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
         local.__class__ = base_cls
 
         if part.halo:
+            from ..ops.message_passing import SplitSend
             from .spatial import _halo_exchange, _halo_fold
 
             S = part.n_shards
 
             def hi_send(rep, kind, idx):
-                """Cut-edge halo import for edge set (kind, idx): extend
-                the owned sender rows with the rows this shard's edges
-                reference on other shards."""
+                """Cut-edge halo import for edge set (kind, idx): the
+                owned sender rows paired with the rows this shard's edges
+                reference on other shards (SplitSend — the interior edge
+                kernel overlaps the ppermute)."""
                 arrs, plans = {
                     "m2m": (part.mm_send_idx, part.mm_plans),
                     "up": (part.up_send_idx, part.up_plans),
@@ -772,14 +834,18 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
                 plan = plans[idx]
                 if not plan:
                     return rep
-                return jnp.concatenate([
+                return SplitSend(
                     rep, _halo_exchange(rep, arrs[idx][0], plan, S)
-                ], axis=1)
+                )
 
             def gather0(rep):
                 return hi_send(rep, "m2m", 0)
 
             def gather_m2g(rep):
+                # m2g feeds the fused flat-grid decoder, which consumes
+                # the full gathered rows per grid node — it stays a
+                # concatenated table (unsplit); the exchange is one
+                # cut-edge ppermute per predict step
                 return jnp.concatenate([
                     rep,
                     _halo_exchange(rep, part.mg_send_idx[0],
@@ -794,8 +860,20 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
 
             local._m2g_sender_rep = gather_m2g
         else:
-            def gather0(rep):
+            from ..ops.message_passing import SplitSend
+
+            def gather_full(rep):
                 return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+
+            def gather0(rep):
+                # owned rows + the all-gathered table: interior m2m[0]
+                # edges read only the owned rows, so the all-gather's
+                # sole consumer is the small frontier round (overlap)
+                return SplitSend(rep, gather_full(rep))
+
+            # m2g senders index the full padded table (fused decoder
+            # consumes all rows): keep the plain all-gather here
+            local._m2g_sender_rep = gather_full
 
         mesh_static = part.mesh_static
         if part.halo:

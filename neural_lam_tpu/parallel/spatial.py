@@ -67,6 +67,62 @@ def _build_shard_tables(shard_edges, n_rows, e_max):
     return np.stack([_pad_to(t, k_max, axis=1, fill=e_max) for t in tables])
 
 
+def _build_split_tables(recv_parts, n_rows, ei, ef):
+    """Per-shard gather tables for [interior (padded to ei) ++ frontier
+    (padded to ef)] edge layouts: entries are COMBINED slot positions
+    (frontier edge j sits at ei + j), sentinel = ei + ef (the zero row
+    gather_sum appends)."""
+    m_tot = ei + ef
+    tables = []
+    for recv_i, recv_f in recv_parts:
+        pos = np.concatenate([
+            np.arange(len(recv_i)), ei + np.arange(len(recv_f))
+        ]).astype(np.int32)
+        recv = np.concatenate([recv_i, recv_f])
+        counts = np.bincount(recv, minlength=n_rows) if len(recv) else \
+            np.zeros(n_rows, np.int64)
+        k = max(int(counts.max()) if len(recv) else 1, 1)
+        t = np.full((n_rows, k), m_tot, np.int32)
+        if len(recv):
+            order = np.argsort(recv, kind="stable")
+            srt = recv[order]
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            within = np.arange(len(recv)) - starts[srt]
+            t[srt, within] = pos[order]
+        tables.append(t)
+    k_max = max(t.shape[1] for t in tables)
+    return np.stack([_pad_to(t, k_max, axis=1, fill=m_tot) for t in tables])
+
+
+def _split_pack(parts_i, parts_f):
+    """Stack per-shard (send, recv_local, feat) interior/frontier tuples
+    into [interior ++ frontier] padded arrays. Returns (send, recv, feat,
+    ei, ef, recv_parts-for-tables)."""
+    ei = max(max(len(p[0]) for p in parts_i), 1)
+    ef = max(max(len(p[0]) for p in parts_f), 1)
+
+    def pack(col, dtype):
+        return np.stack([
+            np.concatenate([
+                _pad_to(np.asarray(pi[col], dtype), ei),
+                _pad_to(np.asarray(pf[col], dtype), ef),
+            ])
+            for pi, pf in zip(parts_i, parts_f)
+        ])
+
+    send = pack(0, np.int32)
+    recv = pack(1, np.int32)
+    feat = np.stack([
+        np.concatenate([
+            _pad_to(np.asarray(pi[2], np.float32), ei),
+            _pad_to(np.asarray(pf[2], np.float32), ef),
+        ])
+        for pi, pf in zip(parts_i, parts_f)
+    ])
+    recv_parts = [(pi[1], pf[1]) for pi, pf in zip(parts_i, parts_f)]
+    return send, recv, feat, ei, ef, recv_parts
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpatialPartition:
@@ -113,6 +169,12 @@ class SpatialPartition:
                                        metadata={"static": True})
     g2m_plan: tuple = dataclasses.field(default=(),
                                         metadata={"static": True})
+    # rs/halo: edge arrays are ordered [interior ++ frontier]; the first
+    # m2m_e_i / m2g_e_i slots are interior edges (senders owned locally —
+    # the segment whose messages do NOT depend on the sender collective,
+    # so the exchange overlaps the interior edge MLP). 0 = unsplit (psum).
+    m2m_e_i: int = dataclasses.field(default=0, metadata={"static": True})
+    m2g_e_i: int = dataclasses.field(default=0, metadata={"static": True})
 
     @property
     def num_mesh_padded(self) -> int:
@@ -331,32 +393,37 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
 
     # --- m2m ---
     send, recv, feat = real_edges(graph.m2m[0])
+    split_extra = {}
     if scheme in ("rs", "halo"):
-        # partition by receiver owner block; aggregation is shard-local
-        groups, emm = split_by_block(recv, [send, recv, feat], blk=mblock)
+        # partition by receiver owner block (aggregation shard-local),
+        # each chunk ordered [interior ++ frontier]: interior senders are
+        # owner-local rows (no collective), frontier senders index the
+        # halo import buffer ("halo") / the all-gathered table ("rs")
+        groups, _ = split_by_block(recv, [send, recv, feat], blk=mblock)
         if halo:
             mm_plan, mm_send_idx, mm_remap = _build_gather_halo(
                 send, mesh_owner(recv), mblock, n_shards
             )
-            m2m_send = np.stack([
-                _pad_to(remap_rows(g[0], s, mm_remap), emm)
-                for s, g in enumerate(groups)
-            ]).astype(np.int32)
             halo_extra["mm_plan"] = mm_plan
             halo_extra["mm_send_idx"] = jnp.asarray(mm_send_idx)
-        else:
-            m2m_send = np.stack(
-                [_pad_to(g[0], emm) for g in groups]
-            ).astype(np.int32)
-        m2m_recv = np.stack([
-            _pad_to(g[1] - s * mblock, emm) for s, g in enumerate(groups)
-        ]).astype(np.int32)
-        m2m_feat = np.stack(
-            [_pad_to(g[2], emm) for g in groups]
-        ).astype(np.float32)
-        m2m_table = _build_shard_tables(
-            [g[1] - s * mblock for s, g in enumerate(groups)], mblock, emm
+        parts_i, parts_f = [], []
+        for s, g in enumerate(groups):
+            snd, rcv, ft = g
+            rcv = rcv - s * mblock
+            if halo:
+                mapped = remap_rows(snd, s, mm_remap)
+                im = mapped < mblock
+                int_send, fr_send = mapped[im], mapped[~im] - mblock
+            else:
+                im = mesh_owner(snd) == s
+                int_send, fr_send = snd[im] - s * mblock, snd[~im]
+            parts_i.append((int_send, rcv[im], ft[im]))
+            parts_f.append((fr_send, rcv[~im], ft[~im]))
+        m2m_send, m2m_recv, m2m_feat, ei, ef, rps = _split_pack(
+            parts_i, parts_f
         )
+        m2m_table = _build_split_tables(rps, mblock, ei, ef)
+        split_extra["m2m_e_i"] = ei
     else:
         # contiguous balanced chunks, full-mesh tables, psum
         E = send.shape[0]
@@ -385,23 +452,42 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         mg_plan, mg_send_idx, mg_remap = _build_gather_halo(
             send, np.minimum(recv // block, n_shards - 1), mblock, n_shards
         )
-        m2g_send = np.stack([
-            _pad_to(remap_rows(g[0], s, mg_remap), em)
-            for s, g in enumerate(groups)
-        ]).astype(np.int32)
         halo_extra["mg_plan"] = mg_plan
         halo_extra["mg_send_idx"] = jnp.asarray(mg_send_idx)
+    if scheme in ("rs", "halo"):
+        # [interior ++ frontier] ordering as for m2m: the m2g sender
+        # exchange overlaps the interior decode messages
+        parts_i, parts_f = [], []
+        for s, g in enumerate(groups):
+            snd, rcv, ft = g
+            rcv = rcv - s * block
+            if halo:
+                mapped = remap_rows(snd, s, mg_remap)
+                im = mapped < mblock
+                int_send, fr_send = mapped[im], mapped[~im] - mblock
+            else:
+                im = mesh_owner(snd) == s
+                int_send, fr_send = snd[im] - s * mblock, snd[~im]
+            parts_i.append((int_send, rcv[im], ft[im]))
+            parts_f.append((fr_send, rcv[~im], ft[~im]))
+        m2g_send, m2g_recv_local, m2g_feat, ei, ef, rps = _split_pack(
+            parts_i, parts_f
+        )
+        m2g_table = _build_split_tables(rps, block, ei, ef)
+        split_extra["m2g_e_i"] = ei
     else:
         m2g_send = np.stack(
             [_pad_to(g[0], em) for g in groups]
         ).astype(np.int32)
-    m2g_recv_local = np.stack([
-        _pad_to(g[1] - s * block, em) for s, g in enumerate(groups)
-    ]).astype(np.int32)
-    m2g_feat = np.stack([_pad_to(g[2], em) for g in groups]).astype(np.float32)
-    m2g_table = _build_shard_tables(
-        [g[1] - s * block for s, g in enumerate(groups)], block, em
-    )
+        m2g_recv_local = np.stack([
+            _pad_to(g[1] - s * block, em) for s, g in enumerate(groups)
+        ]).astype(np.int32)
+        m2g_feat = np.stack(
+            [_pad_to(g[2], em) for g in groups]
+        ).astype(np.float32)
+        m2g_table = _build_shard_tables(
+            [g[1] - s * block for s, g in enumerate(groups)], block, em
+        )
 
     grid_static = _pad_to(np.asarray(grid_static_features), ng_pad)
 
@@ -429,6 +515,7 @@ def partition_graph(graph: LoadedGraph, n_shards: int,
         mblock=int(mblock),
         scheme=scheme,
         **halo_extra,
+        **split_extra,
     )
 
 
@@ -656,35 +743,52 @@ class SpatialGraphLAM(GraphLAM):
                 params["m2m_embedder"], idx(sp.m2m_feat), compute_dtype=cd
             )  # (Emm, h)
             edge_rep = jnp.broadcast_to(m2m_emb[None], (B,) + m2m_emb.shape)
+
+            def seg(a, lo, size):
+                return jax.lax.slice_in_dim(a, lo, lo + size, axis=-2)
+
             for li in range(n_layers):
                 p = params["processor"][li]
                 w0 = p["edge_mlp"]["layers"][0]["w"]
                 w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
                 node_tj = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
                 node_ti = _mm(mesh_rep, w_i, cd)
-                if halo:
-                    # extended sender table = [owned ++ halo imports];
-                    # m2m_send is remapped into this layout host-side
-                    node_tj = jnp.concatenate([
-                        node_tj,
-                        _halo_exchange(node_tj, idx(sp.mm_send_idx),
-                                       part.mm_plan, S),
-                    ], axis=1)
-                elif rs:
-                    node_tj = jax.lax.all_gather(
-                        node_tj, "space", axis=1, tiled=True
-                    )  # (B, nm_pad, h)
-                msgs = _edge_messages(
-                    p["edge_mlp"],
-                    _mm(edge_rep, w_e, cd),
-                    jnp.take(node_tj, idx(sp.m2m_send), axis=-2),
-                    jnp.take(node_ti, idx(sp.m2m_recv), axis=-2),
-                    cd,
-                )  # (B, Emm, h)
-                partial = gather_sum(msgs, idx(sp.m2m_table))
+                ew_all = _mm(edge_rep, w_e, cd)
+                rec_rows = jnp.take(node_ti, idx(sp.m2m_recv), axis=-2)
+                send_ids = idx(sp.m2m_send)
                 if rs:
-                    aggregated = partial  # receiver-owned chunk: local
+                    # edges ordered [interior ++ frontier]: the interior
+                    # messages read only owned rows, so the halo ppermute /
+                    # all-gather has ONE consumer (the small frontier
+                    # chunk) and overlaps the interior edge MLP
+                    imports = (
+                        _halo_exchange(node_tj, idx(sp.mm_send_idx),
+                                       part.mm_plan, S)
+                        if halo else jax.lax.all_gather(
+                            node_tj, "space", axis=1, tiled=True
+                        )
+                    )
+                    ei = part.m2m_e_i
+                    ef = send_ids.shape[0] - ei
+                    msgs_i = _edge_messages(
+                        p["edge_mlp"], seg(ew_all, 0, ei),
+                        jnp.take(node_tj, send_ids[:ei], axis=-2),
+                        seg(rec_rows, 0, ei), cd,
+                    )
+                    msgs_f = _edge_messages(
+                        p["edge_mlp"], seg(ew_all, ei, ef),
+                        jnp.take(imports, send_ids[ei:], axis=-2),
+                        seg(rec_rows, ei, ef), cd,
+                    )
+                    msgs = jnp.concatenate([msgs_i, msgs_f], axis=-2)
+                    aggregated = gather_sum(msgs, idx(sp.m2m_table))
                 else:
+                    msgs = _edge_messages(
+                        p["edge_mlp"], ew_all,
+                        jnp.take(node_tj, send_ids, axis=-2),
+                        rec_rows, cd,
+                    )  # (B, Emm, h)
+                    partial = gather_sum(msgs, idx(sp.m2m_table))
                     aggregated = jax.lax.psum(partial, "space")
                 mesh_rep = mesh_rep + apply_mlp(
                     p["aggr_mlp"],
@@ -702,24 +806,39 @@ class SpatialGraphLAM(GraphLAM):
                 params["m2g_embedder"], idx(sp.m2g_feat), compute_dtype=cd
             )
             send_t = _mm(mesh_rep, w_j, cd)  # (B, Nm|mblock, h)
-            if halo:
-                send_t = jnp.concatenate([
-                    send_t,
-                    _halo_exchange(send_t, idx(sp.mg_send_idx),
-                                   part.mg_plan, S),
-                ], axis=1)
-            elif rs:
-                send_t = jax.lax.all_gather(
-                    send_t, "space", axis=1, tiled=True
-                )  # (B, nm_pad, h)
             rec_t = _mm(grid_rep, w_i, cd)  # (B, blk, h)
-            msgs = _edge_messages(
-                m2g_p["edge_mlp"],
-                _mm(m2g_emb, w_e, cd)[None],
-                jnp.take(send_t, idx(sp.m2g_send), axis=-2),
-                jnp.take(rec_t, idx(sp.m2g_recv_local), axis=-2),
-                cd,
-            )  # (B, Em, h)
+            mg_ew = _mm(m2g_emb, w_e, cd)[None]
+            mg_rec_rows = jnp.take(rec_t, idx(sp.m2g_recv_local), axis=-2)
+            mg_send_ids = idx(sp.m2g_send)
+            if rs:
+                # [interior ++ frontier] as in the processor: the m2g
+                # sender exchange overlaps the interior decode messages
+                imports = (
+                    _halo_exchange(send_t, idx(sp.mg_send_idx),
+                                   part.mg_plan, S)
+                    if halo else jax.lax.all_gather(
+                        send_t, "space", axis=1, tiled=True
+                    )
+                )
+                ei = part.m2g_e_i
+                ef = mg_send_ids.shape[0] - ei
+                msgs_i = _edge_messages(
+                    m2g_p["edge_mlp"], seg(mg_ew, 0, ei),
+                    jnp.take(send_t, mg_send_ids[:ei], axis=-2),
+                    seg(mg_rec_rows, 0, ei), cd,
+                )
+                msgs_f = _edge_messages(
+                    m2g_p["edge_mlp"], seg(mg_ew, ei, ef),
+                    jnp.take(imports, mg_send_ids[ei:], axis=-2),
+                    seg(mg_rec_rows, ei, ef), cd,
+                )
+                msgs = jnp.concatenate([msgs_i, msgs_f], axis=-2)
+            else:
+                msgs = _edge_messages(
+                    m2g_p["edge_mlp"], mg_ew,
+                    jnp.take(send_t, mg_send_ids, axis=-2),
+                    mg_rec_rows, cd,
+                )  # (B, Em, h)
             aggregated = gather_sum(msgs, idx(sp.m2g_table))  # (B, blk, h)
             grid_rep = grid_rep + apply_mlp(
                 m2g_p["aggr_mlp"],
@@ -760,6 +879,7 @@ class SpatialGraphLAM(GraphLAM):
             else P("space"),
             mm_plan=part.mm_plan, mg_plan=part.mg_plan,
             g2m_plan=part.g2m_plan,
+            m2m_e_i=part.m2m_e_i, m2g_e_i=part.m2g_e_i,
         )
         return shard_map(
             shard_fn, mesh=self.mesh,

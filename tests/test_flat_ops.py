@@ -333,7 +333,7 @@ def test_grid_sharded_flat_matches(monkeypatch, tmp_path, scheme):
     # smallest config that still runs every sharded stage (g2m/m2g +
     # m2m edge chunks + psums) through the interpret-mode kernels with
     # grads: interpret is ~1000x device speed, so size dominates runtime
-    datastore = DummyDatastore(grid_shape=(24, 20), n_timesteps=40)
+    datastore = DummyDatastore(grid_shape=(16, 12), n_timesteps=40)
     config = NeuralLAMConfig(
         datastore=DatastoreSelection(kind="dummydata", config_path=""),
         training=TrainingConfig(),

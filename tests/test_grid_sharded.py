@@ -82,6 +82,72 @@ def test_grid_sharded_matches(model_name, env):
                                    atol=5e-5, rtol=2e-3)
 
 
+def test_split_sets_structure(env):
+    """Overlap guarantee, structurally: rs/halo builds split every
+    receiver-owned edge set into an INTERIOR set whose sender index space
+    is exactly the owned block — so the interior edge kernel CANNOT read
+    the import collective's output — plus a FRONTIER set carrying the
+    remaining edges. Conservation: interior + frontier real edges ==
+    original chunk edges. A regression here (e.g. a builder change that
+    silently stops splitting) would serialize the collectives again."""
+    from neural_lam_tpu.parallel.grid_sharded import build_rs_shard
+
+    datastore, config, flat, hier = env
+    S = 4
+
+    def real_count(es, s):
+        return int(np.asarray(es.mask[s, :, 0]).sum())
+
+    def max_real_sender(es, s):
+        m = np.asarray(es.mask[s, :, 0]) > 0
+        snd = np.asarray(es.senders[s])[m]
+        return int(snd.max()) if snd.size else -1
+
+    # rs scheme, flat graph: m2m[0] split; frontier indexes the padded
+    # all-gathered table
+    grid_static = np.zeros((flat.num_grid_nodes, 1), np.float32)
+    part = build_rs_shard(flat, S, grid_static)
+    m2m0 = part.m2m[0]
+    assert m2m0.frontier is not None
+    assert m2m0.num_send == part.mblock
+    orig = flat.m2m[0]
+    orig_real = int(np.asarray(orig.mask[:, 0]).sum()) if orig.dense_k \
+        else orig.num_edges
+    total = 0
+    for s in range(S):
+        assert max_real_sender(m2m0, s) < part.mblock
+        total += real_count(m2m0, s) + real_count(m2m0.frontier, s)
+    assert total == orig_real
+    assert m2m0.frontier.num_send == part.mblock * S
+
+    # halo scheme, hierarchical graph: every set with a nonempty plan is
+    # split; interior sender space == the sender level's owned block and
+    # the frontier indexes the import buffer (width = sum of plan widths)
+    part_h = build_rs_shard(hier, S, grid_static, halo=True)
+    mblocks = [-(-n // S) for n in hier.level_sizes]
+    checked = 0
+    for kind, sets, plans, own_of in (
+        ("m2m", part_h.m2m, part_h.mm_plans, lambda l: mblocks[l]),
+        ("up", part_h.up, part_h.up_plans, lambda l: mblocks[l]),
+        ("down", part_h.down, part_h.down_plans,
+         lambda l: mblocks[l + 1]),
+    ):
+        for l, es in enumerate(sets):
+            if not plans[l]:
+                assert es.frontier is None
+                continue
+            own = own_of(l)
+            width = sum(w for _, w in plans[l])
+            assert es.frontier is not None, (kind, l)
+            assert es.num_send == own
+            assert es.frontier.num_send == width
+            for s in range(S):
+                assert max_real_sender(es, s) < own
+                assert max_real_sender(es.frontier, s) < width
+            checked += 1
+    assert checked >= 2, "expected split sets in the hierarchical halo"
+
+
 @pytest.mark.parametrize("model_name", ["graph_efm:halo", "hi_efm:halo",
                                         "graph_efm:grid", "graph_efm:rs"])
 def test_latent_sharded_matches(model_name, env):
