@@ -473,6 +473,11 @@ def gather_send_flat(table, edges: "EdgeSet"):
     )
 
 
+# which backward branch _decode_win_bwd last took, keyed by trace events
+# (incremented during VJP tracing, i.e. also under jax.eval_shape)
+DECODE_BWD_PATH = {"last": None, "analytic": 0, "fallback": 0}
+
+
 def _decode_win_impl(K, wrows, tile_v, interp, ops):
     from .pallas_grid_update import grid_update_flat_win
 
@@ -515,6 +520,13 @@ def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
         ops["send_tf"], ops["ew"], ops["ge_f"], mask_p, ops["pp"], K,
         ops["win"], wrows, tile_v, d_out, interpret=interp, consts=consts,
     )
+    # trace-time telemetry: the analytic-vs-fallback decision is made in
+    # Python during VJP tracing, so tests can assert the fast path engages
+    # at production layouts (a silent layout regression would otherwise
+    # re-triple the backward cost unnoticed — see
+    # tests/test_flat_ops.py::test_win_bwd_fast_path_engages_at_bench_shape)
+    DECODE_BWD_PATH["analytic" if grads is not None else "fallback"] += 1
+    DECODE_BWD_PATH["last"] = "analytic" if grads is not None else "fallback"
     if grads is not None:
         d_st, d_ew, d_ge, d_pp = grads
     else:

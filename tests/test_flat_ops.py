@@ -944,3 +944,51 @@ def test_decode_fused_gather_matches(monkeypatch, tmp_path):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-5,
                                    err_msg=str(p1))
+
+
+def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
+    """Regression guard: at the exact bench configuration (MEPS 268x238
+    grid, hidden 64, 4 processor layers, batch 4, ar_steps 1) training
+    traces the ANALYTIC windowed decoder backward
+    (pallas_grid_update.grid_update_flat_win_bwd), not the un-windowed
+    fallback VJP — a silent layout change (fold_slots missing, tile_v
+    misalignment, widened-output overflow) would otherwise re-triple the
+    m2g backward cost unnoticed.
+
+    The analytic-vs-fallback decision happens in PYTHON while the VJP is
+    traced, so `jax.eval_shape` checks the real full-scale layout without
+    executing a single kernel (~seconds on CPU)."""
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _build_model
+
+    model, params, datastore = _build_model(
+        nx=268, ny=238, hidden_dim=64, processor_layers=4,
+        n_features={"state": 17, "forcing": 6, "static": 4}, n_timesteps=8,
+    )
+    B, T = 4, 1
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    f32 = jnp.float32
+    batch = (
+        jax.ShapeDtypeStruct((B, 2, n, d), f32),
+        jax.ShapeDtypeStruct((B, T, n, d), f32),
+        jax.ShapeDtypeStruct((B, T, n, d_f), f32),
+        jax.ShapeDtypeStruct((B, T), f32),
+    )
+
+    before = dict(mp.DECODE_BWD_PATH)
+    jax.eval_shape(jax.grad(model.training_loss), params, batch)
+    assert mp.DECODE_BWD_PATH["analytic"] > before["analytic"], (
+        "windowed decoder backward was never traced at bench shape "
+        "(fused m2g decode path disengaged?)"
+    )
+    assert mp.DECODE_BWD_PATH["fallback"] == before["fallback"], (
+        "training at bench shape fell back to the un-windowed VJP "
+        "(analytic fast path disengaged: check fold_slots/tile_v/w_out "
+        "guards in grid_update_flat_win_bwd)"
+    )
