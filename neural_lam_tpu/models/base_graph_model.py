@@ -50,6 +50,20 @@ class BaseGraphModel(ARModelBase):
         processor's)."""
         return self._mesh_sender_rep(mesh_rep)
 
+    def _m2g_sender_tf(self, mesh_rep, w_j, cd):
+        """Hook: the TRANSFORMED flat m2g sender table (N_send, B*h) the
+        fused decoder gathers from. The mesh-node-sharded rs scheme
+        overrides this to transform the owned rows first and all-gather
+        the transformed (cast) table — no shard transforms rows it does
+        not own, and bf16 halves the gathered bytes."""
+        from ..ops.message_passing import node_transform_flat
+
+        send_tf = node_transform_flat(self._m2g_sender_rep(mesh_rep),
+                                      w_j, cd)
+        if cd is not None:
+            send_tf = send_tf.astype(cd)
+        return send_tf
+
     def __init__(self, args: ModelArgs, config, datastore,
                  graph: LoadedGraph | None = None):
         super().__init__(args, config, datastore)
@@ -293,7 +307,6 @@ class BaseGraphModel(ARModelBase):
             _pallas_mode,
             apply_mlp_concat_flat,
             gather_send_flat,
-            node_transform_flat,
             unflatten_nodes,
         )
         from ..ops.pallas_grid_update import (
@@ -323,10 +336,8 @@ class BaseGraphModel(ARModelBase):
 
         m2g = self.graph.m2g
         w0m = params["m2g_gnn"]["edge_mlp"]["layers"][0]["w"]
-        send_tf = node_transform_flat(self._m2g_sender_rep(mesh_rep),
-                                      w0m[h:2 * h], cd)
+        send_tf = self._m2g_sender_tf(mesh_rep, w0m[h:2 * h], cd)
         if cd is not None:
-            send_tf = send_tf.astype(cd)
             ge_f = ge_f.astype(cd)
         win = self.m2g_win
         st = self._m2g_win_static

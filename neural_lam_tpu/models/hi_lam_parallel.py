@@ -24,12 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.message_passing import (
-    SplitSend,
+    _SPLIT_SEND_TYPES,
     _fold_virt,
     _fold_virt_flat,
     edge_messages_and_virt,
     edge_round_flat,
     init_interaction_net_chunked,
+    split_send_tf,
     unflatten_nodes,
 )
 from ..ops.mlp import apply_mlp_concat
@@ -97,20 +98,27 @@ class HiLAMParallel(BaseHiGraphModel):
                     mesh_rep_levels[send_l], *chunk_kinds[c]
                 )
                 B = mesh_rep_levels[rec_l].shape[0]
-                if isinstance(send_rep, SplitSend):
+                if isinstance(send_rep, _SPLIT_SEND_TYPES):
                     # split sharded chunk: interior round reads only owned
                     # rows; the frontier round is the collective's sole
                     # consumer (overlap — see ops SplitSend)
                     fr = es.frontier
                     er_i, er_f = edge_reps[c]
                     if er_i.ndim == 2:
+                        # transform-then-gather (split_send_tf): the
+                        # collective moves transformed rows
+                        tf_o, tf_i = split_send_tf(
+                            p["edge_mlps"][c], send_rep, B, cd
+                        )
                         ne_i, virt_i = edge_round_flat(
-                            p["edge_mlps"][c], es, send_rep.owned,
+                            p["edge_mlps"][c], es, None,
                             mesh_rep_levels[rec_l], er_i, compute_dtype=cd,
+                            send_tf=tf_o,
                         )
                         ne_f, virt_f = edge_round_flat(
-                            p["edge_mlps"][c], fr, send_rep.imports,
+                            p["edge_mlps"][c], fr, None,
                             mesh_rep_levels[rec_l], er_f, compute_dtype=cd,
+                            send_tf=tf_i,
                         )
                         agg_c = unflatten_nodes(
                             _fold_virt_flat(es, virt_i)

@@ -255,6 +255,63 @@ class SplitSend(NamedTuple):
     imports: jax.Array
 
 
+class SplitSendLazy:
+    """SplitSend whose imports come from a deferred collective.
+
+    `gather(x, axis)` all-gathers x along the node axis over the space
+    mesh axis. Deferring lets the consumer move the (linear, row-wise)
+    sender transform BEFORE the collective: each shard transforms only
+    the rows it owns and the gather moves the transformed table —
+    removing the replicated full-table transform the eager variant pays
+    (every shard re-transforming all-gathered raw rows), and under bf16
+    compute halving the gathered bytes (the cast precedes the gather).
+    Transform-then-gather is row-wise identical math to
+    gather-then-transform. Plain class, not a pytree: it only exists
+    between a sender hook and its edge round inside one trace."""
+
+    __slots__ = ("owned", "gather")
+
+    def __init__(self, owned, gather):
+        self.owned = owned
+        self.gather = gather
+
+    @property
+    def imports(self):
+        """Raw-row gather (the eager SplitSend behavior) for consumers
+        that cannot factor the sender transform out."""
+        return self.gather(self.owned, 1 if self.owned.ndim == 3 else 0)
+
+    def imports_tf(self, tf_owned):
+        """Gather already-transformed flat (n_owned, W) rows."""
+        return self.gather(tf_owned, 0)
+
+
+_SPLIT_SEND_TYPES = (SplitSend, SplitSendLazy)
+
+
+def split_send_tf(edge_mlp_params: dict, send, batch_size: int,
+                  compute_dtype=None):
+    """(tf_owned, tf_imports) sender transforms of a split sender table.
+
+    For `SplitSendLazy` the imports table is gathered AFTER the transform
+    (and after the bf16 cast). For an eager `SplitSend` (halo ppermutes —
+    tiny row counts) both parts are transformed in place."""
+    w0 = edge_mlp_params["layers"][0]["w"]
+    h = w0.shape[0] // 3
+    w_j = w0[h:2 * h]
+    cd = compute_dtype
+
+    def tf(x):
+        t = (node_transform_from_flat(x, w_j, batch_size, cd)
+             if x.ndim == 2 else node_transform_flat(x, w_j, cd))
+        return t.astype(cd) if cd is not None else t
+
+    tf_owned = tf(send.owned)
+    if isinstance(send, SplitSendLazy):
+        return tf_owned, send.imports_tf(tf_owned)
+    return tf_owned, tf(send.imports)
+
+
 def embed_edge_features(embedder_params: dict, edges: "EdgeSet",
                         compute_dtype=None):
     """Edge-feature embedding; (interior, frontier) pair for split sets."""
@@ -630,14 +687,16 @@ def _aggr_mlp_mixed(params: dict, rec_rep, aggregated_f, compute_dtype=None):
 
 def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
                     rec_rep, edge_rep_flat=None, *, ew=None,
-                    compute_dtype=None, consts=None):
+                    compute_dtype=None, consts=None, send_tf=None):
     """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
 
     rec_rep in (B, N, h); send_rep either (B, N, h) batched or already
     flat (N_send, B*h) node-major (2-dim). Edge state either static `ew`
     (M, h) (rollout-invariant GNNs) or evolving flat `edge_rep_flat`
     (M, B*h). consts: optional scan-hoisted widened kernel params
-    (pallas_edge_flat.tail_consts / layer_consts).
+    (pallas_edge_flat.tail_consts / layer_consts). send_tf: optional
+    pre-transformed (and pre-cast) flat sender table (split_send_tf) —
+    send_rep is ignored when given.
     """
     mode = _pallas_mode()
     interp = mode == "interpret"
@@ -647,16 +706,18 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     w_e, w_j, w_i = w0[:h], w0[h:2 * h], w0[2 * h:]
     cd = compute_dtype
 
-    if send_rep.ndim == 2:
-        send_tf = node_transform_from_flat(
-            send_rep, w_j, rec_rep.shape[0], cd
-        )
-    else:
-        send_tf = node_transform_flat(send_rep, w_j, cd)
+    if send_tf is None:
+        if send_rep.ndim == 2:
+            send_tf = node_transform_from_flat(
+                send_rep, w_j, rec_rep.shape[0], cd
+            )
+        else:
+            send_tf = node_transform_flat(send_rep, w_j, cd)
+        if cd is not None:
+            # cast before the big gather: half the bytes moved
+            send_tf = send_tf.astype(cd)
     rec_tf = node_transform_flat(rec_rep, w_i, cd)
     if cd is not None:
-        # cast before the big gather: half the bytes moved
-        send_tf = send_tf.astype(cd)
         rec_tf = rec_tf.astype(cd)
     gathered = gather_send_flat(send_tf, edges)
     rec_rows = _gather_virt_rows_flat(rec_tf, edges)
@@ -953,13 +1014,16 @@ def _apply_inet_split(params: dict, edges: EdgeSet, send: SplitSend,
              or (er_i is None and ew_i is not None and ew_i.ndim == 2))
     )
     if flat:
+        # transform-then-gather: owned rows transformed once per shard,
+        # the collective (when lazy) moves the transformed table
+        tf_o, tf_i = split_send_tf(params["edge_mlp"], send, B, cd)
         eo_i, virt_i = edge_round_flat(
-            params["edge_mlp"], edges, send.owned, rec_rep, er_i,
-            ew=ew_i, compute_dtype=cd, consts=consts,
+            params["edge_mlp"], edges, None, rec_rep, er_i,
+            ew=ew_i, compute_dtype=cd, consts=consts, send_tf=tf_o,
         )
         eo_f, virt_f = edge_round_flat(
-            params["edge_mlp"], fr, send.imports, rec_rep, er_f,
-            ew=ew_f, compute_dtype=cd, consts=consts,
+            params["edge_mlp"], fr, None, rec_rep, er_f,
+            ew=ew_f, compute_dtype=cd, consts=consts, send_tf=tf_i,
         )
         aggregated = (_fold_virt_flat(edges, virt_i)
                       + _fold_virt_flat(fr, virt_f))
@@ -1004,7 +1068,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
     Returns rec_out (and edge_out when update_edges).
     """
     assert aggr in ("sum", "mean"), f"Unknown aggregation method: {aggr}"
-    if isinstance(send_rep, SplitSend):
+    if isinstance(send_rep, _SPLIT_SEND_TYPES):
         assert psum_axis is None, (
             "split sets are receiver-owned: aggregation is shard-local"
         )

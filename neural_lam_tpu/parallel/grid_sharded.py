@@ -860,20 +860,34 @@ def spatialize_rs(model, mesh: Mesh, halo: bool = False):
 
             local._m2g_sender_rep = gather_m2g
         else:
-            from ..ops.message_passing import SplitSend
+            from ..ops.message_passing import (
+                SplitSendLazy, node_transform_flat,
+            )
 
-            def gather_full(rep):
-                return jax.lax.all_gather(rep, "space", axis=1, tiled=True)
+            def gather_full(rep, axis=1):
+                return jax.lax.all_gather(rep, "space", axis=axis,
+                                          tiled=True)
 
             def gather0(rep):
-                # owned rows + the all-gathered table: interior m2m[0]
+                # owned rows + a DEFERRED all-gather: interior m2m[0]
                 # edges read only the owned rows, so the all-gather's
-                # sole consumer is the small frontier round (overlap)
-                return SplitSend(rep, gather_full(rep))
+                # sole consumer is the small frontier round (overlap);
+                # laziness lets the consumer transform the owned rows
+                # first and gather the transformed table (split_send_tf)
+                return SplitSendLazy(rep, gather_full)
 
             # m2g senders index the full padded table (fused decoder
-            # consumes all rows): keep the plain all-gather here
+            # consumes all rows): all-gather, but transform the owned
+            # rows BEFORE the collective (row-wise identical math)
             local._m2g_sender_rep = gather_full
+
+            def m2g_sender_tf(mesh_rep, w_j, cd):
+                tf = node_transform_flat(mesh_rep, w_j, cd)
+                if cd is not None:
+                    tf = tf.astype(cd)
+                return gather_full(tf, axis=0)
+
+            local._m2g_sender_tf = m2g_sender_tf
 
         mesh_static = part.mesh_static
         if part.halo:
