@@ -176,7 +176,11 @@ def import_state_dict(params: dict, state_dict: dict, strict: bool = True):
         assert tuple(val.shape) == tuple(cur.shape), (
             f"{torch_key}: shape {val.shape} vs expected {cur.shape}"
         )
-        _set_path(params, path, jnp.asarray(val))
+        # jnp.array (not asarray): on CPU, asarray can be ZERO-COPY over
+        # aligned numpy buffers, and `tensor.detach().numpy()` shares
+        # memory with live torch parameters — an in-place torch
+        # optimizer step would then silently mutate the imported params.
+        _set_path(params, path, jnp.array(val))
         used.add(key)
     if strict:
         assert not missing, f"missing keys in state dict: {missing[:10]}"

@@ -181,3 +181,83 @@ def test_dense_layout_equivalence(env):
     np.testing.assert_allclose(
         np.asarray(p_sparse), np.asarray(p_dense), atol=5e-5, rtol=1e-4
     )
+
+
+def test_training_dynamics_parity(env):
+    """Training-DYNAMICS parity, not just forward parity: initialize the
+    torch reference and the JAX model from identical imported weights,
+    run 50 AdamW steps on the identical batch sequence, and assert the
+    per-step loss trajectories match within fp32 tolerance. This pins
+    AdamW semantics (betas=(0.9, 0.95), eps, decoupled weight decay —
+    ref: ar_model.py:191-195), LayerNorm gradients, and the
+    wmse/interior-mask loss end to end."""
+    import optax
+
+    datastore, config, flat, _, _ = env
+    args = ModelArgs(hidden_dim=8, hidden_layers=1, processor_layers=2)
+    model = MODELS["graph_lam"](args, config, datastore, flat)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    torch.manual_seed(0)
+    tmodel = TorchGraphLAM(
+        flat, model.statics, model.grid_dim, model.grid_output_dim,
+        hidden_dim=8, hidden_layers=1, n_proc=2,
+    )
+    state_dict = {k: v.detach().numpy()
+                  for k, v in tmodel.state_dict().items()}
+    params = import_state_dict(params, state_dict, strict=True)
+
+    n_steps = 50
+    ds = WeatherDataset(datastore, split="train", ar_steps=1)
+    batches = [collate([ds[2 * i], ds[2 * i + 1]]) for i in range(4)]
+
+    # identical optimizer config on both sides: lr 1e-3, betas (0.9,
+    # 0.95) per the reference, both libraries' default eps 1e-8 and
+    # decoupled weight decay 0.01
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=1e-3,
+                             betas=(0.9, 0.95), weight_decay=0.01)
+    std_t = torch.tensor(np.asarray(model.statics.per_var_std))
+    mask_t = torch.tensor(
+        np.asarray(model.interior_mask_bool()).astype(np.float32)
+    )
+
+    def torch_loss(batch):
+        init_states, target_states, forcing, _ = (
+            torch.tensor(b) for b in batch
+        )
+        pred = tmodel.unroll_prediction(init_states, forcing,
+                                        target_states)
+        entry = torch.square(pred - target_states) / torch.square(std_t)
+        # mask -> weighted mean over grid -> sum over vars -> mean
+        num = (entry * mask_t[:, None]).sum(dim=-2) / mask_t.sum()
+        return num.sum(dim=-1).mean()
+
+    losses_t = []
+    for i in range(n_steps):
+        topt.zero_grad()
+        loss = torch_loss(batches[i % len(batches)])
+        loss.backward()
+        topt.step()
+        losses_t.append(float(loss))
+
+    optimizer = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+    arrays = model.arrays()
+
+    @jax.jit
+    def step(arrays, p, s, batch):
+        m = model.with_arrays(arrays)
+        loss, grads = jax.value_and_grad(m.training_loss)(p, batch)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses_j = []
+    for i in range(n_steps):
+        batch = tuple(jnp.asarray(b) for b in batches[i % len(batches)])
+        params, opt_state, loss = step(arrays, params, opt_state, batch)
+        losses_j.append(float(loss))
+
+    # fp32 divergence grows with step count; the trajectories must stay
+    # within a loose fp32 envelope THROUGHOUT (a semantic mismatch in
+    # wd/eps/betas separates the curves by >1% within ~10 steps)
+    np.testing.assert_allclose(losses_t, losses_j, rtol=2e-3, atol=1e-5)
