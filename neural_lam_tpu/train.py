@@ -549,6 +549,10 @@ class Trainer:
 
         artifacts = {}
         var_names = datastore.get_vars_names("state")
+        # file artifacts are rank-0-only: every host holds the identical
+        # cross-host-merged summary, and on a shared filesystem two ranks
+        # writing the same path concurrently could interleave
+        write_files = self.rank == 0
         for name in ("mse", "mae"):
             arr = summary[name]  # (T, d) mean over samples
             if "mse" in name:
@@ -558,8 +562,9 @@ class Trainer:
                 out_name = name
             rescaled = arr * state_std  # (T, d)
             artifacts[f"test_{out_name}"] = rescaled
-            np.savetxt(self.run_dir / f"test_{out_name}.csv", rescaled,
-                       delimiter=",")
+            if write_files:
+                np.savetxt(self.run_dir / f"test_{out_name}.csv", rescaled,
+                           delimiter=",")
             # watched metrics: exact values for chosen vars/lead times
             # (ref: ar_model.py:599-606)
             full_log_name = f"test_{out_name}"
@@ -575,7 +580,7 @@ class Trainer:
                     self.logger.log(watch_log)
 
         spatial = summary.get("mean_spatial_loss")
-        if spatial is not None:
+        if spatial is not None and write_files:
             np.save(self.run_dir / "mean_spatial_loss.npy", spatial)
             # per-logged-lead-time maps: lead time t_i is unroll index t_i - 1
             for t_i in model.args.val_steps_to_log:

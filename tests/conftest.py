@@ -29,6 +29,7 @@ SLOW_TESTS = {
     "test_flat_ops.py::test_grid_sharded_flat_matches[rs]",
     "test_flat_ops.py::test_grid_sharded_flat_matches[grid]",
     "test_flat_ops.py::test_hierarchical_flat_predict[hi_lam]",
+    "test_flat_ops.py::test_hierarchical_flat_predict[hi_lam_parallel]",
     "test_flat_ops.py::test_graph_lam_flat_predict",
     "test_flat_ops.py::test_decode_fused_gather_matches",
     "test_flat_ops.py::test_analytic_bwd_kernels_match_vjp",

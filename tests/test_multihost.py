@@ -184,6 +184,72 @@ def test_zero_eval_batch_host_does_not_deadlock(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_test_epoch_matches_single(tmp_path):
+    """Full TEST-epoch exactness across hosts: error maps (rmse/mae csv),
+    spatial loss maps and per-lead-time losses from a 2-process `--eval
+    test` must match the single-process evaluation of the same
+    checkpoint. This proves the padded-row-exact eval gather — the thing
+    the reference's DDP eval gets wrong (duplicated padded samples, ref
+    ar_model.py:610-644 + README 'Evaluate Models' warning) — also holds
+    across processes: both host shards here end in a padded tail batch
+    (11 test samples split 6/5 over per-host batch 4)."""
+    cfg = _write_config(tmp_path)  # 80 timesteps -> 16 test steps
+    subprocess.run(
+        [sys.executable, "-m", "neural_lam_tpu.graph.build",
+         "--config_path", str(cfg), "--name", "mh", "--levels", "1"],
+        env=_env(1), check=True, timeout=300,
+    )
+    single = subprocess.run(
+        _train_args(cfg, "single", tmp_path / "m1", 4),
+        env=_env(2), check=True, timeout=600,
+    )
+    assert single.returncode == 0
+    ckpt = tmp_path / "m1" / "single" / "last"
+
+    eval_extra = ["--eval", "test", "--load", str(ckpt),
+                  "--val_steps_to_log", "1", "2", "--n_example_pred", "0"]
+    single_eval = subprocess.run(
+        _train_args(cfg, "e1", tmp_path / "e1", 4) + eval_extra,
+        env=_env(2), check=True, timeout=600,
+    )
+    assert single_eval.returncode == 0
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _train_args(cfg, "e2", tmp_path / "e2", 4) + eval_extra
+            + ["--num_nodes", "2", "--node_rank", str(rank),
+               "--coordinator_address", f"localhost:{port}"],
+            env=_env(2),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    d1, d2 = tmp_path / "e1" / "e1", tmp_path / "e2" / "e2"
+    # error maps: (T, d) rescaled rmse/mae written by rank 0
+    for name in ("test_rmse.csv", "test_mae.csv"):
+        a = np.loadtxt(d1 / name, delimiter=",")
+        b = np.loadtxt(d2 / name, delimiter=",")
+        np.testing.assert_allclose(b, a, rtol=5e-5)
+    # spatial maps: mean over samples of the per-node loss
+    for name in ("mean_spatial_loss.npy", "spatial_loss_t1.npy",
+                 "spatial_loss_t2.npy"):
+        np.testing.assert_allclose(np.load(d2 / name), np.load(d1 / name),
+                                   rtol=5e-5)
+    # per-lead-time summary losses from the merged metrics
+    m1, m2 = _read_metrics(d1), _read_metrics(d2)
+    for key in ("test_mean_loss", "test_loss_unroll1", "test_loss_unroll2"):
+        np.testing.assert_allclose(m2[key], m1[key], rtol=5e-5)
+
+
+@pytest.mark.slow
 def test_two_process_spatial_halo_matches_single(tmp_path):
     """Multi-host data parallelism COMPOSED with intra-host spatial
     sharding (mesh_halo): 2 processes x (data=1, space=4) vs one process
