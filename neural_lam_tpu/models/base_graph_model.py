@@ -72,9 +72,34 @@ class BaseGraphModel(ARModelBase):
             # (ref: base_graph_model.py:24-33)
             from ..graph.storage import load_graph
 
-            _, graph = load_graph(
-                str(datastore.root_path / "graph" / args.graph)
-            )
+            graph_dir = datastore.root_path / "graph" / args.graph
+            if not (graph_dir / "meta.json").exists():
+                # auto-build by archetype name ("hierarchical"/"1level"/
+                # multiscale default) so the train CLI is self-sufficient —
+                # essential for datastores with per-process roots (dummy).
+                # Built in a pid-unique dir + atomic rename: on a SHARED
+                # root several ranks may race here, first one wins.
+                import os
+
+                from ..graph.build import create_graph
+
+                print(f"graph '{args.graph}' not found under "
+                      f"{graph_dir.parent}; building it")
+                name = args.graph.lower()
+                tmp = graph_dir.parent / f".{args.graph}.tmp{os.getpid()}"
+                create_graph(
+                    str(tmp),
+                    datastore.get_xy("state", stacked=False),
+                    n_max_levels=1 if "1level" in name else None,
+                    hierarchical="hier" in name,
+                )
+                try:
+                    os.rename(tmp, graph_dir)
+                except OSError:  # another rank won the race
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+            _, graph = load_graph(str(graph_dir))
         self.graph = graph
         assert graph.num_grid_nodes == self.num_grid_nodes, (
             f"graph has {graph.num_grid_nodes} grid nodes but datastore has "

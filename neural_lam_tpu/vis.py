@@ -1,8 +1,11 @@
 """Matplotlib visualization (ref: neural_lam/vis.py:13-182).
 
 cartopy is unavailable in this environment, so spatial maps are drawn as
-plain 2D imshows in the datastore's projected xy coordinates (the reference
-draws the same fields on a cartopy GeoAxes)."""
+2D imshows in the datastore's projected xy coordinates, with a geographic
+lon/lat graticule + degree axis labels overlaid from the datastore's
+projection descriptor via hand-rolled transforms (`projections.py`) —
+the equivalent of the reference's cartopy GeoAxes (ref: vis.py:68-126),
+minus coastlines (no offline coastline data in this environment)."""
 
 from __future__ import annotations
 
@@ -14,6 +17,8 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
+
+from . import projections  # noqa: E402
 
 
 def fractional_plot_bundle(fraction):
@@ -105,8 +110,9 @@ def plot_prediction(da_prediction, da_target, datastore, title=None,
             interpolation="none",
         )
         ax.set_title(name, size=15)
-        ax.set_xticks([])
-        ax.set_yticks([])
+        if not projections.add_graticule(ax, datastore):
+            ax.set_xticks([])
+            ax.set_yticks([])
     cbar = fig.colorbar(im, ax=axes.ravel().tolist(), aspect=30)
     cbar.ax.tick_params(labelsize=10)
     if title:
@@ -132,8 +138,9 @@ def plot_spatial_error(error, datastore, title=None, vrange=None):
         alpha=pixel_alpha, vmin=vmin, vmax=vmax, cmap="OrRd",
         interpolation="none",
     )
-    ax.set_xticks([])
-    ax.set_yticks([])
+    if not projections.add_graticule(ax, datastore):
+        ax.set_xticks([])
+        ax.set_yticks([])
     cbar = fig.colorbar(im, aspect=30)
     cbar.ax.tick_params(labelsize=10)
     if title:

@@ -218,3 +218,29 @@ def test_bf16_rollout_tolerance(datastore, nl_config, tmp_path):
         rel_t = (np.abs(pred16[:, t] - pred32[:, t]).mean()
                  / np.abs(pred32[:, t]).mean())
         assert rel_t < 2e-2, (t, rel_t)
+
+
+def test_graph_autobuild_when_missing(tmp_path):
+    """Constructing a graph model with a graph NAME that does not exist
+    under the datastore root builds it automatically (archetype from the
+    name), making the train CLI self-sufficient for per-process-root
+    datastores (examples/README.md demo flow)."""
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+
+    ds = DummyDatastore(n_points_1d=10, n_timesteps=10,
+                        root=str(tmp_path / "dsroot"))
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    args = ModelArgs(hidden_dim=4, hidden_layers=1, processor_layers=1,
+                     graph="auto1level")
+    model = MODELS["graph_lam"](args, config, ds)  # no graph passed
+    assert (tmp_path / "dsroot" / "graph" / "auto1level" /
+            "meta.json").exists()
+    assert model.graph.num_grid_nodes == ds.num_grid_points
+    # second construction loads the built graph (no temp dirs left over)
+    MODELS["graph_lam"](args, config, ds)
+    leftovers = [p for p in (tmp_path / "dsroot" / "graph").iterdir()
+                 if p.name.startswith(".")]
+    assert not leftovers, leftovers
