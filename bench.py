@@ -215,13 +215,45 @@ def main():
 
     # optional extra measurements AFTER the headline line (a driver timeout
     # must not lose the metric)
+    copy_gbps = None
+    try:
+        # HBM roofline audit: analytic minimal traffic / measured copy
+        # speed-of-light (see probes/roofline.py for methodology; the
+        # pct is a conservative lower bound on achieved bandwidth)
+        from neural_lam_tpu.profiling import (
+            analytic_step_bytes,
+            measure_copy_bandwidth_gbps,
+        )
+
+        copy_gbps = measure_copy_bandwidth_gbps()
+        stages = analytic_step_bytes(model, BATCH)
+        gbps = stages["total"] / (ms_per_step * 1e-3) / 1e9
+        print(f"[bench] roofline: step streams >= "
+              f"{stages['total'] / 1e6:.0f} MB "
+              f"(embed {stages['embed'] / 1e6:.0f} / g2m "
+              f"{stages['g2m'] / 1e6:.0f} / proc "
+              f"{stages['processor'] / 1e6:.0f} / m2g "
+              f"{stages['m2g'] / 1e6:.0f}), achieves >= {gbps:.0f} GB/s "
+              f"= {100 * gbps / copy_gbps:.0f}% of the measured "
+              f"{copy_gbps:.0f} GB/s HBM copy roofline", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] roofline audit failed: {e}", file=sys.stderr)
+
     try:
         import jax.numpy as _jnp
 
         model.compute_dtype = _jnp.bfloat16
         ms_bf16 = measure_steps_ms(model, params, prev, prevprev, forcing)
-        print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step",
-              file=sys.stderr)
+        extra = ""
+        if copy_gbps:
+            from neural_lam_tpu.profiling import analytic_step_bytes
+
+            st_bf = analytic_step_bytes(model, BATCH)
+            gbps_bf = st_bf["total"] / (ms_bf16 * 1e-3) / 1e9
+            extra = (f" (>= {gbps_bf:.0f} GB/s, "
+                     f"{100 * gbps_bf / copy_gbps:.0f}% of HBM roofline)")
+        print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step"
+              + extra, file=sys.stderr)
         model.compute_dtype = None
         ms_b1 = measure_steps_ms(
             model, params, prev[:1], prevprev[:1], forcing[:1]

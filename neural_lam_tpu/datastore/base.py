@@ -51,6 +51,22 @@ class FieldArray:
             return self.data
         return np.asarray(self.data[:])
 
+    def to_xarray(self):
+        """Convert to an `xr.DataArray` when xarray is installed
+        (interop shim for third-party consumers of the reference's
+        xarray-valued datastore API, ref: datastore/base.py:189-229;
+        xarray is absent from this environment so in-repo code never
+        depends on it)."""
+        try:
+            import xarray as xr
+        except ImportError as e:
+            raise ImportError(
+                "FieldArray.to_xarray() requires xarray (pip install "
+                "xarray); in-repo consumers use FieldArray directly"
+            ) from e
+        return xr.DataArray(self.values, dims=self.dims,
+                            coords=self.coords)
+
     def isel(self, **sel) -> "FieldArray":
         """Integer/slice selection by dim name; int selections drop the dim.
 

@@ -129,3 +129,88 @@ def profile_model(model, params, batch_size=4, k_big=10, printer=print):
     bench("output_map", lambda p, x: apply_mlp(p, x),
           params["output_map"], grid_emb)
     return rows
+
+
+def measure_copy_bandwidth_gbps(mib: int = 256, k_big: int = 64,
+                                trials: int = 5) -> float:
+    """Achievable HBM streaming bandwidth (GB/s): a jitted y = y*a + b
+    scan moves read N + write N bytes per iteration; the multiply-add is
+    free next to the DMA. This is the practical speed of light the
+    roofline fraction is measured against (not the spec-sheet number)."""
+    n = mib * (1 << 20) // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    def make(K):
+        @jax.jit
+        def run(x):
+            def body(y, _):
+                return y * 1.0000001 + 1e-9, ()
+
+            y, _ = jax.lax.scan(body, x, None, length=K)
+            return y.sum()
+
+        return run
+
+    results = {}
+    for K in (1, k_big):
+        f = make(K)
+        float(f(x))
+        ts = []
+        for _ in range(trials):
+            t0 = time.time()
+            float(f(x))
+            ts.append(time.time() - t0)
+        results[K] = float(np.median(ts))
+    ms = (results[k_big] - results[1]) / (k_big - 1) * 1e3
+    return 2.0 * n * 4 / (ms * 1e-3) / 1e9
+
+
+def analytic_step_bytes(model, batch: int) -> dict:
+    """Per-stage LOWER BOUND on the HBM bytes one predict step must
+    stream, from the graph's edge counts: every live array read once and
+    written once at fusion boundaries, edge-row gathers read exactly
+    their gathered rows, fused kernels materialize no (M, W) message
+    matrix. An implementation cannot move less, so
+    pct_of_hbm_roofline computed from this is conservative. (XLA's
+    compiled cost_analysis "bytes accessed" counts every fusion
+    boundary including rematerialized reads and pessimistic gather
+    costs — it lands ABOVE the measured copy roofline and is not a
+    usable denominator; see probes/roofline.py.)"""
+    g = model.graph
+    B = batch
+    h = model.args.hidden_dim
+    cb = 2 if model.compute_dtype == jnp.bfloat16 else 4
+    N = model.num_grid_nodes
+    Nm = model.num_mesh_nodes
+    d = model.grid_output_dim
+    d_in = model.grid_dim
+
+    def edges(es):
+        n = int(np.asarray(es.senders).shape[-1])
+        if getattr(es, "frontier", None) is not None:
+            n += int(np.asarray(es.frontier.senders).shape[-1])
+        return n
+
+    m_g2m, m_m2g = edges(g.g2m), edges(g.m2g)
+    m_m2m = sum(edges(e) for e in g.m2m)  # flat graphs: 1-entry tuple
+    P = model.args.processor_layers
+
+    node = B * Nm * h * cb  # one batched mesh-node array
+    grid = B * N * h * cb   # one batched grid array (hidden width)
+    stages = {
+        # read raw fp32 inputs + write the flat grid rep
+        "embed": B * N * d_in * 4 + grid,
+        # sender tf r+w over the grid rep, edge-row gather, edge statics,
+        # rec tf + aggr-MLP writes over mesh nodes
+        "g2m": 2 * grid + m_g2m * B * h * cb + m_g2m * h * cb + 3 * node,
+        # per layer: sender tf r+w, rec tf r+w, edge-row gather, edge
+        # statics, aggr-MLP out, residual r+w (m_m2m totals one full
+        # sweep of all m2m sets)
+        "processor": P * (7 * node + m_m2m * B * h * cb + m_m2m * h * cb),
+        # sender tf r+w, windowed gather rows, grid rep read, edge
+        # statics, output write + residual read (fp32, d vars)
+        "m2g": 2 * node + m_m2g * B * h * cb + grid + m_m2g * h * cb
+        + 2 * B * N * d * 4,
+    }
+    stages["total"] = float(sum(stages.values()))
+    return stages
