@@ -81,18 +81,30 @@ class BaseGraphModel(ARModelBase):
                 # root several ranks may race here, first one wins.
                 import os
 
-                from ..graph.build import create_graph
-
                 print(f"graph '{args.graph}' not found under "
                       f"{graph_dir.parent}; building it")
                 name = args.graph.lower()
                 tmp = graph_dir.parent / f".{args.graph}.tmp{os.getpid()}"
-                create_graph(
-                    str(tmp),
-                    datastore.get_xy("state", stacked=False),
-                    n_max_levels=1 if "1level" in name else None,
-                    hierarchical="hier" in name,
-                )
+                if getattr(datastore, "is_global", False):
+                    # planar lattices are wrong on the sphere: global
+                    # datastores get an icosahedral mesh
+                    from ..graph.global_mesh import create_global_graph
+
+                    create_global_graph(
+                        str(tmp),
+                        datastore.get_xy("state", stacked=True),
+                        n_levels=2 if "hier" in name else None,
+                        hierarchical="hier" in name,
+                    )
+                else:
+                    from ..graph.build import create_graph
+
+                    create_graph(
+                        str(tmp),
+                        datastore.get_xy("state", stacked=False),
+                        n_max_levels=1 if "1level" in name else None,
+                        hierarchical="hier" in name,
+                    )
                 try:
                     os.rename(tmp, graph_dir)
                 except OSError:  # another rank won the race

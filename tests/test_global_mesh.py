@@ -190,3 +190,25 @@ def test_global_graph_cli(tmp_path):
     assert hierarchical
     assert graph.num_grid_nodes == 16 * 8
     assert graph.level_sizes == (162, 42)
+
+
+def test_graph_autobuild_global(tmp_path):
+    """Auto-build for a GLOBAL datastore must produce an icosahedral
+    graph, not a planar lattice over lon/lat degrees."""
+    from neural_lam_tpu.datastore.dummy_global import DummyGlobalDatastore
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    ds = DummyGlobalDatastore(n_lon=24, n_lat=12, n_timesteps=6,
+                              root=str(tmp_path / "dsroot"))
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata_global",
+                                     config_path=""),
+        training=TrainingConfig(),
+    )
+    args = ModelArgs(hidden_dim=4, hidden_layers=1, processor_layers=1,
+                     graph="autoglobal")
+    model = MODELS["graph_lam"](args, config, ds)
+    # icosahedral refinements=3 finest level: 10*4^3 + 2 = 642 vertices
+    assert model.num_mesh_nodes == 642
+    assert (tmp_path / "dsroot" / "graph" / "autoglobal" /
+            "meta.json").exists()
