@@ -204,6 +204,11 @@ class BaseGraphModel(ARModelBase):
             ctx["ew_f"] = jnp.dot(
                 emb_f, w0[:d], preferred_element_type=jnp.float32
             ) + b0
+        if cd is not None:
+            # store the rollout-invariant edge tensor in the compute
+            # dtype: trace_summary showed the g2m/m2g kernels streaming
+            # f32[M,64] ew operands (~94 MB/step combined) in bf16 mode
+            ctx = {k: v.astype(cd) for k, v in ctx.items()}
         return ctx
 
     def precompute_rollout_ctx(self, params, batch_size=None):
