@@ -142,6 +142,51 @@ def parse_xplane(path: str) -> list[dict]:
     return out
 
 
+def shorten_op(name: str, limit: int = 120) -> str:
+    """Compress an HLO-text event name to `%result = kind(shape)`.
+
+    TPU "XLA Ops" lines carry the full HLO instruction text (operands,
+    layouts, metadata) as the event name — hundreds of chars. Keep the
+    result id, the op kind and the result shape."""
+    if "=" not in name or not name.startswith("%"):
+        return name if len(name) <= limit else name[:limit] + "…"
+    lhs, rhs = name.split("=", 1)
+    rhs = rhs.strip()
+    # split rhs into depth-0 tokens: [result type, kind(operands...), …]
+    # (tuple types are parenthesized, so track (), {}, [] nesting)
+    tokens = []
+    depth = 0
+    cur = []
+    for ch in rhs:
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == " " and depth == 0:
+            if cur:
+                tokens.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        tokens.append("".join(cur))
+    if len(tokens) < 2:
+        return name[:limit]
+    rtype = tokens[0]
+    kind = tokens[1].split("(", 1)[0]
+    # drop layout annotations {…} from the type
+    while "{" in rtype:
+        a = rtype.index("{")
+        b = rtype.find("}", a)
+        if b == -1:
+            break
+        rtype = rtype[:a] + rtype[b + 1:]
+    if len(rtype) > 48:  # huge tuple types (while carries) add nothing
+        rtype = rtype[:48] + "…"
+    out = f"{kind} {lhs.strip()} -> {rtype}"
+    return out if len(out) <= limit else out[:limit] + "…"
+
+
 def find_xplane_files(path: str) -> list[str]:
     """Accept a run dir, a profile dir, or a single .xplane.pb file."""
     if os.path.isfile(path):
@@ -176,7 +221,8 @@ def summarize(path: str, line_filter: str | None = None,
         "lines": sorted(set(lines_seen)),
         "total_ms": round(total_ms, 3),
         "top": [
-            {"op": name, "ms": round(ps / 1e9, 3), "count": cnt}
+            {"op": shorten_op(name), "ms": round(ps / 1e9, 3),
+             "count": cnt}
             for name, (ps, cnt) in rows
         ],
     }
