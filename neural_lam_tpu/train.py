@@ -296,6 +296,19 @@ class Trainer:
                 self._profiling = False
                 print(f"profiler trace written to "
                       f"{self.run_dir / 'profile'}", flush=True)
+                try:  # immediate visibility without TensorBoard
+                    from .trace_summary import summarize
+
+                    s = summarize(str(self.run_dir / "profile"),
+                                  line_filter="XLA Ops", top=8)
+                    if not s["top"]:  # CPU backends name lines differently
+                        s = summarize(str(self.run_dir / "profile"), top=8)
+                    print("top device ops:", flush=True)
+                    for row in s["top"]:
+                        print(f"  {row['ms']:10.3f} ms  x{row['count']:<6d}"
+                              f" {row['op']}", flush=True)
+                except Exception as exc:
+                    print(f"trace summary failed: {exc}", flush=True)
         except Exception as e:
             self._profiling = False
             self.flags = dataclasses.replace(flags, profile_steps=0)
