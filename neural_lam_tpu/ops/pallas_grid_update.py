@@ -344,9 +344,24 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     window-local sender indices (0 for masked slots)}; static = {"wrows",
     "tile_v"} plus the graph identity ("num_virt", "dense_k", "num_send")
     the layout was built from, so callers can reject a swapped graph.
-    None when any tile's sender span exceeds `max_wrows`
-    (the one-hot matmul would outgrow the gather it replaces) or the
-    table itself is small enough that windows would not shrink traffic.
+    Two layouts are tried in order (the window gather `jnp.take(table,
+    win_rows)` accepts ARBITRARY rows, so contiguity is an optimization,
+    not a requirement):
+
+    1. contiguous spans — when every tile's senders fall in a narrow
+       index range (the LAM lattice case: raster grid order and y-major
+       mesh order correlate);
+    2. per-tile UNIQUE sender sets — when spans blow up but each tile
+       still touches few distinct senders (the global icosahedral case:
+       subdivision-ordered mesh vertices are spatially uncorrelated with
+       the lon-major lat-lon raster, and pole vertices are shared by
+       every meridian, so no node reordering can make spans contiguous
+       — but a tile of ~4 meridian columns still touches only ~300 of
+       10k mesh senders).
+
+    None when both layouts exceed `max_wrows` (the one-hot matmul would
+    outgrow the gather it replaces) or the table itself is small enough
+    that windows would not shrink traffic.
     """
     import numpy as np
 
@@ -365,13 +380,38 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     hi = np.where(any_real, hi, 0)
     span = int((hi - lo + 1).max())
     wrows = min(_round_up(span, 8), num_send)
-    if wrows > max_wrows or wrows >= num_send:
-        return None
-    starts = np.clip(lo, 0, num_send - wrows)
-    win_rows = (starts[:, None] + np.arange(wrows)[None, :]).reshape(-1)
-    sl_local = np.where(
-        m_t, s_t - starts[:, None], 0
-    ).reshape(num_virt * K, 1).astype(np.int32)
+    if wrows <= max_wrows and wrows < num_send:
+        starts = np.clip(lo, 0, num_send - wrows)
+        rows2d = starts[:, None] + np.arange(wrows)[None, :]
+        slot_valid = np.ones((n_tiles, wrows), bool)
+        sl_local = np.where(
+            m_t, s_t - starts[:, None], 0
+        ).reshape(num_virt * K, 1).astype(np.int32)
+    else:
+        # layout 2: per-tile unique sender sets
+        max_uniq = 1
+        uniqs = []
+        for t in range(n_tiles):
+            u = np.unique(s_t[t][m_t[t]])
+            if u.size == 0:
+                u = np.zeros(1, np.int64)
+            uniqs.append(u)
+            max_uniq = max(max_uniq, u.size)
+        wrows = min(_round_up(max_uniq, 8), num_send)
+        if wrows > max_wrows or wrows >= num_send:
+            return None
+        rows2d = np.zeros((n_tiles, wrows), np.int64)
+        slot_valid = np.zeros((n_tiles, wrows), bool)
+        sl_local = np.zeros((n_tiles, tile_v * K), np.int64)
+        for t, u in enumerate(uniqs):
+            rows2d[t, : u.size] = u
+            rows2d[t, u.size:] = u[-1]  # pad rows never selected
+            slot_valid[t, : u.size] = True
+            sl_local[t] = np.where(
+                m_t[t], np.searchsorted(u, s_t[t]), 0
+            )
+        sl_local = sl_local.reshape(num_virt * K, 1).astype(np.int32)
+    win_rows = rows2d.reshape(-1)
     arrays = {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
               "sl_local": jnp.asarray(sl_local)}
     static = {"wrows": int(wrows), "tile_v": int(tile_v),
@@ -386,8 +426,9 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     # falls back to the un-windowed pair. Built vectorized (stable-sort
     # slots by row, place at within-row rank) — the per-slot Python loop
     # was measurable at every model construction.
-    rows = (starts[:, None] + np.arange(wrows)[None, :]).reshape(-1)
-    slots = np.arange(rows.size)
+    valid = slot_valid.reshape(-1)
+    rows = win_rows[valid]  # pad slots carry zero cotangent; exclude
+    slots = np.arange(win_rows.size)[valid]
     order = np.argsort(rows, kind="stable")
     rows_s, slots_s = rows[order], slots[order]
     counts = np.bincount(rows_s, minlength=num_send)

@@ -814,6 +814,57 @@ def _small_model(tmp_path, nx=40, ny=40, seed=3):
     return model, params, datastore
 
 
+def test_window_gather_unique_set_layout():
+    """When sender spans exceed max_wrows but per-tile unique sender
+    counts are small (the global icosahedral case: pole vertices shared
+    across every meridian make contiguous spans impossible),
+    prep_window_gather falls back to per-tile unique row sets. The
+    windows must still reconstruct exactly the rows jnp.take(table,
+    senders) gathers, and the fold layout must sum exactly the valid
+    slots covering each table row (pad slots excluded)."""
+    from neural_lam_tpu.ops.pallas_grid_update import prep_window_gather
+
+    rng = np.random.default_rng(7)
+    num_virt, K, num_send = 4096, 4, 8192
+    # each 1024-row tile draws its slots from 12 scattered sender rows:
+    # span ~num_send (>> max_wrows), unique count 12 (<< max_wrows)
+    senders = np.zeros((num_virt, K), np.int64)
+    for t in range(4):
+        pool = rng.choice(num_send, size=12, replace=False)
+        senders[t * 1024:(t + 1) * 1024] = rng.choice(pool, size=(1024, K))
+    mask = (rng.random((num_virt, K)) > 0.1).astype(np.float32)
+    mask[~mask.any(axis=1), 0] = 1.0  # every virt row has a real slot
+    out = prep_window_gather(senders.reshape(-1), mask.reshape(-1),
+                             num_virt, K, num_send, max_wrows=64)
+    assert out is not None, "unique-set layout should engage"
+    win, st = out
+    assert st["wrows"] <= 64
+    table = rng.standard_normal((num_send, 8)).astype(np.float32)
+    wr = np.asarray(win["win_rows"]).reshape(-1, st["wrows"])
+    sl = np.asarray(win["sl_local"]).reshape(-1)
+    TE = st["tile_v"] * K
+    flat_s = senders.reshape(-1)
+    flat_m = mask.reshape(-1) > 0
+    for i in range(wr.shape[0]):
+        seg = slice(i * TE, (i + 1) * TE)
+        got = table[wr[i]][sl[seg]]
+        want = table[flat_s[seg]]
+        m = flat_m[seg]
+        np.testing.assert_array_equal(got[m], want[m])
+    # fold: d_table[r] == sum of d_window over the distinct slots whose
+    # window row is r, counting each (tile, window-position) slot once
+    assert "fold_slots" in win, "low-overlap layout should carry a fold"
+    d_win = rng.standard_normal((wr.size, 8)).astype(np.float32)
+    fs = np.asarray(win["fold_slots"])
+    fm = np.asarray(win["fold_mask"])
+    got_fold = (d_win[fs] * fm[..., None]).sum(axis=1)
+    want_fold = np.zeros((num_send, 8), np.float32)
+    for t in range(wr.shape[0]):
+        u, first = np.unique(wr[t], return_index=True)
+        np.add.at(want_fold, u, d_win[t * st["wrows"] + first])
+    np.testing.assert_allclose(got_fold, want_fold, rtol=1e-6, atol=1e-6)
+
+
 def test_window_gather_layout_invariant(tmp_path):
     """prep_window_gather windows reconstruct exactly the rows
     jnp.take(table, senders) gathers, for every real slot."""
