@@ -82,16 +82,33 @@ def edge_tail(x0, w2, b2, ln_scale, ln_bias, mask, K: int,
                                interpret, with_messages)
 
 
+def _pick_tile_v_batched(n_virt: int, K: int) -> int:
+    """Largest TILE_V >= 64 dividing n_virt with TILE_V*K <= ~2k edge
+    rows; 0 when none exists. Halving from the target first (the
+    historical choice — kernel VMEM footprints are tuned to it), then a
+    full divisor search over multiples of 8: halving misses every
+    divisor of n_virt = 2^k * odd that is not target/2^i (TILE_V must be
+    a multiple of 8 per Mosaic's block-shape rule)."""
+    cap = max(2048 // K, 256)
+    tile = cap
+    while tile > 64 and n_virt % tile:
+        tile //= 2
+    if tile >= 64 and n_virt % tile == 0:
+        return tile
+    for d in range(cap - cap % 8, 63, -8):
+        if n_virt % d == 0:
+            return d
+    return 0
+
+
 def _edge_tail_fwd_impl(x0, w2, b2, ln_scale, ln_bias, mask, K, interpret,
                         with_messages):
     B, M, h = x0.shape
     n_virt = M // K
     assert n_virt * K == M
 
-    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
-    while n_virt % TILE_V and TILE_V > 8:
-        TILE_V //= 2
-    if n_virt % TILE_V or TILE_V < 64:
+    TILE_V = _pick_tile_v_batched(n_virt, K)
+    if TILE_V < 64:
         # not tileable with healthy tile sizes; fall back to XLA
         msg, virt = _tail_reference(x0, w2, b2, ln_scale, ln_bias, mask, K)
         return (msg if with_messages else None), virt
@@ -210,10 +227,8 @@ def _edge_tail_sum_impl(gathered, ew, rec_rows, w2, b2, ln_scale, ln_bias,
                         mask, K, interpret, with_messages):
     B, M, h = gathered.shape
     n_virt = M // K
-    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
-    while n_virt % TILE_V and TILE_V > 8:
-        TILE_V //= 2
-    if n_virt % TILE_V or TILE_V < 64:
+    TILE_V = _pick_tile_v_batched(n_virt, K)
+    if TILE_V < 64:
         msg, virt = _sum_reference(gathered, ew, rec_rows, w2, b2, ln_scale,
                                    ln_bias, mask, K)
         return (msg if with_messages else None), virt
@@ -371,10 +386,8 @@ def _edge_layer_impl(edge_rep, gathered_or_senders, send_t, rec_rows, mask,
                      interpret):
     B, M, h = edge_rep.shape
     n_virt = M // K
-    TILE_V = max(2048 // K, 256)  # target ~2k-edge tiles
-    while n_virt % TILE_V and TILE_V > 8:
-        TILE_V //= 2
-    fallback = n_virt % TILE_V or TILE_V < 64
+    TILE_V = _pick_tile_v_batched(n_virt, K)
+    fallback = TILE_V < 64
     if fallback:
         gathered = (
             jnp.take(send_t, gathered_or_senders, axis=-2)
