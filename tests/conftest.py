@@ -45,6 +45,7 @@ SLOW_TESTS = {
     "test_grid_sharded.py::test_latent_sharded_matches[hi_efm:halo]",
     "test_grid_sharded.py::test_latent_sharded_matches[graph_efm:halo]",
     "test_grid_sharded.py::test_latent_sharded_matches[graph_efm:grid]",
+    "test_grid_sharded.py::test_latent_sharded_matches[hi_efm:grid]",
     "test_grid_sharded.py::test_latent_sharded_matches[graph_efm:rs]",
     # multi-process jax.distributed launches
     "test_multihost.py::test_two_process_train_matches_single",

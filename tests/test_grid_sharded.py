@@ -149,7 +149,8 @@ def test_split_sets_structure(env):
 
 
 @pytest.mark.parametrize("model_name", ["graph_efm:halo", "hi_efm:halo",
-                                        "graph_efm:grid", "graph_efm:rs"])
+                                        "graph_efm:grid", "hi_efm:grid",
+                                        "graph_efm:rs"])
 def test_latent_sharded_matches(model_name, env):
     """Latent-variable families under the sharded schemes: with a FIXED
     eps draw and the per-step target in ctx, the sharded predict output,
