@@ -54,18 +54,20 @@ def _target_rows() -> int:
 def _pick_tile_v(n_virt: int, K: int, target_rows: int | None = None) -> int:
     """Largest TILE_V dividing n_virt with TILE_V*K <= target edge rows.
 
-    Halving from the target first (the historical choice — kernel VMEM
-    footprints are tuned to it); when halving finds nothing (it misses
-    every divisor of n_virt = 2^k * odd that is not target/2^i — e.g.
-    the global icosahedral mesh pads level 0 to 10496 = 2^8*41, where
+    Both paths enforce TILE_V % 8 == 0 (Mosaic requires the second-minor
+    block dim divisible by 8, and blocks of (TILE_V, W), (TILE_V*K, W)
+    both appear). Halving from the target first (kernel VMEM footprints
+    are tuned to it); when halving finds nothing (it misses every
+    divisor of n_virt = 2^k * odd that is not target/2^i — e.g. the
+    global icosahedral mesh pads level 0 to 10496 = 2^8*41, where
     682->341->...->5 fails), fall back to a full divisor search over
-    multiples of 8 (Mosaic requires the second-minor block dim divisible
-    by 8, and blocks of (TILE_V, W), (TILE_V*K, W) both appear)."""
+    multiples of 8. Returns 8 when no aligned divisor exists at all;
+    callers gate on `n_virt % TILE_V` and take the non-kernel path."""
     cap = max((target_rows or _target_rows()) // K, 8)
     tile = cap
-    while tile > 8 and n_virt % tile:
+    while tile > 8 and (n_virt % tile or tile % 8):
         tile //= 2
-    if tile >= 8 and n_virt % tile == 0:
+    if tile >= 8 and tile % 8 == 0 and n_virt % tile == 0:
         return tile
     for d in range(cap - cap % 8, 7, -8):
         if n_virt % d == 0:
@@ -76,8 +78,13 @@ def _pick_tile_v(n_virt: int, K: int, target_rows: int | None = None) -> int:
 def _compiler_params():
     """Raise Mosaic's scoped-VMEM limit (default 16 MiB) so larger tiles
     fit: v5e has 128 MiB physical VMEM and the flat kernels stream 2-4 MiB
-    blocks with several live (rows, 256) f32 intermediates."""
-    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    blocks with several live (rows, 256) f32 intermediates. Overridable
+    via NLT_VMEM_LIMIT_MB for chips with smaller VMEM (the failure mode
+    of a too-high limit is a loud Mosaic compile error, not corruption)."""
+    import os
+
+    mb = int(os.environ.get("NLT_VMEM_LIMIT_MB", "96"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
 def _lane_tile(x, B):

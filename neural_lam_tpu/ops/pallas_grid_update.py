@@ -388,29 +388,38 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
             m_t, s_t - starts[:, None], 0
         ).reshape(num_virt * K, 1).astype(np.int32)
     else:
-        # layout 2: per-tile unique sender sets
-        max_uniq = 1
-        uniqs = []
-        for t in range(n_tiles):
-            u = np.unique(s_t[t][m_t[t]])
-            if u.size == 0:
-                u = np.zeros(1, np.int64)
-            uniqs.append(u)
-            max_uniq = max(max_uniq, u.size)
+        # layout 2: per-tile unique sender sets. Built vectorized (one
+        # np.unique over composite (tile, sender) keys instead of a
+        # Python loop over n_tiles — measurable at every construction
+        # when tile_v is small and num_virt large).
+        t_full = np.repeat(np.arange(n_tiles, dtype=np.int64), tile_v * K)
+        stride = np.int64(num_send) + 1
+        keys = np.unique(t_full[m_t.reshape(-1)] * stride
+                         + s_t.reshape(-1)[m_t.reshape(-1)])
+        ut, us = keys // stride, keys % stride
+        counts = np.bincount(ut, minlength=n_tiles)
+        max_uniq = max(int(counts.max()), 1) if keys.size else 1
         wrows = min(_round_up(max_uniq, 8), num_send)
         if wrows > max_wrows or wrows >= num_send:
             return None
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        within = np.arange(keys.size) - starts[ut]
         rows2d = np.zeros((n_tiles, wrows), np.int64)
         slot_valid = np.zeros((n_tiles, wrows), bool)
-        sl_local = np.zeros((n_tiles, tile_v * K), np.int64)
-        for t, u in enumerate(uniqs):
-            rows2d[t, : u.size] = u
-            rows2d[t, u.size:] = u[-1]  # pad rows never selected
-            slot_valid[t, : u.size] = True
-            sl_local[t] = np.where(
-                m_t[t], np.searchsorted(u, s_t[t]), 0
-            )
-        sl_local = sl_local.reshape(num_virt * K, 1).astype(np.int32)
+        rows2d[ut, within] = us
+        slot_valid[ut, within] = True
+        # pad slots repeat the tile's last unique sender (never selected)
+        last = np.zeros(n_tiles, np.int64)
+        last[ut] = us  # ascending within tile: final write = largest
+        pad_cols = np.arange(wrows)[None, :] >= counts[:, None]
+        rows2d = np.where(pad_cols, last[:, None], rows2d)
+        # window-local index per slot: position of (tile, sender) in the
+        # sorted composite key array, rebased to the tile's segment
+        key_full = t_full * stride + s_t.reshape(-1)
+        pos = np.searchsorted(keys, key_full)
+        sl_local = np.where(
+            m_t.reshape(-1), pos - starts[t_full], 0
+        ).reshape(num_virt * K, 1).astype(np.int32)
     win_rows = rows2d.reshape(-1)
     arrays = {"win_rows": jnp.asarray(win_rows.astype(np.int32)),
               "sl_local": jnp.asarray(sl_local)}
@@ -433,6 +442,17 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
     rows_s, slots_s = rows[order], slots[order]
     counts = np.bincount(rows_s, minlength=num_send)
     k_fold = int(counts.max())
+    if k_fold > _MAX_K_FOLD:
+        # silent-regression telemetry: without fold arrays the training
+        # backward falls back to the ~3x-costlier un-windowed pair
+        import logging
+
+        logging.getLogger(__name__).info(
+            "prep_window_gather: k_fold=%d > %d (a sender row is covered "
+            "by that many tile windows) — omitting fold arrays; the "
+            "windowed analytic backward will fall back to the un-windowed "
+            "kernels", k_fold, _MAX_K_FOLD,
+        )
     if k_fold <= _MAX_K_FOLD:
         seg_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
         within = np.arange(rows_s.size) - seg_starts[rows_s]
