@@ -206,11 +206,34 @@ def main():
             json.dump({"mesh_node_updates_per_s": mesh_updates_per_s,
                        "recorded": time.time()}, f)
 
+    # model-FLOP accounting (MFU = model FLOPs / time / MXU peak; the
+    # step is HBM-bound by design, so MFU is expected to be low — the
+    # companion number is pct_of_hbm_roofline below)
+    tflops = mfu = None
+    flops = None
+    try:
+        from neural_lam_tpu.profiling import analytic_step_flops, peak_tflops
+
+        flops = analytic_step_flops(model, BATCH)
+        tflops = flops["total"] / (ms_per_step * 1e-3) / 1e12
+        mfu = tflops / peak_tflops()
+        print(f"[bench] model FLOPs {flops['total'] / 1e9:.2f} GFLOP/step "
+              f"(embed {flops['embed'] / 1e9:.2f} / g2m "
+              f"{flops['g2m'] / 1e9:.2f} / proc "
+              f"{flops['processor'] / 1e9:.2f} / m2g "
+              f"{flops['m2g'] / 1e9:.2f}); achieved {tflops:.2f} TFLOP/s "
+              f"= {100 * mfu:.2f}% MFU of {peak_tflops():.0f} TFLOP/s peak",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] FLOP accounting failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "mesh_node_updates_per_s_per_chip",
         "value": mesh_updates_per_s,
         "unit": "updates/s",
         "vs_baseline": vs_baseline,
+        "tflops": tflops,
+        "mfu": mfu,
     }), flush=True)
 
     # optional extra measurements AFTER the headline line (a driver timeout
@@ -252,6 +275,12 @@ def main():
             gbps_bf = st_bf["total"] / (ms_bf16 * 1e-3) / 1e9
             extra = (f" (>= {gbps_bf:.0f} GB/s, "
                      f"{100 * gbps_bf / copy_gbps:.0f}% of HBM roofline)")
+        if flops is not None:
+            from neural_lam_tpu.profiling import peak_tflops
+
+            tf_bf = flops["total"] / (ms_bf16 * 1e-3) / 1e12
+            extra += (f" [{tf_bf:.2f} TFLOP/s, "
+                      f"{100 * tf_bf / peak_tflops():.2f}% MFU]")
         print(f"[bench] bf16 compute path: {ms_bf16:.2f} ms/predict-step"
               + extra, file=sys.stderr)
         model.compute_dtype = None
@@ -269,17 +298,51 @@ def main():
     try:
         import jax.numpy as _jnp
 
+        def train_audit(ms, label):
+            """Roofline + MFU line for a measured train step. Bytes from
+            the analytic fwd+bwd+AdamW lower bound; model train FLOPs use
+            the standard 3x-forward convention (bwd ~= 2x fwd matmuls;
+            the kernels' in-VMEM forward recompute is hardware overhead,
+            not model work)."""
+            try:
+                from neural_lam_tpu.profiling import (
+                    analytic_train_step_bytes,
+                    peak_tflops,
+                )
+
+                tb = analytic_train_step_bytes(model, BATCH, params)
+                gbps_t = tb["total"] / (ms * 1e-3) / 1e9
+                parts = (f"streams >= {tb['total'] / 1e6:.0f} MB "
+                         f"(3x stage bytes + loss "
+                         f"{tb['loss'] / 1e6:.1f} + adamw "
+                         f"{tb['adamw'] / 1e6:.1f})")
+                if copy_gbps:
+                    parts += (f", >= {gbps_t:.0f} GB/s = "
+                              f"{100 * gbps_t / copy_gbps:.0f}% of HBM "
+                              f"roofline")
+                if flops is not None:
+                    tf_t = 3 * flops["total"] / (ms * 1e-3) / 1e12
+                    parts += (f", {tf_t:.2f} TFLOP/s = "
+                              f"{100 * tf_t / peak_tflops():.2f}% MFU")
+                print(f"[bench] {label} train roofline: {parts}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"[bench] train roofline audit failed: {e}",
+                      file=sys.stderr)
+
         ms_train = measure_train_step_ms(model, params, prev, prevprev,
                                          forcing)
         print(f"[bench] train step (fwd+bwd+AdamW, ar=1): "
               f"{ms_train:.2f} ms, {BATCH * 1000.0 / ms_train:.1f} "
               f"samples/s/chip", file=sys.stderr)
+        train_audit(ms_train, "fp32")
         model.compute_dtype = _jnp.bfloat16
         ms_train_bf16 = measure_train_step_ms(model, params, prev, prevprev,
                                               forcing)
         print(f"[bench] bf16 train step: {ms_train_bf16:.2f} ms, "
               f"{BATCH * 1000.0 / ms_train_bf16:.1f} samples/s/chip",
               file=sys.stderr)
+        train_audit(ms_train_bf16, "bf16")
     except Exception as e:
         print(f"[bench] train-step measurement failed: {e}", file=sys.stderr)
     finally:

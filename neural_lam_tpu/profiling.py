@@ -214,3 +214,105 @@ def analytic_step_bytes(model, batch: int) -> dict:
     }
     stages["total"] = float(sum(stages.values()))
     return stages
+
+
+# Public spec bf16 matmul peak for TPU v5e (v5litepod), TFLOP/s per chip.
+# f32 jnp.dot lowers to single-pass bf16 MXU matmuls on this part
+# (probes/fused_decode.py), so the same peak applies to both precisions.
+# Override with NLT_PEAK_TFLOPS on other chip generations (v4: 275,
+# v5p: 459, v6e: 918).
+PEAK_TFLOPS_DEFAULT = 197.0
+
+
+def peak_tflops() -> float:
+    import os
+
+    return float(os.environ.get("NLT_PEAK_TFLOPS", PEAK_TFLOPS_DEFAULT))
+
+
+def analytic_step_flops(model, batch: int) -> dict:
+    """Per-stage MODEL matmul FLOPs of one predict step (flat graph
+    models): the useful arithmetic a perfect implementation performs,
+    for MFU accounting — NOT the executed hardware FLOPs (the flat-lane
+    kernels' kron-widened weights and the windowed decoder's one-hot
+    reconstruct multiply real MXU work by up to B; MFU is conventionally
+    model FLOPs / peak). Elementwise work (SiLU, LN, residuals) is
+    omitted: at h=64 it is <2% of the matmul count.
+
+    Conventions match `analytic_step_bytes`: rollout-invariant products
+    (static edge embeddings e@We, mesh-static embeddings) are hoisted
+    into `precompute_rollout_ctx` and excluded; the m2m edge
+    representation is dynamic (update_edges threads it through the
+    processor stack, ref: neural_lam/models/graph_lam.py:73-91), so each
+    processor layer pays the full per-edge first-layer term. Counting
+    rule: matmul of (rows, a) @ (a, b) = 2*rows*a*b FLOPs, batched by B.
+    """
+    g = model.graph
+    B = batch
+    h = model.args.hidden_dim
+    hl = getattr(model.args, "hidden_layers", 1)
+    N = model.num_grid_nodes
+    Nm = model.num_mesh_nodes
+    d = model.grid_output_dim
+    d_in = model.grid_dim
+
+    def edges(es):
+        n = int(np.asarray(es.senders).shape[-1])
+        if getattr(es, "frontier", None) is not None:
+            n += int(np.asarray(es.frontier.senders).shape[-1])
+        return n
+
+    m_g2m, m_m2g = edges(g.g2m), edges(g.m2g)
+    m_m2m = sum(edges(e) for e in g.m2m)
+    P = model.args.processor_layers
+    hh = 2 * h * h  # FLOPs per row of one h->h linear
+
+    def inet(S, R, M, dyn_edge):
+        """One InteractionNet: sender/receiver first-layer terms on node
+        rows, remaining edge-MLP layers per edge, aggr MLP (2h->h->h) on
+        receivers; +per-edge first-layer edge term when the edge rep is
+        dynamic."""
+        f = S * hh + R * hh + M * hl * hh + R * (2 * hh + hh)
+        if dyn_edge:
+            f += M * hh
+        return f
+
+    stages = {
+        "embed": 2 * N * (d_in * h + hl * h * h),
+        # g2m InteractionNet + the residual encoding_grid_mlp (h->h->h)
+        "g2m": inet(N, Nm, m_g2m, dyn_edge=False),
+        "processor": P * inet(Nm, Nm, m_m2m, dyn_edge=True),
+        # m2g InteractionNet + encoding_grid_mlp + output_map (h->..->d)
+        "m2g": inet(Nm, N, m_m2g, dyn_edge=False)
+        + N * (1 + hl) * hh
+        + 2 * N * (hl * h * h + h * d),
+    }
+    stages = {k: float(B * v) for k, v in stages.items()}
+    stages["total"] = float(sum(stages.values()))
+    return stages
+
+
+def analytic_train_step_bytes(model, batch: int, params) -> dict:
+    """Lower bound on the HBM bytes one fwd+bwd+AdamW training step must
+    stream (ar=1). Backward convention for the analytic kernels: each
+    stage re-reads its forward inputs (per-tile recompute in VMEM — no
+    saved (M, W) intermediates), reads its output cotangent and writes
+    its input cotangents; cotangent arrays mirror the forward
+    activations, so bwd ~= 2x the forward stage bytes and fwd+bwd ~= 3x
+    per stage. The loss adds one read of prediction+target+cotangent
+    (3 * B*N*d fp32). AdamW streams read(p, g, m, v) + write(p, m, v) =
+    7 param-sized fp32 arrays. Parameter-gradient accumulators ride VMEM
+    revisited blocks and are negligible (h x h per kernel)."""
+    fwd = analytic_step_bytes(model, batch)
+    stages = {k: 3.0 * v for k, v in fwd.items() if k != "total"}
+    B = batch
+    N = model.num_grid_nodes
+    d = model.grid_output_dim
+    stages["loss"] = 3.0 * B * N * d * 4
+    n_params = sum(
+        int(np.prod(np.asarray(x).shape))
+        for x in jax.tree_util.tree_leaves(params)
+    )
+    stages["adamw"] = 7.0 * n_params * 4
+    stages["total"] = float(sum(stages.values()))
+    return stages
