@@ -131,10 +131,37 @@ def _edge_features_3d(edge_index, pos_send, pos_rec):
     return np.concatenate([length, vdiff], axis=-1).astype(np.float32)
 
 
+def locality_order(verts: np.ndarray) -> np.ndarray:
+    """Meridian-major spatial sort permutation for unit-sphere vertices:
+    primary key = longitude bin (bin width ~ one vertex spacing, so each
+    bin is a thin meridian column), secondary key = latitude ascending.
+
+    Subdivision order (the raw `_subdivide` output) interleaves vertices
+    of every region, so consecutive vertex indices are spatially
+    uncorrelated: the flat kernels' per-tile sender windows
+    (ops/pallas_grid_update.prep_window_gather) then see near-full-table
+    unique sets, XLA row gathers jump across the whole table, and
+    contiguous-block spatial partitions (parallel/grid_sharded.py) cut
+    maximal edge counts. This ordering makes consecutive indices
+    spatially adjacent AND aligned with the lon-major raster global
+    lat-lon datastores use (grid_index = ilon*n_lat + ilat,
+    datastore/dummy_global.py), shrinking all three costs. Graph
+    topology is unaffected — callers remap edge indices through the
+    permutation."""
+    lon = np.mod(np.arctan2(verts[:, 1], verts[:, 0]), 2.0 * np.pi)
+    lat = np.arcsin(np.clip(verts[:, 2], -1.0, 1.0))
+    n = verts.shape[0]
+    n_bins = max(int(np.sqrt(np.pi * n)), 1)
+    lon_bin = np.minimum((lon / (2.0 * np.pi) * n_bins).astype(np.int64),
+                         n_bins - 1)
+    return np.lexsort((lat, lon_bin))
+
+
 def create_global_graph(graph_dir_path: str, latlon_deg: np.ndarray,
                         refinements: int = 3,
                         n_levels: int | None = None,
-                        hierarchical: bool = False) -> GraphBundle:
+                        hierarchical: bool = False,
+                        reorder: bool = True) -> GraphBundle:
     """Build and save a global icosahedral mesh graph over a lat-lon grid.
 
     latlon_deg: (N_grid, 2) [lon, lat] in degrees (grid_index order).
@@ -142,6 +169,9 @@ def create_global_graph(graph_dir_path: str, latlon_deg: np.ndarray,
     n_levels: number of mesh levels (finest up); default all
     (refinements + 1). hierarchical=True keeps levels separate with
     up/down edge sets; otherwise a single merged multiscale m2m set.
+    reorder=True (default) renumbers each level's vertices into the
+    spatial `locality_order` (graph isomorphic; kernel/sharding layouts
+    improve — see that function's docstring).
     """
     latlon_deg = np.asarray(latlon_deg, dtype=np.float64).reshape(-1, 2)
     grid_pos = latlon_to_xyz(latlon_deg)
@@ -152,6 +182,29 @@ def create_global_graph(graph_dir_path: str, latlon_deg: np.ndarray,
         assert 1 <= n_levels <= len(verts_per_level)
         verts_per_level = verts_per_level[:n_levels]
         edges_per_level = edges_per_level[:n_levels]
+
+    if reorder:
+        # Per-level renumbering. All of a level's edge endpoints index
+        # the FINEST vertex array (prefix property), but only positions
+        # < level_size occur at level l, so remapping through that
+        # level's own inverse permutation is exact. The flat branch's
+        # cross-level union requires one shared numbering, so every
+        # level is remapped through the FINEST level's permutation
+        # there; the hierarchical branch keeps per-level numberings.
+        perms = [locality_order(v) for v in verts_per_level]
+        invs = []
+        for p in perms:
+            inv = np.empty_like(p)
+            inv[p] = np.arange(p.shape[0])
+            invs.append(inv)
+        verts_per_level = [v[p] for v, p in zip(verts_per_level, perms)]
+        if hierarchical:
+            edges_per_level = [
+                inv[e] for e, inv in zip(edges_per_level, invs)
+            ]
+        else:
+            edges_per_level = [invs[0][e] for e in edges_per_level]
+
     bottom_verts = verts_per_level[0]
     bottom_edges = edges_per_level[0]
 
@@ -175,7 +228,27 @@ def create_global_graph(graph_dir_path: str, latlon_deg: np.ndarray,
         for lev in range(len(level_sizes) - 1):
             child, parent = verts_per_level[lev], verts_per_level[lev + 1]
             tree = scipy.spatial.cKDTree(parent)
-            _, parent_of = tree.query(child, k=1)
+            # k=2 with a geometric tie-break: every midpoint vertex is
+            # exactly equidistant to the two parents it bisects, and
+            # cKDTree's 1-NN tie-break follows array order — which would
+            # make the hierarchy depend on the vertex numbering (and on
+            # `reorder`). Among near-tied parents pick the one with the
+            # lexicographically larger (z, y, x) position instead, so
+            # the graph topology is numbering-invariant.
+            dd, nn = tree.query(child, k=2)
+            tied = (dd[:, 1] - dd[:, 0]) <= 1e-9 * (dd[:, 0] + 1e-30)
+            p0, p1 = parent[nn[:, 0]], parent[nn[:, 1]]
+            key0 = [p0[:, 0], p0[:, 1], p0[:, 2]]
+            key1 = [p1[:, 0], p1[:, 1], p1[:, 2]]
+            pick1 = np.zeros(child.shape[0], dtype=bool)
+            undecided = np.ones(child.shape[0], dtype=bool)
+            for a, b in ((key0[2], key1[2]), (key0[1], key1[1]),
+                         (key0[0], key1[0])):
+                gt = undecided & (b > a + 1e-12)
+                lt = undecided & (b < a - 1e-12)
+                pick1 |= gt
+                undecided &= ~(gt | lt)
+            parent_of = np.where(tied & pick1, nn[:, 1], nn[:, 0])
             child_ids = np.arange(child.shape[0], dtype=np.int64)
             up = np.stack([
                 child_ids + first_index[lev],

@@ -106,10 +106,18 @@ def test_global_bundle_invariants(global_env):
     down = hier.mesh_down_edge_index[0]
     np.testing.assert_array_equal(down[0], up[1])
     np.testing.assert_array_equal(down[1], up[0])
-    # a coarse vertex is its own nearest parent (shared positions)
+    # a coarse vertex is its own nearest parent (shared positions).
+    # Levels are independently renumbered by locality_order, so match
+    # children to parents BY POSITION, not by the old prefix identity.
     child_to_parent = dict(zip(up[0].tolist(), (up[1] - 162).tolist()))
-    for v in range(42):
-        assert child_to_parent[v] == v
+    fine = hier.mesh_static_features[0]
+    coarse = hier.mesh_static_features[1]
+    for p in range(42):
+        matches = np.nonzero(
+            (np.abs(fine - coarse[p][None, :]) < 1e-12).all(axis=1)
+        )[0]
+        assert matches.size == 1
+        assert child_to_parent[int(matches[0])] == p
 
 
 @pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam",
@@ -212,3 +220,49 @@ def test_graph_autobuild_global(tmp_path):
     assert model.num_mesh_nodes == 642
     assert (tmp_path / "dsroot" / "graph" / "autoglobal" /
             "meta.json").exists()
+
+
+def test_reorder_invariance(global_env):
+    """locality_order renumbering is a graph isomorphism: grid-node
+    predictions match the reorder=False build to fp-reassociation
+    tolerance for both families (the hierarchical parent assignment uses
+    a geometric tie-break, so the up/down topology is numbering-
+    invariant too)."""
+    import tempfile
+
+    from neural_lam_tpu.graph.global_mesh import locality_order
+
+    datastore, config, flat, hier = global_env
+    latlon = datastore.get_xy("state", stacked=True)
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    pprev = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    forc = jnp.asarray(rng.standard_normal((2, n, d_f)), jnp.float32)
+
+    # the permutation is a real renumbering of the raw subdivision order
+    # (on an already-ordered array it is the identity — idempotent)
+    raw_verts = build_icosahedral_levels(2)[0][0]
+    perm = locality_order(raw_verts)
+    assert not np.array_equal(perm, np.arange(perm.size))
+    np.testing.assert_array_equal(locality_order(raw_verts[perm]),
+                                  np.arange(perm.size))
+
+    for name, hierarchical in (("graph_lam", False), ("hi_lam", True)):
+        outs = []
+        for ro in (False, True):
+            bundle = create_global_graph(
+                tempfile.mkdtemp(), latlon, refinements=2,
+                n_levels=2 if hierarchical else None,
+                hierarchical=hierarchical, reorder=ro,
+            )
+            model = MODELS[name](
+                ModelArgs(hidden_dim=8, processor_layers=2), config,
+                datastore, graph_from_bundle(bundle),
+            )
+            params = model.init_params(jax.random.PRNGKey(0))
+            out, _ = model.predict_step(params, prev, pprev, forc)
+            outs.append(np.asarray(out))
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-5, rtol=1e-5)
