@@ -23,12 +23,11 @@ the interior compute. The model therefore separates collectives into
   - HIDEABLE: sender all-gathers / halo ppermute rows. Effective cost
     = max(0, comm - alpha * hide_budget) where hide_budget is the
     measured compute of the consuming stages (per-layer processor +
-    m2g decode; scales 1/S strong, constant weak) and alpha (default
-    0.6) discounts HBM-bandwidth contention — the collective's DMA
-    traffic competes with the HBM-bound interior kernels, so overlap
-    is never free. alpha is an ASSUMPTION (hardware can't be traced
-    here), exposed as --overlap; set --overlap 0 for the round-3
-    no-overlap tables.
+    m2g decode; scales 1/S strong, constant weak). alpha is now
+    SCHEDULE-DERIVED per scheme (SCHEDULE_ALPHA below; round 5): the
+    compiled v5e-8 schedule hides 23/24 halo ppermutes but compiles
+    the rs sender all-gathers synchronously, so halo gets 0.96 and rs
+    0.0 by default; --overlap forces a uniform value instead.
   - FIXED: reductions (full-mesh psums, the g2m reduce-scatter) whose
     complete result gates every downstream op — nothing to hide them
     behind; charged in full.
@@ -248,7 +247,25 @@ def comm_terms(family):
     return len(sizes), 0, 2.0 * sum(sizes) * BYTES, 0.0, 0.0
 
 
-def model_rows(ici_gbps, latency_us, overhead=1.0, alpha=0.6, beta=0.25):
+# Schedule-derived hide fractions (round 5): the v5e:2x4 AOT-compiled
+# schedule (neural_lam_tpu/parallel/schedule_check.py — real TPU
+# topology, no devices needed; in post-scheduling HLO the instruction
+# order IS the execution order) shows
+#   - halo: 23/24 collective-permute-start/done pairs enclose the
+#     interior compute (8-62 fusions each; per-pair enclosed-bytes /
+#     payload hide estimate 1.0); only a trailing 80-byte exchange has
+#     nothing left to hide behind -> alpha = 23/24 ~= 0.96
+#   - rs: the sender ALL-GATHERS compile SYNCHRONOUS on this toolchain
+#     (25 plain all-gather ops, zero start/done pairs; the async
+#     collective-fusion compiler options do not convert them) -> the
+#     scheduler hides nothing: alpha = 0.0
+# so the old uniform --overlap 0.6 assumption is replaced by these
+# measured-schedule values (pass a number to override; --contention
+# remains the one modeled knob).
+SCHEDULE_ALPHA = {"rs": 0.0, "halo": 23.0 / 24.0}
+
+
+def model_rows(ici_gbps, latency_us, overhead=1.0, alpha=None, beta=0.25):
     bw = ici_gbps * 1e9
     lat = latency_us * 1e-6
     rows = []
@@ -256,6 +273,12 @@ def model_rows(ici_gbps, latency_us, overhead=1.0, alpha=0.6, beta=0.25):
                    "graph_lam_rs", "hi_lam_rs", "hi_lam_parallel_rs",
                    "graph_lam_halo", "hi_lam_halo", "hi_lam_parallel_halo"):
         base = family.split("_rs")[0].split("_halo")[0]
+        if alpha is None:
+            scheme = ("halo" if family.endswith("_halo")
+                      else "rs" if family.endswith("_rs") else "grid")
+            fam_alpha = SCHEDULE_ALPHA.get(scheme, 0.0)
+        else:
+            fam_alpha = alpha
         step_ms, train_ms = FAMILY_MS[base]
         hide_budget = HIDE_BUDGET_MS[base] / 1000.0  # s, S=1 scale
         n_fixed, n_hide, fx, hd, halo_b = comm_terms(family)
@@ -273,7 +296,7 @@ def model_rows(ici_gbps, latency_us, overhead=1.0, alpha=0.6, beta=0.25):
                 steals bandwidth from the HBM-bound interior kernels)."""
                 fixed = mult * (fixed_b / bw + n_fixed * lat)
                 h_s = mult * (hideable_b / bw + n_hide * lat)
-                cap = alpha * budget_s
+                cap = fam_alpha * budget_s
                 return fixed + max(0.0, h_s - cap) + beta * min(h_s, cap)
 
             def body(t_base, S_div, S_grow):
@@ -330,9 +353,13 @@ def main():
                     help="measured S=1 sharded-body cost ratio vs the "
                          "unsharded step (probes/rs_overhead.py; ~1.0 "
                          "after the ctx hoist + fused-decode fixes)")
-    ap.add_argument("--overlap", type=float, default=0.6,
+    ap.add_argument("--overlap", type=float, default=None,
                     help="fraction of the consuming-stage compute usable "
-                         "to hide sender all-gathers / halo ppermutes "
+                         "to hide sender all-gathers / halo ppermutes. "
+                         "Default: schedule-derived per scheme from the "
+                         "v5e:2x4 AOT compile (halo 0.96, rs 0.0 — see "
+                         "SCHEDULE_ALPHA / parallel/schedule_check.py); "
+                         "pass a number to force a uniform value "
                          "(0 = round-3 no-overlap model)")
     ap.add_argument("--contention", type=float, default=0.25,
                     help="compute-slowdown tax charged on hidden "

@@ -47,6 +47,7 @@ SLOW_TESTS = {
     "test_grid_sharded.py::test_latent_sharded_matches[graph_efm:grid]",
     "test_grid_sharded.py::test_latent_sharded_matches[hi_efm:grid]",
     "test_grid_sharded.py::test_latent_sharded_matches[graph_efm:rs]",
+    "test_grid_sharded.py::test_compiled_schedule_overlap",
     # multi-process jax.distributed launches
     "test_multihost.py::test_two_process_train_matches_single",
     "test_multihost.py::test_two_process_spatial_halo_matches_single",

@@ -229,3 +229,40 @@ def test_latent_sharded_matches(model_name, env):
     g = jax.jit(jax.grad(sp.training_loss))(params, batch)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_compiled_schedule_overlap():
+    """The collective/compute overlap is verified from the COMPILED TPU
+    schedule, not assumed: AOT-compile the sharded predict step against
+    a real v5e-8 topology (no devices needed) and check that XLA's
+    latency-hiding scheduler actually hoists the halo ppermute starts
+    above the interior compute (docs/SCALING.md round-5 section). Also
+    pins the rs finding — its sender all-gathers compile SYNCHRONOUSLY
+    on this toolchain (SCHEDULE_ALPHA['rs'] = 0); if a toolchain update
+    flips that, this test fails and the scaling model should be
+    re-derived."""
+    pytest.importorskip("jax.experimental.topologies")
+    from neural_lam_tpu.parallel.schedule_check import (
+        analyze_collective_overlap,
+        compile_sharded_hlo,
+    )
+
+    try:
+        hlo = compile_sharded_hlo(scheme="halo", grid_shape=(134, 119),
+                                  hidden_dim=64, processor_layers=4)
+    except Exception as e:  # no libtpu compiler in this environment
+        pytest.skip(f"TPU topology AOT compile unavailable: {e}")
+
+    r = analyze_collective_overlap(hlo)
+    # every ppermute is async on TPU, and all but a trailing tiny
+    # exchange enclose real compute between start and done
+    assert r["pairs"] >= 20
+    unhidden = [d for d in r["details"] if d["enclosed_ops"] == 0]
+    assert len(unhidden) <= 1
+    # the byte-model hide estimate saturates for the enclosed pairs
+    assert r["hide_mean"] >= 0.9
+
+    hlo_rs = compile_sharded_hlo(scheme="rs", grid_shape=(134, 119),
+                                 hidden_dim=64, processor_layers=4)
+    assert hlo_rs.count("all-gather(") > 0        # sync all-gathers
+    assert hlo_rs.count("all-gather-start(") == 0  # no async pairs
