@@ -40,15 +40,14 @@ from .mlp import LN_EPS
 
 
 def _target_rows() -> int:
-    """Edge rows per kernel tile (NLT_FLAT_ROWS). Default 4096: the
-    round-4 sweep on the real chip measured 4096/8192 ~0.2-0.3 ms faster
-    per bf16 predict step than the original 1024 (6.44-6.60 vs
-    6.6-6.8 ms; fewer grid steps amortize per-tile DMA setup), with
-    VMEM still comfortable: TILE_E=4096 x W=256 f32 intermediates are
-    4 MiB each against the 64 MiB scoped limit."""
+    """Edge rows per kernel tile (NLT_FLAT_ROWS). Default 8192: the
+    round-5 sweep on the real chip (post LN-fold) measured bf16 predict
+    5.70/5.75/5.77/5.92 ms at 8192/16384/2048/4096 — fewer grid steps
+    amortize per-tile DMA setup, and TILE_E=8192 x W=256 f32
+    intermediates are 8 MiB each against the 96 MiB scoped limit."""
     import os
 
-    return int(os.environ.get("NLT_FLAT_ROWS", "4096"))
+    return int(os.environ.get("NLT_FLAT_ROWS", "8192"))
 
 
 def _pick_tile_v(n_virt: int, K: int, target_rows: int | None = None) -> int:
@@ -143,6 +142,54 @@ def _group_ln_bwd(d_chat, c_hat, inv, ones_k):
     return inv * (d_chat - t1 - c_hat * t2)
 
 
+# ---------------------------------------------------------------------------
+# Centered-LN variants (round 5). Every LN in these MLPs directly follows
+# the second linear layer (GraphCast-style MLP, ref: neural_lam/utils.py:
+# 191-214), so the mean-centering x - x@M with M = kron(I_B, 11^T/h) can
+# be FOLDED INTO THE WEIGHTS at const-prep time: x1@(w2k(I-M)) + b2w(I-M)
+# is already group-centered (M is a projection, M^2 = M). That deletes one
+# full (W, W) stats matmul per LN from the forward kernels and one from
+# the backward chain (the centered-LN Jacobian is d_cent = inv*(g -
+# chat*mean(g*chat)); the centering Jacobian (I-M)^T rides the folded
+# transposed weight for input cotangents, and parameter gradients get the
+# tiny (I_h - 11^T/h) right-correction once at reduce time,
+# `_uncenter_wgrad`). At MEPS scale the LN stats matmuls were ~25% of the
+# kernels' MXU work.
+# ---------------------------------------------------------------------------
+
+
+def _center_cols(wk, ones_k):
+    """Fold LN mean-centering into a widened weight/bias: wk @ (I - M)."""
+    return wk - jnp.dot(wk.astype(jnp.float32), ones_k,
+                        preferred_element_type=jnp.float32)
+
+
+def _group_ln_cent_f32(cent, ones_k, ls_w, lb_w):
+    """LayerNorm on an already-centered input: one stats matmul (var)."""
+    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    return cent * jax.lax.rsqrt(var + LN_EPS) * ls_w + lb_w
+
+
+def _group_ln_cent_parts(cent, ones_k):
+    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return cent * inv, inv
+
+
+def _group_ln_cent_bwd(d_chat, c_hat, inv, ones_k):
+    """d wrt the (centered) LN input: one stats matmul."""
+    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
+    return inv * (d_chat - c_hat * t2)
+
+
+def _uncenter_wgrad(d):
+    """Right-multiply a reduced (h, h) or (h,) gradient by I - 11^T/h —
+    the chain-rule correction for weights/biases folded with
+    `_center_cols` ((X^T dC)(I-M) reduces blockwise to D @ (I-11^T/h),
+    i.e. subtracting the per-row mean)."""
+    return d - d.mean(axis=-1, keepdims=d.ndim > 1)
+
+
 def _block_diag_sum(acc, B, h, w_cols):
     """Sum the B diagonal (h, w_cols) blocks of a kron-widened wgrad."""
     a = acc.reshape(B, h, acc.shape[1])
@@ -205,8 +252,8 @@ def _tail_sum_flat_kernel(K, B, with_messages, g_ref, ew_ref, rec_ref,
     x = (
         jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
         + b2w_ref[...]
-    )
-    msg = _group_ln_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    )  # w2k/b2w centered: x is the LN cent directly
+    msg = _group_ln_cent_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
     if with_messages:
         out_refs[0][...] = msg.astype(dt)
     masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
@@ -249,11 +296,18 @@ def _edge_tail_sum_flat_vjp(gathered, ew, rec_rows, w2, b2, ln_scale,
 
 
 def _flat_consts(w2, b2, ln_scale, ln_bias, B):
+    """Widened tail consts. w2k/b2_w are CENTERED (`_center_cols`): the
+    tail's LN mean-subtraction is folded into them, so x1@w2k + b2_w is
+    already group-centered and the kernels use the `_group_ln_cent_*`
+    variants. Centering is a projection, so the flat references (which
+    still subtract the ~0 mean) remain exact with folded consts."""
     h = w2.shape[0]
     eye = jnp.eye(B, dtype=jnp.float32)
-    w2k = jnp.kron(eye, w2.astype(jnp.float32))
     ones_k = jnp.kron(eye, jnp.full((h, h), 1.0 / h, jnp.float32))
-    b2_w = jnp.tile(b2.astype(jnp.float32).reshape(1, h), (1, B))
+    w2k = _center_cols(jnp.kron(eye, w2.astype(jnp.float32)), ones_k)
+    b2_w = _center_cols(
+        jnp.tile(b2.astype(jnp.float32).reshape(1, h), (1, B)), ones_k
+    )
     ls_w = jnp.tile(ln_scale.astype(jnp.float32).reshape(1, h), (1, B))
     lb_w = jnp.tile(ln_bias.astype(jnp.float32).reshape(1, h), (1, B))
     return w2k, ones_k, b2_w, ls_w, lb_w
@@ -354,7 +408,7 @@ def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
     x0 = g_ref[...].astype(f32) + ew_w + rec_rep
     x1 = jax.nn.silu(x0)
     x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
-    chat, inv = _group_ln_parts(x2, ones)
+    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
     mask = mask_ref[...]
     # backward
     d_virt = gvirt_ref[...].astype(f32)
@@ -366,7 +420,7 @@ def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
         d_msg = d_msg + gmsg_ref[...].astype(f32)
     bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
     bias_lb = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_bwd(d_msg * lsw_ref[...], chat, inv, ones)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
     d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
     w2_acc = _dotT(x1, d_x2)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
@@ -487,8 +541,12 @@ def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
     )(gathered, ew, rec_rows, g_virt, g_msg, w2k, b2_w, ls_w, w2k.T,
       _fold_eye(h, B), ones_k, mask_p)
     d_gathered, d_ew, d_rec, bias_acc, w2_acc = outs
-    d_w2 = _block_diag_sum(w2_acc, B, h, h).astype(w2.dtype)
-    d_b2 = _group_row_sum(bias_acc[0][None], B, h).astype(b2.dtype)
+    d_w2 = _uncenter_wgrad(
+        _block_diag_sum(w2_acc, B, h, h)
+    ).astype(w2.dtype)
+    d_b2 = _uncenter_wgrad(
+        _group_row_sum(bias_acc[0][None], B, h)
+    ).astype(b2.dtype)
     d_ls = _group_row_sum(bias_acc[1][None], B, h).astype(ln_scale.dtype)
     d_lb = _group_row_sum(bias_acc[2][None], B, h).astype(ln_bias.dtype)
     return (d_gathered, d_ew, d_rec, d_w2, d_b2, d_ls, d_lb,
@@ -521,8 +579,8 @@ def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, wek_ref, b0w_ref,
     x = (
         jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
         + b2w_ref[...]
-    )
-    msg = _group_ln_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    )  # w2k/b2w centered: x is the LN cent directly
+    msg = _group_ln_cent_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
     edge_out_ref[...] = (e + msg).astype(dt)
     masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
     virt_ref[...] = masked.sum(axis=1).astype(dt)
@@ -654,7 +712,7 @@ def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
     x0 = ew + g_ref[...].astype(f32) + rec_rep + b0w_ref[...]
     x1 = jax.nn.silu(x0)
     x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
-    chat, inv = _group_ln_parts(x2, ones)
+    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
     mask = mask_ref[...]
     # backward
     d_edge_out = gedge_ref[...].astype(f32)
@@ -665,7 +723,7 @@ def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
     ).reshape(tile_v * K, W)
     bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
     bias_lb = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_bwd(d_msg * lsw_ref[...], chat, inv, ones)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
     d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
     w2_acc = _dotT(x1, d_x2)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
@@ -781,8 +839,12 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
     d_e, d_g, d_rec, bias_acc, we_acc, w2_acc = outs
     d_w_e = _block_diag_sum(we_acc, B, h, h).astype(w_e.dtype)
     d_b0 = _group_row_sum(bias_acc[0][None], B, h).astype(b0.dtype)
-    d_w2 = _block_diag_sum(w2_acc, B, h, h).astype(w2.dtype)
-    d_b2 = _group_row_sum(bias_acc[1][None], B, h).astype(b2.dtype)
+    d_w2 = _uncenter_wgrad(
+        _block_diag_sum(w2_acc, B, h, h)
+    ).astype(w2.dtype)
+    d_b2 = _uncenter_wgrad(
+        _group_row_sum(bias_acc[1][None], B, h)
+    ).astype(b2.dtype)
     d_ls = _group_row_sum(bias_acc[2][None], B, h).astype(ln_scale.dtype)
     d_lb = _group_row_sum(bias_acc[3][None], B, h).astype(ln_bias.dtype)
     return (d_e, d_g, d_rec, jnp.zeros_like(mask_p), d_w_e, d_b0, d_w2,

@@ -42,15 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .mlp import LN_EPS
 from .pallas_edge_flat import (
     _block_diag_sum,
+    _center_cols,
     _compiler_params,
     _dotT,
-    _group_ln_bwd,
-    _group_ln_f32,
-    _group_ln_parts,
+    _group_ln_cent_bwd,
+    _group_ln_cent_f32,
+    _group_ln_cent_parts,
     _group_row_sum,
     _lane_tile,
     _pick_tile_v,
     _silu_grad,
+    _uncenter_wgrad,
 )
 
 
@@ -67,7 +69,14 @@ def _tile_b(v, B):
 
 
 def _prep_consts(pp: dict, B: int):
-    """Widen raw per-feature params to the flat-lane layout."""
+    """Widen raw per-feature params to the flat-lane layout.
+
+    The three LN-feeding weights/biases (enc_w1k/enc_b1w, w2k/b2w,
+    a_w1k/a_b1w) are CENTERED (`_center_cols`): each LN's
+    mean-subtraction is folded into the preceding linear, so the kernels
+    use the `_group_ln_cent_*` one-matmul variants; `_reduce_param_grads`
+    applies the matching (I - 11^T/h) right-correction to their
+    gradients."""
     h = pp["w2"].shape[0]
     d_out = pp["o_w1"].shape[1]
     w_out = _round_up(B * d_out, 128)
@@ -77,31 +86,33 @@ def _prep_consts(pp: dict, B: int):
     if pad:
         o_w1k = jnp.pad(o_w1k, ((0, 0), (0, pad)))
         o_b1w = jnp.pad(o_b1w, ((0, 0), (0, pad)))
+    ones_k = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                      jnp.full((h, h), 1.0 / h, jnp.float32))
+    cc = lambda wk: _center_cols(wk, ones_k)
     return {
         "w_ik": _kron_b(pp["w_i"], B),
         "enc_w0k": _kron_b(pp["enc_w0"], B),
         "enc_b0w": _tile_b(pp["enc_b0"], B),
-        "enc_w1k": _kron_b(pp["enc_w1"], B),
-        "enc_b1w": _tile_b(pp["enc_b1"], B),
+        "enc_w1k": cc(_kron_b(pp["enc_w1"], B)),
+        "enc_b1w": cc(_tile_b(pp["enc_b1"], B)),
         "enc_lsw": _tile_b(pp["enc_ls"], B),
         "enc_lbw": _tile_b(pp["enc_lb"], B),
-        "w2k": _kron_b(pp["w2"], B),
-        "b2w": _tile_b(pp["b2"], B),
+        "w2k": cc(_kron_b(pp["w2"], B)),
+        "b2w": cc(_tile_b(pp["b2"], B)),
         "e_lsw": _tile_b(pp["e_ls"], B),
         "e_lbw": _tile_b(pp["e_lb"], B),
         "a_wrk": _kron_b(pp["a_w0"][:h], B),
         "a_wak": _kron_b(pp["a_w0"][h:], B),
         "a_b0w": _tile_b(pp["a_b0"], B),
-        "a_w1k": _kron_b(pp["a_w1"], B),
-        "a_b1w": _tile_b(pp["a_b1"], B),
+        "a_w1k": cc(_kron_b(pp["a_w1"], B)),
+        "a_b1w": cc(_tile_b(pp["a_b1"], B)),
         "a_lsw": _tile_b(pp["a_ls"], B),
         "a_lbw": _tile_b(pp["a_lb"], B),
         "o_w0k": _kron_b(pp["o_w0"], B),
         "o_b0w": _tile_b(pp["o_b0"], B),
         "o_w1k": o_w1k,
         "o_b1w": o_b1w,
-        "ones_k": jnp.kron(jnp.eye(B, dtype=jnp.float32),
-                           jnp.full((h, h), 1.0 / h, jnp.float32)),
+        "ones_k": ones_k,
     }
 
 
@@ -124,12 +135,12 @@ def _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
     ones = ones_k[...]
     ge = ge_ref[...].astype(f32)  # (TILE_V, W)
     tile_v, W = ge.shape
-    # encoding grid MLP (residual)
+    # encoding grid MLP (residual); enc_w1k/enc_b1w centered (LN fold)
     t = jax.nn.silu(jnp.dot(ge, enc_w0k[...], preferred_element_type=f32)
                     + enc_b0w[...])
     t = jnp.dot(t, enc_w1k[...], preferred_element_type=f32) + enc_b1w[...]
-    gr = ge + _group_ln_f32(t, ones, enc_lsw[...], enc_lbw[...])
-    # edge MLP (first-layer bias lives in ew)
+    gr = ge + _group_ln_cent_f32(t, ones, enc_lsw[...], enc_lbw[...])
+    # edge MLP (first-layer bias lives in ew); w2k/b2w centered
     rec = jnp.dot(gr, w_ik[...], preferred_element_type=f32)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
@@ -137,16 +148,16 @@ def _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
     x = jax.nn.silu(g + ew_w + rec_rep)
     x = jnp.dot(x, w2k[...], preferred_element_type=f32) + b2w[...]
-    msg = _group_ln_f32(x, ones, e_lsw[...], e_lbw[...])
+    msg = _group_ln_cent_f32(x, ones, e_lsw[...], e_lbw[...])
     agg = (msg.reshape(tile_v, K, W) * mask_ref[...][..., None]).sum(axis=1)
-    # aggregation MLP (residual)
+    # aggregation MLP (residual); a_w1k/a_b1w centered
     u = jax.nn.silu(
         jnp.dot(gr, a_wrk[...], preferred_element_type=f32)
         + jnp.dot(agg, a_wak[...], preferred_element_type=f32)
         + a_b0w[...]
     )
     u = jnp.dot(u, a_w1k[...], preferred_element_type=f32) + a_b1w[...]
-    rec_out = gr + _group_ln_f32(u, ones, a_lsw[...], a_lbw[...])
+    rec_out = gr + _group_ln_cent_f32(u, ones, a_lsw[...], a_lbw[...])
     # output map (no LN)
     y = jax.nn.silu(jnp.dot(rec_out, o_w0k[...], preferred_element_type=f32)
                     + o_b0w[...])
@@ -177,22 +188,29 @@ def _grid_update_win_kernel(K, B, wrows, win_ref, sl_ref, ew_ref, ge_ref,
     f32 = jnp.float32
     sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
     tile_e = sl.shape[0]
-    win = win_ref[...].astype(f32)  # (wrows, W)
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
     onehot = (iota == sl).astype(f32)
-    # bf16x2 split: the MXU's single-pass f32 matmul rounds operands to
-    # bf16, so a plain one-hot dot would truncate the gathered values
-    # (measured 2.8e-3 output drift) and Precision.HIGHEST's 6-pass
-    # emulation costs ~0.9 ms/step. Splitting the window into a bf16
-    # high part + f32 residual recovers ~1e-6 accuracy for one extra
-    # single-pass matmul.
-    hi = win.astype(jnp.bfloat16)
-    lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
     oh_b = onehot.astype(jnp.bfloat16)
-    g = (
-        jnp.dot(oh_b, hi, preferred_element_type=f32)
-        + jnp.dot(oh_b, lo, preferred_element_type=f32)
-    )
+    if win_ref.dtype == jnp.bfloat16:
+        # bf16 table: a single bf16 one-hot matmul reconstructs the rows
+        # EXACTLY (0/1 x bf16 accumulated in f32) — the lo residual is
+        # identically zero, so the x2 split below would waste half the
+        # reconstruct's MXU work
+        g = jnp.dot(oh_b, win_ref[...], preferred_element_type=f32)
+    else:
+        # bf16x2 split: the MXU's single-pass f32 matmul rounds operands
+        # to bf16, so a plain one-hot dot would truncate the gathered
+        # values (measured 2.8e-3 output drift) and Precision.HIGHEST's
+        # 6-pass emulation costs ~0.9 ms/step. Splitting the window into
+        # a bf16 high part + f32 residual recovers ~1e-6 accuracy for
+        # one extra single-pass matmul.
+        win = win_ref[...].astype(f32)  # (wrows, W)
+        hi = win.astype(jnp.bfloat16)
+        lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
+        g = (
+            jnp.dot(oh_b, hi, preferred_element_type=f32)
+            + jnp.dot(oh_b, lo, preferred_element_type=f32)
+        )
     _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, *args)
 
 
@@ -580,18 +598,23 @@ def _make_tr(consts, B, h):
 
 def _reduce_param_grads(waccs, bias_acc, B, h, d_out, pp):
     """Fold the kron-widened (W, W) kernel accumulators back to raw
-    parameter shapes."""
+    parameter shapes. The accumulators for the centered weights/biases
+    (w2, enc_w1, a_w1 and their biases) are gradients w.r.t. the FOLDED
+    params; `_uncenter_wgrad` applies the (I - 11^T/h) chain-rule
+    correction (associativity: (X^T dC)(I-M) reduces blockwise)."""
     bias = {name: bias_acc[i] for i, name in enumerate(_BIAS_ROWS)}
     d_pp = {
         "w_i": _block_diag_sum(waccs["w_i"], B, h, h),
-        "w2": _block_diag_sum(waccs["w2"], B, h, h),
-        "b2": _group_row_sum(bias["b2"][None], B, h),
+        "w2": _uncenter_wgrad(_block_diag_sum(waccs["w2"], B, h, h)),
+        "b2": _uncenter_wgrad(_group_row_sum(bias["b2"][None], B, h)),
         "e_ls": _group_row_sum(bias["e_ls"][None], B, h),
         "e_lb": _group_row_sum(bias["e_lb"][None], B, h),
         "enc_w0": _block_diag_sum(waccs["enc_w0"], B, h, h),
         "enc_b0": _group_row_sum(bias["enc_b0"][None], B, h),
-        "enc_w1": _block_diag_sum(waccs["enc_w1"], B, h, h),
-        "enc_b1": _group_row_sum(bias["enc_b1"][None], B, h),
+        "enc_w1": _uncenter_wgrad(
+            _block_diag_sum(waccs["enc_w1"], B, h, h)),
+        "enc_b1": _uncenter_wgrad(
+            _group_row_sum(bias["enc_b1"][None], B, h)),
         "enc_ls": _group_row_sum(bias["enc_ls"][None], B, h),
         "enc_lb": _group_row_sum(bias["enc_lb"][None], B, h),
         "a_w0": jnp.concatenate(
@@ -599,8 +622,8 @@ def _reduce_param_grads(waccs, bias_acc, B, h, d_out, pp):
              _block_diag_sum(waccs["a_wa"], B, h, h)], axis=0
         ),
         "a_b0": _group_row_sum(bias["a_b0"][None], B, h),
-        "a_w1": _block_diag_sum(waccs["a_w1"], B, h, h),
-        "a_b1": _group_row_sum(bias["a_b1"][None], B, h),
+        "a_w1": _uncenter_wgrad(_block_diag_sum(waccs["a_w1"], B, h, h)),
+        "a_b1": _uncenter_wgrad(_group_row_sum(bias["a_b1"][None], B, h)),
         "a_ls": _group_row_sum(bias["a_ls"][None], B, h),
         "a_lb": _group_row_sum(bias["a_lb"][None], B, h),
         "o_w0": _block_diag_sum(waccs["o_w0"], B, h, h),
@@ -633,11 +656,12 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     ge = ge_ref[...].astype(f32)
     tile_v, W = ge.shape
 
-    # ---- forward recompute (mirrors _grid_update_kernel) ----
+    # ---- forward recompute (mirrors _grid_update_kernel; the three
+    # LN-feeding weights are centered, so the cent variants apply) ----
     t1p = jnp.dot(ge, enc_w0k[...], preferred_element_type=f32) + enc_b0w[...]
     t1 = jax.nn.silu(t1p)
     t2 = jnp.dot(t1, enc_w1k[...], preferred_element_type=f32) + enc_b1w[...]
-    chat_e, inv_e = _group_ln_parts(t2, ones)
+    chat_e, inv_e = _group_ln_cent_parts(t2, ones)
     gr = ge + chat_e * enc_lsw[...] + enc_lbw[...]
     rec = jnp.dot(gr, w_ik[...], preferred_element_type=f32)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
@@ -647,7 +671,7 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     x0 = g + ew_w + rec_rep
     x1 = jax.nn.silu(x0)
     x2 = jnp.dot(x1, w2k[...], preferred_element_type=f32) + b2w[...]
-    chat_x, inv_x = _group_ln_parts(x2, ones)
+    chat_x, inv_x = _group_ln_cent_parts(x2, ones)
     msg = chat_x * e_lsw[...] + e_lbw[...]
     mask = mask_ref[...]
     agg = (msg.reshape(tile_v, K, W) * mask[..., None]).sum(axis=1)
@@ -658,7 +682,7 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     )
     u1 = jax.nn.silu(u0p)
     u2 = jnp.dot(u1, a_w1k[...], preferred_element_type=f32) + a_b1w[...]
-    chat_u, inv_u = _group_ln_parts(u2, ones)
+    chat_u, inv_u = _group_ln_cent_parts(u2, ones)
     rec_out = gr + chat_u * a_lsw[...] + a_lbw[...]
     y0p = jnp.dot(rec_out, o_w0k[...], preferred_element_type=f32) \
         + o_b0w[...]
@@ -680,7 +704,7 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     d_ln_u = d_rec_out
     bias["a_ls"] = (d_ln_u * chat_u).sum(axis=0, keepdims=True)
     bias["a_lb"] = d_ln_u.sum(axis=0, keepdims=True)
-    d_u2 = _group_ln_bwd(d_ln_u * a_lsw[...], chat_u, inv_u, ones)
+    d_u2 = _group_ln_cent_bwd(d_ln_u * a_lsw[...], chat_u, inv_u, ones)
     d_u1 = jnp.dot(d_u2, a_w1kT[...], preferred_element_type=f32)
     acc["a_w1"] = _dotT(u1, d_u2)
     bias["a_b1"] = d_u2.sum(axis=0, keepdims=True)
@@ -696,7 +720,7 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     ).reshape(tile_v * K, W)
     bias["e_ls"] = (d_msg * chat_x).sum(axis=0, keepdims=True)
     bias["e_lb"] = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_bwd(d_msg * e_lsw[...], chat_x, inv_x, ones)
+    d_x2 = _group_ln_cent_bwd(d_msg * e_lsw[...], chat_x, inv_x, ones)
     d_x1 = jnp.dot(d_x2, w2kT[...], preferred_element_type=f32)
     acc["w2"] = _dotT(x1, d_x2)
     bias["b2"] = d_x2.sum(axis=0, keepdims=True)
@@ -709,7 +733,7 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     d_ln_e = d_gr
     bias["enc_ls"] = (d_ln_e * chat_e).sum(axis=0, keepdims=True)
     bias["enc_lb"] = d_ln_e.sum(axis=0, keepdims=True)
-    d_t2 = _group_ln_bwd(d_ln_e * enc_lsw[...], chat_e, inv_e, ones)
+    d_t2 = _group_ln_cent_bwd(d_ln_e * enc_lsw[...], chat_e, inv_e, ones)
     d_t1 = jnp.dot(d_t2, enc_w1kT[...], preferred_element_type=f32)
     acc["enc_w1"] = _dotT(t1, d_t2)
     bias["enc_b1"] = d_t2.sum(axis=0, keepdims=True)
@@ -779,16 +803,20 @@ def _grid_update_win_bwd_kernel(K, B, wrows, win_ref, sl_ref, ew_ref,
     dwin_ref, dew_ref, dge_ref, bias_acc_ref, *wacc_refs = out_refs
     sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
     tile_e = sl.shape[0]
-    win = win_ref[...].astype(f32)  # (wrows, W)
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
     onehot = (iota == sl).astype(f32)
-    hi = win.astype(jnp.bfloat16)
-    lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
     oh_b = onehot.astype(jnp.bfloat16)
-    g = (
-        jnp.dot(oh_b, hi, preferred_element_type=f32)
-        + jnp.dot(oh_b, lo, preferred_element_type=f32)
-    )
+    if win_ref.dtype == jnp.bfloat16:
+        # exact single-pass reconstruct (see _grid_update_win_kernel)
+        g = jnp.dot(oh_b, win_ref[...], preferred_element_type=f32)
+    else:
+        win = win_ref[...].astype(f32)  # (wrows, W)
+        hi = win.astype(jnp.bfloat16)
+        lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
+        g = (
+            jnp.dot(oh_b, hi, preferred_element_type=f32)
+            + jnp.dot(oh_b, lo, preferred_element_type=f32)
+        )
     d_x0, d_ew, d_ge, acc, bias = _grid_update_bwd_chain(
         K, B, g, ew_ref, ge_ref, mask_ref, dout_ref, *consts_tr,
     )
