@@ -294,7 +294,7 @@ def main():
     finally:
         model.compute_dtype = None  # never leak bf16 into later blocks
 
-    ms_train = None
+    ms_train = ms_train_bf16 = None
     try:
         import jax.numpy as _jnp
 
@@ -349,13 +349,22 @@ def main():
         model.compute_dtype = None
 
     try:
-        # host-side input pipeline vs the device step budget (CPU only)
+        # host-side input pipeline vs the device step budget (CPU only).
+        # ar=1 is the reference default training config and the hardest
+        # rate (shortest samples, fastest steps); the bf16 train step is
+        # the binding budget. headroom_x_measured is the COLD first-epoch
+        # rate over the budget; headroom_x_cached the steady state;
+        # max_chips_per_host_cached how many chips one host can feed.
         from bench_input import measure_pipeline
 
-        pipe = measure_pipeline(
-            device_step_ms=ms_per_step, quick=True, train_step_ms=ms_train,
-        )
-        print(f"[bench] input pipeline: {json.dumps(pipe)}", file=sys.stderr)
+        budget = ms_train_bf16 if ms_train_bf16 else ms_train
+        for ar in (1, 3):
+            pipe = measure_pipeline(
+                ar_steps=ar, device_step_ms=ms_per_step, quick=True,
+                train_step_ms=budget,
+            )
+            print(f"[bench] input pipeline (ar={ar}, bf16 budget): "
+                  f"{json.dumps(pipe)}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] input-pipeline measurement failed: {e}",
               file=sys.stderr)

@@ -167,11 +167,17 @@ def _measure_loader(config_path, batch_size=4, ar_steps=3, num_workers=0):
         return n_samples / (time.perf_counter() - t0)
 
     # best-of-2 each: this 4-vcpu VM has ±2x wall-time noise
+    from collections import OrderedDict
+
     cold = []
     for ep in range(2):
         zarr_reader._chunk_cache = zarr_reader._ChunkCache(
             zarr_reader._chunk_cache.max_bytes
         )  # empty chunk cache -> "cold" epoch measures decode, not disk
+        # the standardized-slab cache must be cleared too or "cold"
+        # epochs would serve pre-standardized data (round 5)
+        wds._std_cache = OrderedDict()
+        wds._std_bytes = 0
         cold.append(epoch_rate(ep))
     warm = [epoch_rate(ep) for ep in (2, 3)]
     return max(cold), max(warm)
@@ -249,12 +255,21 @@ def measure_pipeline(n_t=24, batch_size=4, ar_steps=3,
             )
         if train_step_ms:
             # exact budget from the MEASURED ar=1 train step (an ar_steps
-            # sample costs ~ar_steps x the ar=1 step)
+            # sample costs ~ar_steps x the ar=1 step). Cold = first epoch
+            # over never-seen data (chunk decode + standardization);
+            # cached = steady state (chunk + standardized-slab caches
+            # warm). N chips per host multiply the required rate.
             need_m = batch_size / (ar_steps * train_step_ms / 1e3)
             results["train_step_ms_measured"] = round(train_step_ms, 2)
             results["required_samples_per_s_measured"] = round(need_m, 1)
             results["pipeline_headroom_x_measured"] = round(
                 results["samples_per_s_native"] / need_m, 2
+            )
+            results["pipeline_headroom_x_cached"] = round(
+                results["samples_per_s_native_cached"] / need_m, 2
+            )
+            results["max_chips_per_host_cached"] = int(
+                results["samples_per_s_native_cached"] / need_m
             )
         return results
     finally:

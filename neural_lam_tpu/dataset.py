@@ -77,10 +77,65 @@ class WeatherDataset:
             stats = datastore.get_standardization_dataarray(category="state")
             self.da_state_mean = np.asarray(stats["state_mean"], np.float32)
             self.da_state_std = np.asarray(stats["state_std"], np.float32)
+            # multiply by the inverse instead of dividing: x86 vdivps has
+            # ~5x the reciprocal throughput of vmulps and standardization
+            # is the loader's hottest arithmetic
+            self._state_inv_std = (1.0 / self.da_state_std).astype(
+                np.float32)
             if self.da_forcing is not None:
                 fstats = datastore.get_standardization_dataarray(category="forcing")
                 self.da_forcing_mean = np.asarray(fstats["forcing_mean"], np.float32)
                 self.da_forcing_std = np.asarray(fstats["forcing_std"], np.float32)
+                self._forcing_inv_std = (1.0 / self.da_forcing_std).astype(
+                    np.float32)
+
+        # Per-time-step STANDARDIZED slab cache (analysis datasets).
+        # Consecutive samples share all but one time step (a step appears
+        # in up to 2 + ar_steps windows) and epochs repeat them, so
+        # standardizing once per step and serving plain copies removes
+        # the loader's dominant per-sample arithmetic (measured 77% of
+        # the warm write_item in profiles). LRU-capped; NLT_STD_CACHE_MB
+        # (default 768) bounds it, 0 disables.
+        from collections import OrderedDict
+
+        self._std_cache_on = standardize and not datastore.is_forecast
+        self._std_lock = threading.Lock()
+        self._std_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._std_bytes = 0
+        self._std_max_bytes = int(
+            os.environ.get("NLT_STD_CACHE_MB", "768")) * (1 << 20)
+        if self._std_max_bytes <= 0:
+            self._std_cache_on = False
+
+    def _std_step(self, kind: str, t: int) -> np.ndarray:
+        """Standardized (N_grid, d) slab for absolute time index `t`
+        ("s" = state, "f" = forcing). LRU-cached; a cache-racing thread
+        may redundantly recompute (idempotent) but never sees a partial
+        entry. Returned arrays are shared — callers must not mutate."""
+        key = (kind, t)
+        with self._std_lock:
+            row = self._std_cache.get(key)
+            if row is not None:
+                self._std_cache.move_to_end(key)
+                return row
+        if kind == "s":
+            raw = self.da_state.isel(time=slice(t, t + 1)).values[0]
+            row = (np.asarray(raw, np.float32) - self.da_state_mean) \
+                * self._state_inv_std
+        else:
+            raw = self.da_forcing.isel(time=slice(t, t + 1)).values[0]
+            row = (np.asarray(raw, np.float32) - self.da_forcing_mean) \
+                * self._forcing_inv_std
+        with self._std_lock:
+            if key in self._std_cache:
+                return self._std_cache[key]
+            self._std_cache[key] = row
+            self._std_bytes += row.nbytes
+            while (self._std_bytes > self._std_max_bytes
+                   and len(self._std_cache) > 1):
+                _, old = self._std_cache.popitem(last=False)
+                self._std_bytes -= old.nbytes
+        return row
 
     # --- length (ref: weather_dataset.py:117-161) ---
 
@@ -115,6 +170,14 @@ class WeatherDataset:
         )
 
     # --- slicing (ref: weather_dataset.py:163-331) ---
+
+    def _state_range(self, idx):
+        """[start, end) absolute state time range (analysis datasets)."""
+        init_steps = 2
+        past = self.num_past_forcing_steps
+        start = idx + max(0, past - init_steps)
+        end = idx + max(init_steps, past) + self.ar_steps
+        return start, end
 
     def _state_slice(self, idx):
         """(2 + ar_steps, N, d) standardize-ready state window + its times."""
@@ -163,15 +226,31 @@ class WeatherDataset:
             self.da_forcing.isel(time=slice(lo, hi)).values, np.float32
         )
 
+    def _forcing_range(self, idx):
+        """[lo, hi) absolute forcing time range covering every window."""
+        init_steps = 2
+        past = self.num_past_forcing_steps
+        offset = idx + max(init_steps, past)
+        lo = offset - past
+        hi = offset + (self.ar_steps - 1) + self.num_future_forcing_steps + 1
+        return lo, hi
+
+    def _forcing_rows_std(self, idx):
+        """List of standardized per-step (N, d_f) slabs (cached path)."""
+        lo, hi = self._forcing_range(idx)
+        return [self._std_step("f", t) for t in range(lo, hi)]
+
     def _forcing_windows(self, idx):
         """(ar_steps, N, d_f * W) windowed + flattened forcing, feature-major."""
         n_steps = self.ar_steps
         W = self.num_past_forcing_steps + self.num_future_forcing_steps + 1
-        buf = self._forcing_buf(idx)
-
-        if self.standardize:
-            buf = buf - self.da_forcing_mean
-            buf /= self.da_forcing_std
+        if self._std_cache_on:
+            buf = np.stack(self._forcing_rows_std(idx))
+        else:
+            buf = self._forcing_buf(idx)
+            if self.standardize:
+                buf = buf - self.da_forcing_mean
+                buf *= self._forcing_inv_std
 
         # windows over time, flattened feature-major (index = f * W + w).
         # stack-of-contiguous-slices + free reshape is ~3x faster than
@@ -187,11 +266,19 @@ class WeatherDataset:
             idx += len(self)
         if not 0 <= idx < len(self):
             raise IndexError(idx)
-        state, times = self._state_slice(idx)
-        if self.standardize:
-            # one temporary (state may alias a memmap/cache; don't mutate)
-            state = state - self.da_state_mean
-            state /= self.da_state_std
+        if self._std_cache_on:
+            start, end = self._state_range(idx)
+            state = np.stack(
+                [self._std_step("s", t) for t in range(start, end)]
+            )
+            times = np.asarray(self.da_state.coords["time"])[start:end]
+        else:
+            state, times = self._state_slice(idx)
+            if self.standardize:
+                # one temporary (state may alias a memmap/cache; don't
+                # mutate)
+                state = state - self.da_state_mean
+                state *= self._state_inv_std
         init_states = state[:2]
         target_states = state[2:]
         target_times = times[2:].astype("datetime64[ns]").astype(np.int64)
@@ -222,26 +309,30 @@ class WeatherDataset:
             idx += len(self)
         if not 0 <= idx < len(self):
             raise IndexError(idx)
-        state, times = self._state_slice(idx)
-        if self.standardize:
-            np.subtract(state[:2], self.da_state_mean, out=out_init)
-            out_init /= self.da_state_std
-            np.subtract(state[2:], self.da_state_mean, out=out_target)
-            out_target /= self.da_state_std
+        if self._std_cache_on:
+            # cached path: per-time-step standardized slabs are shared
+            # across samples/epochs; this is plain contiguous copies
+            start, end = self._state_range(idx)
+            out_init[0] = self._std_step("s", start)
+            out_init[1] = self._std_step("s", start + 1)
+            for i, t in enumerate(range(start + 2, end)):
+                out_target[i] = self._std_step("s", t)
+            times = np.asarray(self.da_state.coords["time"])[start:end]
         else:
-            out_init[...] = state[:2]
-            out_target[...] = state[2:]
+            state, times = self._state_slice(idx)
+            if self.standardize:
+                np.subtract(state[:2], self.da_state_mean, out=out_init)
+                out_init *= self._state_inv_std
+                np.subtract(state[2:], self.da_state_mean, out=out_target)
+                out_target *= self._state_inv_std
+            else:
+                out_init[...] = state[:2]
+                out_target[...] = state[2:]
 
         if self.da_forcing is not None and out_forcing.shape[-1]:
             n_steps = self.ar_steps
             W = (self.num_past_forcing_steps
                  + self.num_future_forcing_steps + 1)
-            buf = self._forcing_buf(idx)
-            if self.standardize:
-                # fresh copy: buf may alias datastore/chunk-cache memory
-                buf = buf - self.da_forcing_mean
-                buf /= self.da_forcing_std
-            n_grid, d_f = buf.shape[1], buf.shape[2]
             # feature-major flattening (index = f * W + w), written in
             # place: out4[..., w] strides W in the last dim — measured the
             # same cost as the np.stack(axis=-1) it replaces, minus the
@@ -251,9 +342,24 @@ class WeatherDataset:
             assert out_forcing.flags["C_CONTIGUOUS"], (
                 "write_item requires a C-contiguous out_forcing row"
             )
-            out4 = out_forcing.reshape(n_steps, n_grid, d_f, W)
-            for w in range(W):
-                out4[..., w] = buf[w:w + n_steps]
+            if self._std_cache_on:
+                rows = self._forcing_rows_std(idx)
+                n_grid, d_f = rows[0].shape
+                out4 = out_forcing.reshape(n_steps, n_grid, d_f, W)
+                for w in range(W):
+                    for s in range(n_steps):
+                        out4[s, :, :, w] = rows[w + s]
+            else:
+                buf = self._forcing_buf(idx)
+                if self.standardize:
+                    # fresh copy: buf may alias datastore/chunk-cache
+                    # memory
+                    buf = buf - self.da_forcing_mean
+                    buf *= self._forcing_inv_std
+                n_grid, d_f = buf.shape[1], buf.shape[2]
+                out4 = out_forcing.reshape(n_steps, n_grid, d_f, W)
+                for w in range(W):
+                    out4[..., w] = buf[w:w + n_steps]
         return times[2:].astype("datetime64[ns]").astype(np.int64)
 
     def __iter__(self):
