@@ -138,6 +138,27 @@ class BaseGraphModel(ARModelBase):
             if win is not None:
                 self.m2g_win, self._m2g_win_static = win
 
+    def _build_edge_win(self, edges, target_rows=None):
+        """Host-side window layout (prep_window_gather) for fusing an edge
+        set's sender gather into its Pallas kernel; None when the set's
+        sender locality doesn't support it. target_rows picks the kernel
+        tile (NLT_WIN_ROWS overrides; the one-hot reconstruct cost scales
+        with the window width, which shrinks with the tile)."""
+        if not edges.dense_k:
+            return None
+        import os
+
+        from ..ops.pallas_grid_update import prep_window_gather
+
+        env = os.environ.get("NLT_WIN_ROWS")
+        if env:
+            target_rows = int(env)
+        return prep_window_gather(
+            np.asarray(edges.senders), np.asarray(edges.mask),
+            edges.num_virt, edges.dense_k, edges.num_send,
+            target_rows=target_rows,
+        )
+
     # --- abstract over mesh structure (ref: base_graph_model.py:82-104) ---
 
     def get_num_mesh(self):

@@ -19,11 +19,21 @@ from .base_graph_model import BaseGraphModel
 
 
 class GraphLAM(BaseGraphModel):
+    _array_fields = BaseGraphModel._array_fields + ("m2m_win",)
+
     def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
         assert not self.hierarchical, (
             "GraphLAM does not use a hierarchical mesh graph"
         )
+        # window layout for fusing the m2m sender gather into the
+        # processor edge-layer kernel (both endpoints mesh-ordered, so
+        # per-tile sender windows are narrow)
+        self.m2m_win = None
+        self._m2m_win_static = None
+        win = self._build_edge_win(self.m2m)
+        if win is not None:
+            self.m2m_win, self._m2m_win_static = win
 
 
     @property
@@ -96,6 +106,10 @@ class GraphLAM(BaseGraphModel):
         # flat-lane kernel path, batched (B, M, h) otherwise)
         edge_rep = expand_edge_rep(self.m2m, ctx["m2m_emb"], batch_size)
         proc_consts = ctx.get("proc_consts")
+        win = (
+            (self.m2m_win, self._m2m_win_static)
+            if self.m2m_win is not None else None
+        )
         for i, p in enumerate(params["processor"]):
             mesh_rep, edge_rep = apply_interaction_net(
                 p, self.m2m, self._mesh_sender_rep(mesh_rep), mesh_rep,
@@ -103,5 +117,6 @@ class GraphLAM(BaseGraphModel):
                 aggr=self.args.mesh_aggr, compute_dtype=self.compute_dtype,
                 psum_axis=self._mesh_psum_axis,
                 consts=proc_consts[i] if proc_consts else None,
+                win=win,
             )
         return mesh_rep

@@ -634,6 +634,128 @@ def decode_grid_fused(send_tf, ge_f, ew, edges: "EdgeSet", pp, consts,
                            win_static["tile_v"], interp, ops)
 
 
+# which backward branch _edge_win_bwd last took (same telemetry contract
+# as DECODE_BWD_PATH)
+EDGE_WIN_BWD_PATH = {"last": None, "analytic": 0, "fallback": 0}
+
+
+def window_layout_ok(edges: "EdgeSet", win_arrays, win_static) -> bool:
+    """A window layout must match the runtime edge set exactly — a graph
+    swapped via with_arrays with coincidentally matching shapes would
+    otherwise gather wrong rows (jnp.take clips, no error)."""
+    return (
+        win_arrays is not None and win_static is not None
+        and win_static["num_virt"] == edges.num_virt
+        and win_static["dense_k"] == edges.dense_k
+        and win_static["num_send"] == edges.num_send
+        and win_arrays["sl_local"].shape[0]
+        == edges.num_virt * edges.dense_k
+        and edges.num_virt % win_static["tile_v"] == 0
+    )
+
+
+def _edge_win_impl(K, wrows, tile_v, interp, ops):
+    from .pallas_edge_flat import edge_layer_flat_win
+
+    return edge_layer_flat_win(
+        ops["edge_rep"], ops["send_tf"], ops["rec_rows"], ops["mask_p"],
+        ops["w_e"], ops["b0"], ops["w2"], ops["b2"], ops["ls"], ops["lb"],
+        K, ops["win"], wrows, tile_v, interpret=interp,
+        consts=ops["consts"],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_win_vjp(K, wrows, tile_v, interp, ops):
+    return _edge_win_impl(K, wrows, tile_v, interp, ops)
+
+
+def _edge_win_fwd(K, wrows, tile_v, interp, ops):
+    return _edge_win_impl(K, wrows, tile_v, interp, ops), ops
+
+
+def _edge_win_bwd(K, wrows, tile_v, interp, ops, grads):
+    """Backward of the windowed fused edge layer.
+
+    Fast path: the analytic windowed backward kernel
+    (`edge_layer_flat_win_bwd`) — gather and transpose stay fused, so
+    training never materializes the (M, W) gathered rows. Fallback (no
+    fold layout / NLT_NO_WIN_BWD): the composed VJP of the un-windowed
+    pair (XLA row gather -> edge_layer_flat); gradients then differ from
+    the windowed primal by the bf16x2 reconstruct rounding (~1e-6
+    relative), the same accepted inconsistency as `_decode_win_bwd`."""
+    from .pallas_edge_flat import edge_layer_flat, edge_layer_flat_win_bwd
+
+    edges = ops["edges"]
+    out = edge_layer_flat_win_bwd(
+        ops["edge_rep"], ops["send_tf"], ops["rec_rows"], ops["mask_p"],
+        ops["w_e"], ops["b0"], ops["w2"], ops["b2"], ops["ls"], ops["lb"],
+        K, ops["win"], wrows, tile_v, grads, interpret=interp,
+        consts=ops["consts"],
+    )
+    EDGE_WIN_BWD_PATH["analytic" if out is not None else "fallback"] += 1
+    EDGE_WIN_BWD_PATH["last"] = "analytic" if out is not None else "fallback"
+    if out is not None:
+        d_e, d_st, d_rec, d_w_e, d_b0, d_w2, d_b2, d_ls, d_lb = out
+    else:
+        def ref(edge_rep, st, rec_rows, w_e, b0, w2, b2, ls, lb):
+            g = gather_send_flat(st, edges)
+            return edge_layer_flat(
+                edge_rep, g, rec_rows, ops["mask_p"], w_e, b0, w2, b2,
+                ls, lb, K, interp, consts=ops["consts"],
+            )
+
+        _, vjp = jax.vjp(ref, ops["edge_rep"], ops["send_tf"],
+                         ops["rec_rows"], ops["w_e"], ops["b0"], ops["w2"],
+                         ops["b2"], ops["ls"], ops["lb"])
+        d_e, d_st, d_rec, d_w_e, d_b0, d_w2, d_b2, d_ls, d_lb = vjp(grads)
+
+    def z(x):
+        if x is None:
+            return None
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+    ct = jax.tree_util.tree_map(z, ops)
+    ct["edge_rep"], ct["send_tf"], ct["rec_rows"] = d_e, d_st, d_rec
+    ct["w_e"], ct["b0"], ct["w2"], ct["b2"] = d_w_e, d_b0, d_w2, d_b2
+    ct["ls"], ct["lb"] = d_ls, d_lb
+    return (ct,)
+
+
+_edge_win_vjp.defvjp(_edge_win_fwd, _edge_win_bwd)
+
+
+def edge_layer_fused_win(edge_mlp_params: dict, edges: "EdgeSet",
+                         edge_rep_flat, send_tf, rec_rows, consts,
+                         win_arrays, win_static):
+    """Fused residual edge layer with the sender gather inside the kernel.
+
+    Same math as gather_send_flat + edge_layer_flat but the forward never
+    materializes the (M, W) gathered sender rows in HBM — the kernel
+    reconstructs each tile's rows from a narrow window of the (num_send,
+    W) sender-transform table (ops/pallas_edge_flat.py:
+    `_layer_flat_win_kernel`). Used for processor (m2m) rounds where both
+    endpoints sit in spatial-locality order. `win_arrays`/`win_static`
+    come from `prep_window_gather` (host-side, per edge set)."""
+    layers = edge_mlp_params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    h = w0.shape[0] // 3
+    ln = edge_mlp_params["ln"]
+    ops = {
+        "edge_rep": edge_rep_flat, "send_tf": send_tf,
+        "rec_rows": rec_rows,
+        "mask_p": edges.mask.reshape(edges.num_virt, edges.dense_k),
+        "w_e": w0[:h], "b0": b0, "w2": layers[1]["w"], "b2": layers[1]["b"],
+        "ls": ln["scale"], "lb": ln["bias"],
+        "consts": consts, "win": win_arrays, "edges": edges,
+    }
+    return _edge_win_vjp(edges.dense_k, win_static["wrows"],
+                         win_static["tile_v"], _pallas_mode() == "interpret",
+                         ops)
+
+
 def _gather_virt_rows_flat(rec_tf, edges: "EdgeSet"):
     """Flat (N_rec, W) -> (N_virt, W) virtual-row receiver transforms."""
     if edges.virt_identity:
@@ -687,7 +809,8 @@ def _aggr_mlp_mixed(params: dict, rec_rep, aggregated_f, compute_dtype=None):
 
 def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
                     rec_rep, edge_rep_flat=None, *, ew=None,
-                    compute_dtype=None, consts=None, send_tf=None):
+                    compute_dtype=None, consts=None, send_tf=None,
+                    win=None):
     """One flat-lane edge-MLP round: (edge_out_flat | None, virt_flat).
 
     rec_rep in (B, N, h); send_rep either (B, N, h) batched or already
@@ -696,7 +819,9 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     (M, B*h). consts: optional scan-hoisted widened kernel params
     (pallas_edge_flat.tail_consts / layer_consts). send_tf: optional
     pre-transformed (and pre-cast) flat sender table (split_send_tf) —
-    send_rep is ignored when given.
+    send_rep is ignored when given. win: optional (win_arrays,
+    win_static) window layout for this edge set (prep_window_gather) —
+    fuses the sender gather into the edge-layer kernel.
     """
     mode = _pallas_mode()
     interp = mode == "interpret"
@@ -719,7 +844,6 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
     rec_tf = node_transform_flat(rec_rep, w_i, cd)
     if cd is not None:
         rec_tf = rec_tf.astype(cd)
-    gathered = gather_send_flat(send_tf, edges)
     rec_rows = _gather_virt_rows_flat(rec_tf, edges)
     mask_p = edges.mask.reshape(edges.num_virt, edges.dense_k)
     ln = edge_mlp_params["ln"]
@@ -729,11 +853,21 @@ def edge_round_flat(edge_mlp_params: dict, edges: "EdgeSet", send_rep,
 
         if cd is not None:
             edge_rep_flat = edge_rep_flat.astype(cd)
+        if (win is not None and mode != "off"
+                and window_layout_ok(edges, win[0], win[1])):
+            # sender gather fused into the layer kernel (windowed
+            # one-hot matmul) — skips the (M, B*h) HBM intermediate
+            return edge_layer_fused_win(
+                edge_mlp_params, edges, edge_rep_flat, send_tf, rec_rows,
+                consts, win[0], win[1],
+            )
+        gathered = gather_send_flat(send_tf, edges)
         return edge_layer_flat(
             edge_rep_flat, gathered, rec_rows, mask_p, w_e, b0,
             layers[1]["w"], layers[1]["b"], ln["scale"], ln["bias"],
             edges.dense_k, interp, consts=consts,
         )
+    gathered = gather_send_flat(send_tf, edges)
     from .pallas_edge_flat import edge_tail_sum_flat
 
     assert ew is not None, "flat static path requires precomputed ew"
@@ -766,7 +900,7 @@ def _scatter_to_owner(aggregated, rec_rep, axis_name, agg_axis, rec_axis):
 def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
                      edge_rep_flat=None, *, update_edges, aggr,
                      compute_dtype=None, ew=None, psum_axis=None,
-                     psum_mode="allreduce", consts=None):
+                     psum_mode="allreduce", consts=None, win=None):
     """Flat-lane interaction net round. send_rep/rec_rep in (B, N, h);
     edge state either static `ew` (M, h) or evolving flat `edge_rep_flat`
     (M, B*h). Returns rec_out (B, N_rec, h) and, when update_edges,
@@ -775,7 +909,7 @@ def _apply_inet_flat(params: dict, edges: "EdgeSet", send_rep, rec_rep,
     cd = compute_dtype
     edge_out, virt = edge_round_flat(
         params["edge_mlp"], edges, send_rep, rec_rep, edge_rep_flat,
-        ew=ew, compute_dtype=cd, consts=consts,
+        ew=ew, compute_dtype=cd, consts=consts, win=win,
     )
 
     aggregated = _fold_virt_flat(edges, virt)
@@ -1055,7 +1189,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                           edge_rep=None, *, update_edges: bool = True,
                           aggr: str = "sum", use_gather_table: bool = True,
                           compute_dtype=None, ew=None, psum_axis=None,
-                          psum_mode="allreduce", consts=None):
+                          psum_mode="allreduce", consts=None, win=None):
     # psum_axis: inside shard_map, combine per-shard partial aggregations
     # over this mesh axis (spatially partitioned sender edges).
     # psum_mode="scatter": reduce-scatter the partials to the receiver's
@@ -1106,6 +1240,7 @@ def apply_interaction_net(params: dict, edges: EdgeSet, send_rep, rec_rep,
                     update_edges=update_edges, aggr=aggr,
                     compute_dtype=compute_dtype, ew=static_ew,
                     psum_axis=psum_axis, psum_mode=psum_mode, consts=consts,
+                    win=win,
                 )
         fused_layer = (
             update_edges and mode != "off"

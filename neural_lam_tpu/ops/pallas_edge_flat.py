@@ -211,6 +211,76 @@ def _fold_eye(h, B):
     return jnp.tile(jnp.eye(h, dtype=jnp.float32), (B, 1))
 
 
+def _win_reconstruct(win_ref, sl_ref, wrows):
+    """In-kernel windowed sender gather: one-hot MXU reconstruct.
+
+    Rebuilds the tile's (TILE_E, W) gathered sender rows from a narrow
+    (wrows, W) window of the sender table with a one-hot
+    (TILE_E, wrows) @ (wrows, W) matmul — the TPU-expressible form of a
+    row gather (Mosaic's dynamic_gather fails to compile on this
+    toolchain, per-row DMAs would be issue-bound, and jax 0.9 BlockSpecs
+    are block-granular so a DMA cannot start at an arbitrary table row).
+    bf16 tables reconstruct EXACTLY with a single bf16 matmul (0/1 x bf16
+    accumulated in f32); f32 tables use a bf16x2 split — the MXU's
+    single-pass f32 matmul rounds operands to bf16 (measured 2.8e-3 drift
+    un-split) and Precision.HIGHEST's 6-pass emulation costs ~0.9 ms/step,
+    while hi+lo recovers ~1e-6 for one extra single-pass matmul.
+
+    Returns (g_f32, onehot_bf16); backward kernels reuse the one-hot for
+    the transposed d_window = onehot^T @ d_x0."""
+    f32 = jnp.float32
+    sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
+    tile_e = sl.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
+    oh_b = (iota == sl).astype(jnp.bfloat16)
+    if win_ref.dtype == jnp.bfloat16:
+        g = jnp.dot(oh_b, win_ref[...], preferred_element_type=f32)
+    else:
+        hi, lo = _split_bf16x2(win_ref[...].astype(f32))
+        g = (
+            jnp.dot(oh_b, hi, preferred_element_type=f32)
+            + jnp.dot(oh_b.astype(f32), lo, preferred_element_type=f32)
+        )
+    return g, oh_b
+
+
+def _split_bf16x2(x):
+    """Split f32 `x` into (hi_bf16, lo_f32) with x == hi + lo EXACTLY.
+
+    Implemented by masking the low 16 mantissa bits (round-toward-zero)
+    instead of a f32->bf16->f32 convert round trip: with
+    xla_allow_excess_precision (on by default) XLA's simplifier folds the
+    widening round trip to the identity, which silently turns `lo` into
+    ZERO and deletes the correction term wherever this math is lowered
+    through HLO (interpret mode, and any future non-Mosaic path) —
+    measured 1.5e-2 reconstruct drift. Bitmasking is opaque to that
+    rewrite, and the bf16 convert of the masked value is exact.
+
+    `lo` stays f32 so the pair of split matmuls also cannot be merged
+    into dot(oh, hi + lo); the MXU rounds the f32 operand to bf16 in its
+    single pass, which for the small residual is harmless."""
+    f32 = jnp.float32
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        xi & jnp.uint32(0xFFFF0000), f32
+    )
+    return hi_f.astype(jnp.bfloat16), x - hi_f
+
+
+def _win_transpose_ct(oh_b, d_x0):
+    """d_window = onehot^T @ d_x0 with a bf16x2 split on the cotangent
+    (same ~1e-6 accuracy and fold-proofing as `_win_reconstruct`)."""
+    f32 = jnp.float32
+    dhi, dlo = _split_bf16x2(d_x0)
+    contract_0 = (((0,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(oh_b, dhi, contract_0,
+                            preferred_element_type=f32)
+        + jax.lax.dot_general(oh_b.astype(f32), dlo, contract_0,
+                              preferred_element_type=f32)
+    )
+
+
 def _tail_reference_flat(x0, w2k, b2_w, ls_w, lb_w, mask_p, K, B, h):
     """Plain-XLA flat reference (also the VJP recompute). x0 (M, W)."""
     M, W = x0.shape
@@ -562,9 +632,11 @@ _edge_tail_sum_flat_vjp.defvjp(_edge_tail_sum_flat_fwd,
 # ---------------------------------------------------------------------------
 
 
-def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, wek_ref, b0w_ref,
-                       w2k_ref, b2w_ref, lsw_ref, lbw_ref, onesk_ref,
-                       mask_ref, edge_out_ref, virt_ref):
+def _layer_flat_math(K, B, g, edge_ref, rec_ref, wek_ref, b0w_ref,
+                     w2k_ref, b2w_ref, lsw_ref, lbw_ref, onesk_ref,
+                     mask_ref, edge_out_ref, virt_ref):
+    """Shared per-tile layer math; `g` is the (TILE_E, W) f32 gathered
+    sender-transform tile (from HBM or the in-kernel window gather)."""
     dt = edge_ref.dtype
     e = edge_ref[...].astype(jnp.float32)  # (TILE_E, W)
     ew = jnp.dot(e, wek_ref[...], preferred_element_type=jnp.float32)
@@ -573,9 +645,7 @@ def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, wek_ref, b0w_ref,
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
-    x = jax.nn.silu(
-        ew + g_ref[...].astype(jnp.float32) + rec_rep + b0w_ref[...]
-    )
+    x = jax.nn.silu(ew + g + rec_rep + b0w_ref[...])
     x = (
         jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
         + b2w_ref[...]
@@ -584,6 +654,22 @@ def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, wek_ref, b0w_ref,
     edge_out_ref[...] = (e + msg).astype(dt)
     masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
     virt_ref[...] = masked.sum(axis=1).astype(dt)
+
+
+def _layer_flat_kernel(K, B, edge_ref, g_ref, rec_ref, *args):
+    _layer_flat_math(K, B, g_ref[...].astype(jnp.float32), edge_ref,
+                     rec_ref, *args)
+
+
+def _layer_flat_win_kernel(K, B, wrows, win_ref, sl_ref, edge_ref, rec_ref,
+                           *args):
+    """Residual edge-layer tile with the sender gather fused in-kernel
+    (see `_win_reconstruct`). Used for processor (m2m) rounds, where both
+    endpoints are mesh nodes in spatial-locality order so per-tile sender
+    windows are narrow (~400 of ~7k rows at MEPS bench scale) — skips the
+    (M, W) gathered-rows HBM intermediate the XLA row gather writes."""
+    g, _ = _win_reconstruct(win_ref, sl_ref, wrows)
+    _layer_flat_math(K, B, g, edge_ref, rec_ref, *args)
 
 
 def _layer_reference_flat(edge_rep, gathered, rec_rows, w_ek, b0_w, w2k,
@@ -852,3 +938,262 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
 
 
 _edge_layer_flat_vjp.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed edge layer: the m2m sender gather fused in-kernel.
+#
+# Processor rounds previously materialized the (M, W) gathered sender rows
+# in HBM via an XLA row gather before every edge_layer_flat call — at MEPS
+# bench scale a ~30 MB bf16 write + read-back per layer, measured 0.18
+# ms/layer of the composed bf16 step (probes/trace_bf16_step.py). Both m2m
+# endpoints are mesh nodes in spatial-locality order, so each TILE_V-
+# receiver tile reads from a narrow window of sender-transform rows (the
+# same property the fused m2g decoder exploits, prep_window_gather in
+# ops/pallas_grid_update.py); the kernels below reconstruct the tile's
+# rows from that window with the shared one-hot MXU matmul.
+# ---------------------------------------------------------------------------
+
+
+def edge_layer_flat_win(edge_rep, table_f, rec_rows, mask_p, w_e, b0, w2,
+                        b2, ln_scale, ln_bias, K, win_arrays, wrows, tile_v,
+                        interpret=False, consts=None):
+    """Fused residual edge layer with the sender gather inside the kernel.
+
+    Forward-only building block — `edge_layer_fused_win` in
+    ops/message_passing.py wraps it with the custom VJP. table_f is the
+    (num_send, W) flat sender-transform table; `win_arrays`/`wrows`/
+    `tile_v` come from `prep_window_gather` (ops/pallas_grid_update.py).
+    Returns (edge_out, virt) like `edge_layer_flat`."""
+    n_virt, K_ = mask_p.shape
+    M = n_virt * K
+    W = table_f.shape[-1]
+    h = w2.shape[0]
+    B = W // h
+    if consts is not None and consts[0].shape[-1] != W:
+        consts = None
+    if consts is not None:
+        w_ek, b0_w, w2k, ones_k, b2_w, ls_w, lb_w = consts
+    else:
+        w2k, ones_k, b2_w, ls_w, lb_w = _flat_consts(w2, b2, ln_scale,
+                                                     ln_bias, B)
+        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                        w_e.astype(jnp.float32))
+        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    if n_virt % tile_v:
+        raise ValueError(
+            f"edge_layer_flat_win: num_virt={n_virt} not divisible by "
+            f"tile_v={tile_v}; use gather_send_flat + edge_layer_flat"
+        )
+    n_tiles = n_virt // tile_v
+    TILE_E = tile_v * K
+    dt = edge_rep.dtype
+    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+    cw = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    edge_out, virt = pl.pallas_call(
+        functools.partial(_layer_flat_win_kernel, K, B, wrows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, 1), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            cw((W, W)), cw((1, W)), cw((W, W)), cw((1, W)), cw((1, W)),
+            cw((1, W)), cw((W, W)),
+            pl.BlockSpec((tile_v, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((n_virt, W), dt),
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(windows, win_arrays["sl_local"], edge_rep, rec_rows, w_ek, b0_w, w2k,
+      b2_w, ls_w, lb_w, ones_k, mask_p)
+    return edge_out, virt
+
+
+def _layer_bwd_win_kernel(K, B, wrows, win_ref, sl_ref, e_ref, rec_ref,
+                          gedge_ref, gvirt_ref, wek_ref, b0w_ref, w2k_ref,
+                          b2w_ref, lsw_ref, wekT_ref, w2kT_ref, foldeye_ref,
+                          onesk_ref, mask_ref, de_ref, dwin_ref, drec_ref,
+                          bias_acc_ref, weacc_ref, w2acc_ref):
+    """Backward layer tile with the gather AND its transpose fused: the
+    in-kernel recompute uses the same one-hot reconstruct as the forward
+    (primal and gradient consistent), and instead of a (TILE_E, W)
+    d_gathered HBM write emits the narrower per-tile (wrows, W)
+    d_window = onehot^T @ d_x0 — the caller folds overlapping windows
+    back to the sender table with the static fold layout."""
+    f32 = jnp.float32
+    ones = onesk_ref[...]
+    g, oh_b = _win_reconstruct(win_ref, sl_ref, wrows)
+    e = e_ref[...].astype(f32)
+    rec = rec_ref[...].astype(f32)
+    tile_v, W = rec.shape
+    # forward recompute
+    ew = jnp.dot(e, wek_ref[...], preferred_element_type=f32)
+    rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
+        tile_v * K, W
+    )
+    x0 = ew + g + rec_rep + b0w_ref[...]
+    x1 = jax.nn.silu(x0)
+    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
+    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
+    mask = mask_ref[...]
+    # backward
+    d_edge_out = gedge_ref[...].astype(f32)
+    d_virt = gvirt_ref[...].astype(f32)
+    d_msg = d_edge_out + (
+        jnp.broadcast_to(d_virt[:, None, :], (tile_v, K, W))
+        * mask[..., None]
+    ).reshape(tile_v * K, W)
+    bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
+    bias_lb = d_msg.sum(axis=0, keepdims=True)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
+    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
+    w2_acc = _dotT(x1, d_x2)
+    bias_b2 = d_x2.sum(axis=0, keepdims=True)
+    d_x0 = d_x1 * _silu_grad(x0)
+    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0).astype(dwin_ref.dtype)
+    drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
+        drec_ref.dtype
+    )
+    d_e = d_edge_out + jnp.dot(d_x0, wekT_ref[...],
+                               preferred_element_type=f32)
+    de_ref[...] = d_e.astype(de_ref.dtype)
+    we_acc = _dotT(e, d_x0)
+    bias_b0 = d_x0.sum(axis=0, keepdims=True)
+    pad_rows = bias_acc_ref.shape[0] - 4
+    bias_tile = jnp.concatenate(
+        [bias_b0, bias_b2, bias_ls, bias_lb,
+         jnp.zeros((pad_rows, W), f32)], axis=0
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bias_acc_ref[...] = bias_tile
+        weacc_ref[...] = we_acc
+        w2acc_ref[...] = w2_acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        bias_acc_ref[...] += bias_tile
+        weacc_ref[...] += we_acc
+        w2acc_ref[...] += w2_acc
+
+
+def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
+                            w2, b2, ln_scale, ln_bias, K, win_arrays, wrows,
+                            tile_v, grads, interpret=False, consts=None):
+    """Analytic backward of `edge_layer_flat_win` with the gather and its
+    transpose fused in-kernel (see `_layer_bwd_win_kernel`).
+
+    Returns (d_edge_rep, d_table, d_rec, d_w_e, d_b0, d_w2, d_b2, d_ls,
+    d_lb) — gradients of the WINDOWED primal — or None when the layout
+    has no fold arrays / shapes are unusual / NLT_NO_BWD_KERNEL or
+    NLT_NO_WIN_BWD is set (caller falls back to the composed VJP of the
+    un-windowed pair)."""
+    import os
+
+    n_virt, K_ = mask_p.shape
+    M = n_virt * K
+    W = table_f.shape[-1]
+    h = w2.shape[0]
+    B = W // h
+    if ("fold_slots" not in win_arrays or n_virt % tile_v or tile_v < 8
+            or os.environ.get("NLT_NO_BWD_KERNEL")
+            or os.environ.get("NLT_NO_WIN_BWD")):
+        return None
+    if consts is not None and consts[0].shape[-1] != W:
+        consts = None
+    if consts is not None:
+        w_ek, b0_w, w2k, ones_k, b2_w, ls_w, _ = consts
+    else:
+        w2k, ones_k, b2_w, ls_w, _ = _flat_consts(w2, b2, ln_scale,
+                                                  ln_bias, B)
+        w_ek = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                        w_e.astype(jnp.float32))
+        b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
+    g_edge, g_virt = grads
+    if g_edge is None:
+        g_edge = jnp.zeros_like(edge_rep)
+    if g_virt is None:
+        g_virt = jnp.zeros((n_virt, W), edge_rep.dtype)
+    n_tiles = n_virt // tile_v
+    TILE_E = tile_v * K
+    dt = edge_rep.dtype
+    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+    tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
+                               memory_space=pltpu.VMEM)
+    tile_v_spec = pl.BlockSpec((tile_v, W), lambda v: (v, 0),
+                               memory_space=pltpu.VMEM)
+    cw = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_layer_bwd_win_kernel, K, B, wrows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_E, 1), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            tile_e_spec, tile_v_spec, tile_e_spec, tile_v_spec,
+            cw((W, W)), cw((1, W)), cw((W, W)), cw((1, W)), cw((1, W)),
+            cw((W, W)), cw((W, W)), cw((W, h)), cw((W, W)),
+            pl.BlockSpec((tile_v, K), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            tile_e_spec,
+            pl.BlockSpec((wrows, W), lambda v: (v, 0),
+                         memory_space=pltpu.VMEM),
+            tile_v_spec,
+            cw((8, W)), cw((W, W)), cw((W, W)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, W), dt),
+            jax.ShapeDtypeStruct((n_tiles * wrows, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
+            jax.ShapeDtypeStruct((8, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(windows, win_arrays["sl_local"], edge_rep, rec_rows, g_edge, g_virt,
+      w_ek, b0_w, w2k, b2_w, ls_w, w_ek.T, w2k.T, _fold_eye(h, B), ones_k,
+      mask_p)
+    d_e, d_win, d_rec, bias_acc, we_acc, w2_acc = outs
+    # fold overlapping per-tile windows back to the sender table (per-k
+    # gather-accumulate over the static fold layout; k_fold is small by
+    # construction — see prep_window_gather)
+    slots = win_arrays["fold_slots"]
+    fm = win_arrays["fold_mask"]
+    d_table = None
+    for k in range(slots.shape[1]):
+        part = jnp.take(d_win, slots[:, k], axis=0) * fm[:, k][:, None]
+        d_table = part if d_table is None else d_table + part
+    d_table = d_table.astype(table_f.dtype)
+    d_w_e = _block_diag_sum(we_acc, B, h, h).astype(w_e.dtype)
+    d_b0 = _group_row_sum(bias_acc[0][None], B, h).astype(b0.dtype)
+    d_w2 = _uncenter_wgrad(
+        _block_diag_sum(w2_acc, B, h, h)
+    ).astype(w2.dtype)
+    d_b2 = _uncenter_wgrad(
+        _group_row_sum(bias_acc[1][None], B, h)
+    ).astype(b2.dtype)
+    d_ls = _group_row_sum(bias_acc[2][None], B, h).astype(ln_scale.dtype)
+    d_lb = _group_row_sum(bias_acc[3][None], B, h).astype(ln_bias.dtype)
+    return (d_e, d_table, d_rec, d_w_e, d_b0, d_w2, d_b2, d_ls, d_lb)

@@ -53,6 +53,8 @@ from .pallas_edge_flat import (
     _pick_tile_v,
     _silu_grad,
     _uncenter_wgrad,
+    _win_reconstruct,
+    _win_transpose_ct,
 )
 
 
@@ -183,34 +185,10 @@ def _grid_update_win_kernel(K, B, wrows, win_ref, sl_ref, ew_ref, ge_ref,
     of 6561 mesh rows at TILE_V=256). The caller gathers per-tile
     windows (one small XLA take) and this kernel reconstructs the tile's
     gathered rows with a one-hot (TILE_E, wrows) @ (wrows, W) MXU matmul
-    — HBM traffic for the gather drops ~4x and the matmul hides behind
-    the tile DMA."""
-    f32 = jnp.float32
-    sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
-    tile_e = sl.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
-    onehot = (iota == sl).astype(f32)
-    oh_b = onehot.astype(jnp.bfloat16)
-    if win_ref.dtype == jnp.bfloat16:
-        # bf16 table: a single bf16 one-hot matmul reconstructs the rows
-        # EXACTLY (0/1 x bf16 accumulated in f32) — the lo residual is
-        # identically zero, so the x2 split below would waste half the
-        # reconstruct's MXU work
-        g = jnp.dot(oh_b, win_ref[...], preferred_element_type=f32)
-    else:
-        # bf16x2 split: the MXU's single-pass f32 matmul rounds operands
-        # to bf16, so a plain one-hot dot would truncate the gathered
-        # values (measured 2.8e-3 output drift) and Precision.HIGHEST's
-        # 6-pass emulation costs ~0.9 ms/step. Splitting the window into
-        # a bf16 high part + f32 residual recovers ~1e-6 accuracy for
-        # one extra single-pass matmul.
-        win = win_ref[...].astype(f32)  # (wrows, W)
-        hi = win.astype(jnp.bfloat16)
-        lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
-        g = (
-            jnp.dot(oh_b, hi, preferred_element_type=f32)
-            + jnp.dot(oh_b, lo, preferred_element_type=f32)
-        )
+    (`_win_reconstruct`: exact single bf16 matmul for bf16 tables, a
+    merge-proof bf16x2 split for f32) — HBM traffic for the gather drops
+    ~4x and the matmul hides behind the tile DMA."""
+    g, _ = _win_reconstruct(win_ref, sl_ref, wrows)
     _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, *args)
 
 
@@ -353,7 +331,7 @@ _MAX_K_FOLD = 64
 
 
 def prep_window_gather(senders, mask, num_virt, K, num_send,
-                       max_wrows=1024):
+                       max_wrows=1024, target_rows=None):
     """Host-side window layout for the fused in-kernel sender gather.
 
     Returns (arrays, static) or None when the layout does not pay off:
@@ -385,7 +363,7 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
 
     senders = np.asarray(senders).reshape(num_virt, K).astype(np.int64)
     real = np.asarray(mask).reshape(num_virt, K) > 0
-    tile_v = _pick_tile_v(num_virt, K)
+    tile_v = _pick_tile_v(num_virt, K, target_rows)
     if num_virt % tile_v or tile_v < 8:
         return None
     n_tiles = num_virt // tile_v
@@ -798,40 +776,13 @@ def _grid_update_win_bwd_kernel(K, B, wrows, win_ref, sl_ref, ew_ref,
     narrower per-tile (wrows, W) d_window = onehot^T @ d_x0 — the caller
     folds overlapping windows back to the (num_send, W) table with the
     static fold layout from `prep_window_gather`."""
-    f32 = jnp.float32
     consts_tr, out_refs = args[:33], args[33:]
     dwin_ref, dew_ref, dge_ref, bias_acc_ref, *wacc_refs = out_refs
-    sl = sl_ref[...]  # (TILE_E, 1) int32 window-local sender rows
-    tile_e = sl.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_e, wrows), 1)
-    onehot = (iota == sl).astype(f32)
-    oh_b = onehot.astype(jnp.bfloat16)
-    if win_ref.dtype == jnp.bfloat16:
-        # exact single-pass reconstruct (see _grid_update_win_kernel)
-        g = jnp.dot(oh_b, win_ref[...], preferred_element_type=f32)
-    else:
-        win = win_ref[...].astype(f32)  # (wrows, W)
-        hi = win.astype(jnp.bfloat16)
-        lo = (win - hi.astype(f32)).astype(jnp.bfloat16)
-        g = (
-            jnp.dot(oh_b, hi, preferred_element_type=f32)
-            + jnp.dot(oh_b, lo, preferred_element_type=f32)
-        )
+    g, oh_b = _win_reconstruct(win_ref, sl_ref, wrows)
     d_x0, d_ew, d_ge, acc, bias = _grid_update_bwd_chain(
         K, B, g, ew_ref, ge_ref, mask_ref, dout_ref, *consts_tr,
     )
-    # d_window = onehot^T @ d_x0, bf16x2-split on the cotangent for the
-    # same ~1e-6 accuracy as the forward reconstruct
-    dhi = d_x0.astype(jnp.bfloat16)
-    dlo = (d_x0 - dhi.astype(f32)).astype(jnp.bfloat16)
-    contract_0 = (((0,), (0,)), ((), ()))
-    dwin = (
-        jax.lax.dot_general(oh_b, dhi, contract_0,
-                            preferred_element_type=f32)
-        + jax.lax.dot_general(oh_b, dlo, contract_0,
-                              preferred_element_type=f32)
-    )
-    dwin_ref[...] = dwin.astype(dwin_ref.dtype)
+    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0).astype(dwin_ref.dtype)
     dew_ref[...] = d_ew.astype(dew_ref.dtype)
     dge_ref[...] = d_ge.astype(dge_ref.dtype)
     W = dge_ref.shape[-1]

@@ -997,6 +997,69 @@ def test_decode_fused_gather_matches(monkeypatch, tmp_path):
                                    err_msg=str(p1))
 
 
+def test_m2m_fused_gather_matches(monkeypatch, tmp_path):
+    """The in-kernel windowed m2m sender gather (edge_layer_fused_win)
+    produces the same forward output AND parameter gradients as the
+    XLA-gather + edge_layer_flat pair for a full graph_lam predict step
+    (interpret mode). The small test mesh (81 nodes) only yields a
+    window layout at a tiny kernel tile, forced via NLT_WIN_ROWS."""
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    monkeypatch.setenv("NLT_WIN_ROWS", "64")
+    model, params, datastore = _small_model(tmp_path)
+    assert model.m2m_win is not None, "m2m window layout did not build"
+
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    from neural_lam_tpu.ops import pallas_edge_flat as pef
+
+    win_kernel_calls = []
+    orig_win = pef.edge_layer_flat_win
+
+    def spy(*a, **kw):
+        win_kernel_calls.append(1)
+        return orig_win(*a, **kw)
+
+    monkeypatch.setattr(pef, "edge_layer_flat_win", spy)
+    # route the wrapper through the spied symbol
+    monkeypatch.setattr(
+        mp, "_edge_win_impl",
+        lambda K, wrows, tile_v, interp, ops: spy(
+            ops["edge_rep"], ops["send_tf"], ops["rec_rows"],
+            ops["mask_p"], ops["w_e"], ops["b0"], ops["w2"], ops["b2"],
+            ops["ls"], ops["lb"], K, ops["win"], wrows, tile_v,
+            interpret=interp, consts=ops["consts"],
+        ),
+    )
+
+    model_off = model.with_arrays(model.arrays())
+    model_off.m2m_win = None
+
+    def loss(p, m):
+        out, _ = m.predict_step(p, prev, prevprev, forcing)
+        return (out ** 2).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, model))(params)
+    assert win_kernel_calls, "windowed m2m edge kernel did not engage"
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, model_off))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
+                                   err_msg=str(p1))
+
+
 def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
     """Regression guard: at the exact bench configuration (MEPS 268x238
     grid, hidden 64, 4 processor layers, batch 4, ar_steps 1) training
@@ -1032,7 +1095,11 @@ def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
         jax.ShapeDtypeStruct((B, T), f32),
     )
 
+    assert model.m2m_win is not None, (
+        "m2m window layout did not build at bench shape"
+    )
     before = dict(mp.DECODE_BWD_PATH)
+    before_edge = dict(mp.EDGE_WIN_BWD_PATH)
     jax.eval_shape(jax.grad(model.training_loss), params, batch)
     assert mp.DECODE_BWD_PATH["analytic"] > before["analytic"], (
         "windowed decoder backward was never traced at bench shape "
@@ -1042,4 +1109,14 @@ def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
         "training at bench shape fell back to the un-windowed VJP "
         "(analytic fast path disengaged: check fold_slots/tile_v/w_out "
         "guards in grid_update_flat_win_bwd)"
+    )
+    # same guard for the windowed m2m edge-layer backward (one per
+    # processor layer)
+    assert mp.EDGE_WIN_BWD_PATH["analytic"] >= before_edge["analytic"] + 4, (
+        "windowed m2m edge-layer backward was not traced for every "
+        "processor layer at bench shape"
+    )
+    assert mp.EDGE_WIN_BWD_PATH["fallback"] == before_edge["fallback"], (
+        "m2m training at bench shape fell back to the un-windowed VJP "
+        "(check fold_slots/tile_v guards in edge_layer_flat_win_bwd)"
     )
