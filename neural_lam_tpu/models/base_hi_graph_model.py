@@ -40,11 +40,35 @@ class BaseHiGraphModel(BaseGraphModel):
         owned level-0 rows for m2m[0])."""
         return rep
 
+    _array_fields = BaseGraphModel._array_fields + ("hi_wins",)
+
     def __init__(self, args, config, datastore, graph=None):
         super().__init__(args, config, datastore, graph)
         assert self.hierarchical, "hierarchical model needs hierarchical graph"
         self.num_levels = len(self.graph.mesh_static_features)
         self.level_mesh_sizes = list(self.graph.level_sizes)
+        # per-edge-set window layouts for the fused in-kernel sender
+        # gather (None where the set is too small / non-local). Only the
+        # bottom levels are big enough to matter at LAM scales, but the
+        # build is cheap and the guard is per-set.
+        g = self.graph
+        self.hi_wins = {}
+        self._hi_win_statics = {}
+        for kind, sets in (("m2m", g.m2m), ("up", g.up), ("down", g.down)):
+            arrs, stats = [], []
+            for es in sets:
+                win = self._build_edge_win(es)
+                arrs.append(win[0] if win else None)
+                stats.append(win[1] if win else None)
+            self.hi_wins[kind] = arrs
+            self._hi_win_statics[kind] = stats
+
+    def _win(self, kind, idx):
+        """(win_arrays, win_static) for edge set `kind`[`idx`], or None."""
+        arrs = self.hi_wins[kind][idx]
+        if arrs is None:
+            return None
+        return (arrs, self._hi_win_statics[kind][idx])
 
     def get_num_mesh(self):
         """All mesh nodes; all but bottom level are ignored in encode/decode
@@ -163,6 +187,7 @@ class BaseHiGraphModel(BaseGraphModel):
                 edge_rep=mesh_up_rep[level_l - 1],
                 update_edges=True, compute_dtype=cd,
                 psum_axis=self._hi_psum_axis(level_l),
+                win=self._win("up", level_l - 1),
             )
             mesh_rep_levels[level_l] = new_node_rep
             mesh_up_rep[level_l - 1] = new_edge_rep
@@ -186,6 +211,7 @@ class BaseHiGraphModel(BaseGraphModel):
                 edge_rep=mesh_down_rep[level_l],
                 update_edges=False, compute_dtype=cd,
                 psum_axis=self._hi_psum_axis(level_l),
+                win=self._win("down", level_l),
             )
 
         return mesh_rep_levels[0]

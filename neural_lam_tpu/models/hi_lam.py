@@ -47,6 +47,7 @@ class HiLAM(BaseHiGraphModel):
             mesh_rep_levels[-1],
             mesh_same_rep[-1], compute_dtype=cd,
             psum_axis=self._hi_psum_axis(top),
+            win=self._win("m2m", top),
         )
         for level_l, down_gnn, same_gnn in zip(
             range(self.num_levels - 2, -1, -1),
@@ -61,6 +62,7 @@ class HiLAM(BaseHiGraphModel):
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l], compute_dtype=cd,
                 psum_axis=self._hi_psum_axis(level_l),
+                win=self._win("down", level_l),
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
@@ -69,6 +71,7 @@ class HiLAM(BaseHiGraphModel):
                     new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
                     psum_axis=self._hi_psum_axis(level_l),
+                    win=self._win("m2m", level_l),
                 )
             )
         return mesh_rep_levels, mesh_same_rep, mesh_down_rep
@@ -84,6 +87,7 @@ class HiLAM(BaseHiGraphModel):
             mesh_rep_levels[0],
             mesh_same_rep[0], compute_dtype=cd,
             psum_axis=self._hi_psum_axis(0),
+            win=self._win("m2m", 0),
         )
         for level_l, (up_gnn, same_gnn) in enumerate(
             zip(up_gnns, same_gnns[1:]), start=1
@@ -96,6 +100,7 @@ class HiLAM(BaseHiGraphModel):
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1], compute_dtype=cd,
                 psum_axis=self._hi_psum_axis(level_l),
+                win=self._win("up", level_l - 1),
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
                 apply_interaction_net(
@@ -104,6 +109,7 @@ class HiLAM(BaseHiGraphModel):
                     new_node_rep,
                     mesh_same_rep[level_l], compute_dtype=cd,
                     psum_axis=self._hi_psum_axis(level_l),
+                    win=self._win("m2m", level_l),
                 )
             )
         return mesh_rep_levels, mesh_same_rep, mesh_up_rep

@@ -146,6 +146,7 @@ class HiLAMParallel(BaseHiGraphModel):
                         p["edge_mlps"][c], es,
                         send_rep, mesh_rep_levels[rec_l],
                         edge_reps[c], compute_dtype=cd,
+                        win=self._win(*chunk_kinds[c]),
                     )
                     agg_c = unflatten_nodes(_fold_virt_flat(es, virt), B)
                 else:

@@ -92,6 +92,15 @@ class EdgeSet:
     # gather + masked fold (scatter is the TPU's weak spot). None when not
     # built (non-dense sets, hand-assembled shard chunks).
     transposed: "EdgeSet | None" = None
+    # Static virt-row -> receiver fold layout ((num_rec, R) padded virt-row
+    # ids + mask): receivers own contiguous sorted virtual rows, so the
+    # virt fold can be R masked row gathers instead of a segment-sum —
+    # XLA lowers the latter to scatter-add, measured 1.68 ms vs a ~0.3 ms
+    # gather fold for the g2m backward table fold at MEPS bench scale.
+    # None for virt_identity sets (fold is a slice) and skewed sets
+    # (R > 16, where the padded gathers would outgrow the scatter).
+    rec_slots: "jax.Array | None" = None
+    rec_mask: "jax.Array | None" = None
     # Split sharded sets (parallel/grid_sharded.py): this set holds the
     # INTERIOR edges (senders owned by the local shard) and `frontier`
     # holds the edges whose senders are halo/all-gather imports. The
@@ -168,6 +177,18 @@ class EdgeSet:
                 np.repeat(np.arange(num_rec, dtype=np.int32), n_virt_per_rec),
                 np.full(num_virt_pad - num_virt, num_rec - 1, np.int32),
             ])
+            # gather-based virt->receiver fold layout (see field docstring)
+            rec_slots = rec_mask = None
+            r_fold = int(n_virt_per_rec.max()) if num_rec else 0
+            if not virt_identity and 0 < r_fold <= 16:
+                jj = np.arange(r_fold)[None, :]
+                cnt = n_virt_per_rec[:, None]
+                rec_slots = jnp.asarray(
+                    (virt_start[:, None]
+                     + np.minimum(jj, np.maximum(cnt - 1, 0))).astype(
+                         np.int32)
+                )
+                rec_mask = jnp.asarray((jj < cnt).astype(np.float32))
             recv_p = np.repeat(virt_to_rec, K)
             table, _ = build_gather_table(recv_p, num_rec)
             transposed = None
@@ -189,6 +210,8 @@ class EdgeSet:
                     )
             return EdgeSet(
                 transposed=transposed,
+                rec_slots=rec_slots,
+                rec_mask=rec_mask,
                 senders=jnp.asarray(send_p),
                 receivers=jnp.asarray(recv_p),
                 features=jnp.asarray(feat_p),
@@ -457,8 +480,9 @@ def expand_edge_rep(edges: "EdgeSet", emb, batch_size: int):
     return jnp.broadcast_to(emb[None], (batch_size,) + emb.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _gather_rows_T(table, senders, t_slots, t_mask_p, t_virt_to_rec,
+                   t_rec_slots, t_rec_mask,
                    num_send: int, t_num_virt: int, t_k: int,
                    t_virt_identity: bool):
     """jnp.take(table, senders, axis=0) whose backward is scatter-free.
@@ -468,20 +492,23 @@ def _gather_rows_T(table, senders, t_slots, t_mask_p, t_virt_to_rec,
     the transposed dense layout (t_slots: per-sender edge-slot ids in
     K-capped virtual rows), the backward becomes
         d_table = fold(masked-sum_k take(d_out, t_slots))
-    — the same dense gather+fold pattern the forward aggregation uses."""
+    — the same dense gather+fold pattern the forward aggregation uses.
+    t_rec_slots/t_rec_mask (the transposed set's static fold layout, may
+    be None) keep the final virt->sender fold gather-based too."""
     return jnp.take(table, senders, axis=0)
 
 
 def _gather_rows_T_fwd(table, senders, t_slots, t_mask_p, t_virt_to_rec,
+                       t_rec_slots, t_rec_mask,
                        num_send, t_num_virt, t_k, t_virt_identity):
     return jnp.take(table, senders, axis=0), (
-        senders, t_slots, t_mask_p, t_virt_to_rec
+        senders, t_slots, t_mask_p, t_virt_to_rec, t_rec_slots, t_rec_mask
     )
 
 
 def _gather_rows_T_bwd(num_send, t_num_virt, t_k, t_virt_identity, res,
                        d_out):
-    senders, t_slots, t_mask_p, t_virt_to_rec = res
+    senders, t_slots, t_mask_p, t_virt_to_rec, t_rec_slots, t_rec_mask = res
     # per-k gather-accumulate instead of one (Nv_T * K_T, W) take + fold:
     # XLA materializes the big take output in HBM before the masked sum,
     # while K_T smaller gathers fuse into the accumulation (measured
@@ -494,6 +521,8 @@ def _gather_rows_T_bwd(num_send, t_num_virt, t_k, t_virt_identity, res,
         virt = part if virt is None else virt + part
     if t_virt_identity and t_num_virt >= num_send:
         d_table = jax.lax.slice_in_dim(virt, 0, num_send, axis=0)
+    elif t_rec_slots is not None:
+        d_table = _rec_fold(virt, t_rec_slots, t_rec_mask)
     else:
         d_table = jax.ops.segment_sum(
             virt, t_virt_to_rec, num_segments=num_send,
@@ -504,7 +533,9 @@ def _gather_rows_T_bwd(num_send, t_num_virt, t_k, t_virt_identity, res,
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
     return (d_table.astype(d_out.dtype), _int0(senders), _int0(t_slots),
-            jnp.zeros_like(t_mask_p), _int0(t_virt_to_rec))
+            jnp.zeros_like(t_mask_p), _int0(t_virt_to_rec),
+            None if t_rec_slots is None else _int0(t_rec_slots),
+            None if t_rec_mask is None else jnp.zeros_like(t_rec_mask))
 
 
 _gather_rows_T.defvjp(_gather_rows_T_fwd, _gather_rows_T_bwd)
@@ -526,6 +557,7 @@ def gather_send_flat(table, edges: "EdgeSet"):
     return _gather_rows_T(
         table, edges.senders, t.senders,
         t.mask.reshape(t.num_virt, t.dense_k), t.virt_to_rec,
+        t.rec_slots, t.rec_mask,
         edges.num_send, t.num_virt, t.dense_k, t.virt_identity,
     )
 
@@ -771,10 +803,24 @@ def _fold_virt_flat(edges: "EdgeSet", virt_f):
     """(N_virt, W) virtual-row sums -> (N_rec, W) receiver sums."""
     if edges.virt_identity:
         return jax.lax.slice_in_dim(virt_f, 0, edges.num_rec, axis=0)
+    if edges.rec_slots is not None:
+        return _rec_fold(virt_f, edges.rec_slots, edges.rec_mask)
     return jax.ops.segment_sum(
         virt_f, edges.virt_to_rec, num_segments=edges.num_rec,
         indices_are_sorted=True,
     )
+
+
+def _rec_fold(virt_f, rec_slots, rec_mask):
+    """Gather-based virt->receiver fold: R masked row gathers (XLA lowers
+    the equivalent sorted segment-sum to scatter-add, far off gather
+    speed on TPU)."""
+    out = None
+    for j in range(rec_slots.shape[1]):
+        part = jnp.take(virt_f, rec_slots[:, j], axis=0) \
+            * rec_mask[:, j][:, None]
+        out = part if out is None else out + part
+    return out
 
 
 def _virt_counts_flat(edges: "EdgeSet"):

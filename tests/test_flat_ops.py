@@ -1060,6 +1060,73 @@ def test_m2m_fused_gather_matches(monkeypatch, tmp_path):
                                    err_msg=str(p1))
 
 
+def test_hi_windowed_gather_matches(monkeypatch, tmp_path):
+    """Hierarchical models with windowed per-level sender gathers match
+    the un-windowed flat path (values + grads). Small meshes only yield
+    layouts at a tiny kernel tile (NLT_WIN_ROWS)."""
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+        TrainingConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graph.build import create_graph
+    from neural_lam_tpu.graph.storage import graph_from_bundle
+    from neural_lam_tpu.models import MODELS
+    from neural_lam_tpu.models.ar_model import ModelArgs
+
+    monkeypatch.setenv("NLT_WIN_ROWS", "64")
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    datastore = DummyDatastore(grid_shape=(30, 30), n_timesteps=6)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path=""),
+        training=TrainingConfig(),
+    )
+    graph = graph_from_bundle(create_graph(
+        str(tmp_path), datastore.get_xy("state", stacked=False),
+        n_max_levels=2, hierarchical=True,
+    ))
+    args = ModelArgs(hidden_dim=64, hidden_layers=1, processor_layers=1)
+    model = MODELS["hi_lam"](args, config, datastore, graph)
+    params = model.init_params(jax.random.PRNGKey(3))
+    n_wins = sum(
+        a is not None for arrs in model.hi_wins.values() for a in arrs
+    )
+    assert n_wins > 0, "no hierarchical window layout built"
+
+    model_off = model.with_arrays(model.arrays())
+    model_off.hi_wins = {
+        k: [None] * len(v) for k, v in model.hi_wins.items()
+    }
+
+    B = 2
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    def loss(p, m):
+        out, _ = m.predict_step(p, prev, prevprev, forcing)
+        return (out ** 2).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, model))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, model_off))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
+                                   err_msg=str(p1))
+
+
 def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
     """Regression guard: at the exact bench configuration (MEPS 268x238
     grid, hidden 64, 4 processor layers, batch 4, ar_steps 1) training
