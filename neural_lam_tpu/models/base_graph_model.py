@@ -153,11 +153,32 @@ class BaseGraphModel(ARModelBase):
         env = os.environ.get("NLT_WIN_ROWS")
         if env:
             target_rows = int(env)
-        return prep_window_gather(
-            np.asarray(edges.senders), np.asarray(edges.mask),
-            edges.num_virt, edges.dense_k, edges.num_send,
-            target_rows=target_rows,
-        )
+        senders = np.asarray(edges.senders)
+        mask = np.asarray(edges.mask)
+        if target_rows is not None:
+            return prep_window_gather(
+                senders, mask, edges.num_virt, edges.dense_k,
+                edges.num_send, target_rows=target_rows,
+            )
+        # the default kernel tile can be so large that a tile's sender
+        # window exceeds max_wrows (e.g. the global icosahedral level-0
+        # mesh, where the divisor search lands on a 1312-row tile);
+        # retry smaller tiles and keep the narrowest window — the
+        # one-hot reconstruct cost scales with wrows, smaller tiles
+        # only add grid steps
+        best = None
+        for tr in (None, 4096, 2048, 1024):
+            win = prep_window_gather(
+                senders, mask, edges.num_virt, edges.dense_k,
+                edges.num_send, target_rows=tr,
+            )
+            if win is None:
+                continue
+            if best is None or win[1]["wrows"] < best[1]["wrows"]:
+                best = win
+            if best[1]["wrows"] <= 512:
+                break
+        return best
 
     # --- abstract over mesh structure (ref: base_graph_model.py:82-104) ---
 
