@@ -91,12 +91,38 @@ def _lane_tile(x, B):
     return jnp.concatenate([x] * B, axis=-1)
 
 
-def _group_ln_f32(x, ones_k, ls_w, lb_w):
+def _bdot(x, wk, h):
+    """x @ wk for a kron-widened block-diagonal (W, W) const, computed
+    per 128-lane group.
+
+    Every square widened const here is kron(I_B, m) with an (h, h) block
+    (weights, their LN-centered variants, transposes, ones_k) — block-
+    diagonal with period h. When h divides 128 and W is a multiple of
+    128, the (128, 128) diagonal blocks are all equal to
+    kron(I_{128/h}, m), so the dense (rows, W) @ (W, W) matmul can be
+    W/128 matmuls of (rows, 128) @ (128, 128) — identical results (the
+    off-block operands are exact zeros, and x + 0 == x in fp) at half
+    the MXU work for B=4/h=64 (measured 1.35x on a pure matmul chain,
+    probes/group_matmul.py; the shorter K dim costs some MXU
+    efficiency). `wk` may be a kernel ref or a loaded value."""
+    W = x.shape[-1]
+    if h is None or W <= 128 or W % 128 or 128 % h:
+        return jnp.dot(x, wk[...], preferred_element_type=jnp.float32)
+    blk = wk[0:128, 0:128]
+    return jnp.concatenate(
+        [jnp.dot(x[:, g * 128:(g + 1) * 128], blk,
+                 preferred_element_type=jnp.float32)
+         for g in range(W // 128)], axis=1,
+    )
+
+
+def _group_ln_f32(x, ones_k, ls_w, lb_w, h=None):
     """LayerNorm per 64-lane group via matmul statistics. x fp32 (rows, W);
-    ones_k = kron(I_B, 11^T/h); ls_w/lb_w pre-tiled (1, W)."""
-    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
+    ones_k = kron(I_B, 11^T/h); ls_w/lb_w pre-tiled (1, W). h engages the
+    per-128-lane-group stats matmuls (`_bdot`)."""
+    mean = _bdot(x, ones_k, h)
     cent = x - mean
-    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    var = _bdot(cent * cent, ones_k, h)
     return cent * jax.lax.rsqrt(var + LN_EPS) * ls_w + lb_w
 
 
@@ -126,19 +152,45 @@ def _dotT(a, b):
     )
 
 
-def _group_ln_parts(x, ones_k):
+def _acc_cols(W, h):
+    """Accumulator width for `_accT`: 128 when grouped, else W."""
+    return 128 if (W > 128 and W % 128 == 0 and 128 % h == 0) else W
+
+
+def _accT(a, b, h):
+    """Kron-widened parameter-gradient accumulator a^T @ b, per group.
+
+    The gradient reduce (`_block_diag_sum`) only reads the DIAGONAL
+    (h, h) blocks of the (W, W) accumulator — the off-diagonal blocks of
+    x^T @ d are discarded. Per 128-lane group, x_g^T @ d_g is the g-th
+    diagonal (128, 128) block; summing the groups stacks their diagonal
+    sub-blocks so the reduce (with the block count derived from the
+    accumulator's shape) recovers exactly the same (h, h) gradient at
+    1/(W/128) of the MXU work. Falls back to the full product when the
+    grouping conditions fail."""
+    W = a.shape[-1]
+    if _acc_cols(W, h) == W:
+        return _dotT(a, b)
+    acc = None
+    for g in range(W // 128):
+        p = _dotT(a[:, g * 128:(g + 1) * 128], b[:, g * 128:(g + 1) * 128])
+        acc = p if acc is None else acc + p
+    return acc  # (128, 128)
+
+
+def _group_ln_parts(x, ones_k, h=None):
     """Forward LN pieces per 64-lane group: (c_hat, inv)."""
-    mean = jnp.dot(x, ones_k, preferred_element_type=jnp.float32)
+    mean = _bdot(x, ones_k, h)
     cent = x - mean
-    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    var = _bdot(cent * cent, ones_k, h)
     inv = jax.lax.rsqrt(var + LN_EPS)
     return cent * inv, inv
 
 
-def _group_ln_bwd(d_chat, c_hat, inv, ones_k):
+def _group_ln_bwd(d_chat, c_hat, inv, ones_k, h=None):
     """d wrt LN input given d wrt c_hat (pre scale/bias)."""
-    t1 = jnp.dot(d_chat, ones_k, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
+    t1 = _bdot(d_chat, ones_k, h)
+    t2 = _bdot(d_chat * c_hat, ones_k, h)
     return inv * (d_chat - t1 - c_hat * t2)
 
 
@@ -164,21 +216,21 @@ def _center_cols(wk, ones_k):
                         preferred_element_type=jnp.float32)
 
 
-def _group_ln_cent_f32(cent, ones_k, ls_w, lb_w):
+def _group_ln_cent_f32(cent, ones_k, ls_w, lb_w, h=None):
     """LayerNorm on an already-centered input: one stats matmul (var)."""
-    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+    var = _bdot(cent * cent, ones_k, h)
     return cent * jax.lax.rsqrt(var + LN_EPS) * ls_w + lb_w
 
 
-def _group_ln_cent_parts(cent, ones_k):
-    var = jnp.dot(cent * cent, ones_k, preferred_element_type=jnp.float32)
+def _group_ln_cent_parts(cent, ones_k, h=None):
+    var = _bdot(cent * cent, ones_k, h)
     inv = jax.lax.rsqrt(var + LN_EPS)
     return cent * inv, inv
 
 
-def _group_ln_cent_bwd(d_chat, c_hat, inv, ones_k):
+def _group_ln_cent_bwd(d_chat, c_hat, inv, ones_k, h=None):
     """d wrt the (centered) LN input: one stats matmul."""
-    t2 = jnp.dot(d_chat * c_hat, ones_k, preferred_element_type=jnp.float32)
+    t2 = _bdot(d_chat * c_hat, ones_k, h)
     return inv * (d_chat - c_hat * t2)
 
 
@@ -191,10 +243,15 @@ def _uncenter_wgrad(d):
 
 
 def _block_diag_sum(acc, B, h, w_cols):
-    """Sum the B diagonal (h, w_cols) blocks of a kron-widened wgrad."""
-    a = acc.reshape(B, h, acc.shape[1])
+    """Sum the diagonal (h, w_cols) blocks of a kron-widened wgrad.
+
+    The block count is derived from the accumulator's shape — a grouped
+    `_accT` accumulator is (128, 128) with 128/h blocks (each already
+    the sum over lane groups), a full one is (W, ...) with B blocks."""
+    n = acc.shape[0] // h
+    a = acc.reshape(n, h, acc.shape[1])
     out = jnp.zeros((h, w_cols), jnp.float32)
-    for b in range(B):
+    for b in range(n):
         out = out + jax.lax.dynamic_slice(
             a[b], (0, b * w_cols), (h, w_cols)
         )
@@ -318,12 +375,11 @@ def _tail_sum_flat_kernel(K, B, with_messages, g_ref, ew_ref, rec_ref,
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
+    h = ew_ref.shape[-1]
     x = jax.nn.silu(g_ref[...].astype(jnp.float32) + ew_w + rec_rep)
-    x = (
-        jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
-        + b2w_ref[...]
-    )  # w2k/b2w centered: x is the LN cent directly
-    msg = _group_ln_cent_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    x = _bdot(x, w2k_ref, h) + b2w_ref[...]
+    # w2k/b2w centered: x is the LN cent directly
+    msg = _group_ln_cent_f32(x, onesk_ref, lsw_ref[...], lbw_ref[...], h)
     if with_messages:
         out_refs[0][...] = msg.astype(dt)
     masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
@@ -475,10 +531,11 @@ def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
         tile_v * K, W
     )
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
+    h = ew_ref.shape[-1]
     x0 = g_ref[...].astype(f32) + ew_w + rec_rep
     x1 = jax.nn.silu(x0)
-    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
-    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
+    x2 = _bdot(x1, w2k_ref, h) + b2w_ref[...]
+    chat, inv = _group_ln_cent_parts(x2, ones, h)  # w2k/b2w centered
     mask = mask_ref[...]
     # backward
     d_virt = gvirt_ref[...].astype(f32)
@@ -490,9 +547,9 @@ def _tail_bwd_kernel(K, B, has_gmsg, g_ref, ew_ref, rec_ref, gvirt_ref,
         d_msg = d_msg + gmsg_ref[...].astype(f32)
     bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
     bias_lb = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
-    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
-    w2_acc = _dotT(x1, d_x2)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones, h)
+    d_x1 = _bdot(d_x2, w2kT_ref, h)
+    w2_acc = _accT(x1, d_x2, h)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
     dg_ref[...] = d_x0.astype(dg_ref.dtype)
@@ -562,6 +619,7 @@ def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
     )
     TILE_E = TILE_V * K
     dt = gathered.dtype
+    AC = _acc_cols(W, h)
     gmsg_spec = (
         pl.BlockSpec((TILE_E, W), lambda v: (v, 0), memory_space=pltpu.VMEM)
         if has_gmsg
@@ -597,14 +655,15 @@ def _edge_tail_sum_flat_bwd(K, interpret, with_messages, res, grads):
             pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, W), lambda v: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AC, AC), lambda v: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, W), dt),
             jax.ShapeDtypeStruct((M, h), ew.dtype),
             jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
             jax.ShapeDtypeStruct((8, W), jnp.float32),
-            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((AC, AC), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=_compiler_params(),
@@ -639,18 +698,17 @@ def _layer_flat_math(K, B, g, edge_ref, rec_ref, wek_ref, b0w_ref,
     sender-transform tile (from HBM or the in-kernel window gather)."""
     dt = edge_ref.dtype
     e = edge_ref[...].astype(jnp.float32)  # (TILE_E, W)
-    ew = jnp.dot(e, wek_ref[...], preferred_element_type=jnp.float32)
+    h = e.shape[-1] // B
+    ew = _bdot(e, wek_ref, h)
     rec = rec_ref[...].astype(jnp.float32)
     tile_v, W = rec.shape
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
     x = jax.nn.silu(ew + g + rec_rep + b0w_ref[...])
-    x = (
-        jnp.dot(x, w2k_ref[...], preferred_element_type=jnp.float32)
-        + b2w_ref[...]
-    )  # w2k/b2w centered: x is the LN cent directly
-    msg = _group_ln_cent_f32(x, onesk_ref[...], lsw_ref[...], lbw_ref[...])
+    x = _bdot(x, w2k_ref, h) + b2w_ref[...]
+    # w2k/b2w centered: x is the LN cent directly
+    msg = _group_ln_cent_f32(x, onesk_ref, lsw_ref[...], lbw_ref[...], h)
     edge_out_ref[...] = (e + msg).astype(dt)
     masked = msg.reshape(tile_v, K, W) * mask_ref[...][..., None]
     virt_ref[...] = masked.sum(axis=1).astype(dt)
@@ -791,14 +849,15 @@ def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
     rec = rec_ref[...].astype(f32)
     tile_v, W = rec.shape
     # forward recompute
-    ew = jnp.dot(e, wek_ref[...], preferred_element_type=f32)
+    h = e.shape[-1] // B
+    ew = _bdot(e, wek_ref, h)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
     x0 = ew + g_ref[...].astype(f32) + rec_rep + b0w_ref[...]
     x1 = jax.nn.silu(x0)
-    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
-    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
+    x2 = _bdot(x1, w2k_ref, h) + b2w_ref[...]
+    chat, inv = _group_ln_cent_parts(x2, ones, h)  # w2k/b2w centered
     mask = mask_ref[...]
     # backward
     d_edge_out = gedge_ref[...].astype(f32)
@@ -809,19 +868,18 @@ def _layer_bwd_kernel(K, B, e_ref, g_ref, rec_ref, gedge_ref, gvirt_ref,
     ).reshape(tile_v * K, W)
     bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
     bias_lb = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
-    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
-    w2_acc = _dotT(x1, d_x2)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones, h)
+    d_x1 = _bdot(d_x2, w2kT_ref, h)
+    w2_acc = _accT(x1, d_x2, h)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
     dg_ref[...] = d_x0.astype(dg_ref.dtype)
     drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
         drec_ref.dtype
     )
-    d_e = d_edge_out + jnp.dot(d_x0, wekT_ref[...],
-                               preferred_element_type=f32)
+    d_e = d_edge_out + _bdot(d_x0, wekT_ref, h)
     de_ref[...] = d_e.astype(de_ref.dtype)
-    we_acc = _dotT(e, d_x0)
+    we_acc = _accT(e, d_x0, h)
     bias_b0 = d_x0.sum(axis=0, keepdims=True)
     pad_rows = bias_acc_ref.shape[0] - 4
     bias_tile = jnp.concatenate(
@@ -890,6 +948,7 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
         b0_w = jnp.tile(b0.astype(jnp.float32).reshape(1, h), (1, B))
     TILE_E = TILE_V * K
     dt = edge_rep.dtype
+    AC = _acc_cols(W, h)
     tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
                                memory_space=pltpu.VMEM)
     tile_v_spec = pl.BlockSpec((TILE_V, W), lambda v: (v, 0),
@@ -908,15 +967,15 @@ def _edge_layer_flat_bwd(K, interpret, res, grads):
         ],
         out_specs=(
             tile_e_spec, tile_e_spec, tile_v_spec,
-            cw((8, W)), cw((W, W)), cw((W, W)),
+            cw((8, W)), cw((AC, AC)), cw((AC, AC)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, W), dt),
             jax.ShapeDtypeStruct((M, W), gathered.dtype),
             jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
             jax.ShapeDtypeStruct((8, W), jnp.float32),
-            jax.ShapeDtypeStruct((W, W), jnp.float32),
-            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((AC, AC), jnp.float32),
+            jax.ShapeDtypeStruct((AC, AC), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=_compiler_params(),
@@ -1043,14 +1102,15 @@ def _layer_bwd_win_kernel(K, B, wrows, win_ref, sl_ref, e_ref, rec_ref,
     rec = rec_ref[...].astype(f32)
     tile_v, W = rec.shape
     # forward recompute
-    ew = jnp.dot(e, wek_ref[...], preferred_element_type=f32)
+    h = e.shape[-1] // B
+    ew = _bdot(e, wek_ref, h)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
     x0 = ew + g + rec_rep + b0w_ref[...]
     x1 = jax.nn.silu(x0)
-    x2 = jnp.dot(x1, w2k_ref[...], preferred_element_type=f32) + b2w_ref[...]
-    chat, inv = _group_ln_cent_parts(x2, ones)  # w2k/b2w centered
+    x2 = _bdot(x1, w2k_ref, h) + b2w_ref[...]
+    chat, inv = _group_ln_cent_parts(x2, ones, h)  # w2k/b2w centered
     mask = mask_ref[...]
     # backward
     d_edge_out = gedge_ref[...].astype(f32)
@@ -1061,19 +1121,18 @@ def _layer_bwd_win_kernel(K, B, wrows, win_ref, sl_ref, e_ref, rec_ref,
     ).reshape(tile_v * K, W)
     bias_ls = (d_msg * chat).sum(axis=0, keepdims=True)
     bias_lb = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones)
-    d_x1 = jnp.dot(d_x2, w2kT_ref[...], preferred_element_type=f32)
-    w2_acc = _dotT(x1, d_x2)
+    d_x2 = _group_ln_cent_bwd(d_msg * lsw_ref[...], chat, inv, ones, h)
+    d_x1 = _bdot(d_x2, w2kT_ref, h)
+    w2_acc = _accT(x1, d_x2, h)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
     dwin_ref[...] = _win_transpose_ct(oh_b, d_x0).astype(dwin_ref.dtype)
     drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
         drec_ref.dtype
     )
-    d_e = d_edge_out + jnp.dot(d_x0, wekT_ref[...],
-                               preferred_element_type=f32)
+    d_e = d_edge_out + _bdot(d_x0, wekT_ref, h)
     de_ref[...] = d_e.astype(de_ref.dtype)
-    we_acc = _dotT(e, d_x0)
+    we_acc = _accT(e, d_x0, h)
     bias_b0 = d_x0.sum(axis=0, keepdims=True)
     pad_rows = bias_acc_ref.shape[0] - 4
     bias_tile = jnp.concatenate(
@@ -1134,6 +1193,7 @@ def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
     n_tiles = n_virt // tile_v
     TILE_E = tile_v * K
     dt = edge_rep.dtype
+    AC = _acc_cols(W, h)
     windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
     tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
                                memory_space=pltpu.VMEM)
@@ -1160,15 +1220,15 @@ def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
             pl.BlockSpec((wrows, W), lambda v: (v, 0),
                          memory_space=pltpu.VMEM),
             tile_v_spec,
-            cw((8, W)), cw((W, W)), cw((W, W)),
+            cw((8, W)), cw((AC, AC)), cw((AC, AC)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, W), dt),
             jax.ShapeDtypeStruct((n_tiles * wrows, W), jnp.float32),
             jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
             jax.ShapeDtypeStruct((8, W), jnp.float32),
-            jax.ShapeDtypeStruct((W, W), jnp.float32),
-            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((AC, AC), jnp.float32),
+            jax.ShapeDtypeStruct((AC, AC), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=_compiler_params(),

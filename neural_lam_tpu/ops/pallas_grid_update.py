@@ -41,6 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mlp import LN_EPS
 from .pallas_edge_flat import (
+    _accT,
+    _acc_cols,
+    _bdot,
     _block_diag_sum,
     _center_cols,
     _compiler_params,
@@ -137,32 +140,28 @@ def _grid_update_math(K, B, g, ew_ref, ge_ref, mask_ref, w_ik, enc_w0k,
     ones = ones_k[...]
     ge = ge_ref[...].astype(f32)  # (TILE_V, W)
     tile_v, W = ge.shape
-    # encoding grid MLP (residual); enc_w1k/enc_b1w centered (LN fold)
-    t = jax.nn.silu(jnp.dot(ge, enc_w0k[...], preferred_element_type=f32)
-                    + enc_b0w[...])
-    t = jnp.dot(t, enc_w1k[...], preferred_element_type=f32) + enc_b1w[...]
-    gr = ge + _group_ln_cent_f32(t, ones, enc_lsw[...], enc_lbw[...])
+    h = ew_ref.shape[-1]
+    # encoding grid MLP (residual); enc_w1k/enc_b1w centered (LN fold);
+    # square kron-widened consts multiply per 128-lane group (_bdot)
+    t = jax.nn.silu(_bdot(ge, enc_w0k, h) + enc_b0w[...])
+    t = _bdot(t, enc_w1k, h) + enc_b1w[...]
+    gr = ge + _group_ln_cent_f32(t, ones, enc_lsw[...], enc_lbw[...], h)
     # edge MLP (first-layer bias lives in ew); w2k/b2w centered
-    rec = jnp.dot(gr, w_ik[...], preferred_element_type=f32)
+    rec = _bdot(gr, w_ik, h)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
     x = jax.nn.silu(g + ew_w + rec_rep)
-    x = jnp.dot(x, w2k[...], preferred_element_type=f32) + b2w[...]
-    msg = _group_ln_cent_f32(x, ones, e_lsw[...], e_lbw[...])
+    x = _bdot(x, w2k, h) + b2w[...]
+    msg = _group_ln_cent_f32(x, ones, e_lsw[...], e_lbw[...], h)
     agg = (msg.reshape(tile_v, K, W) * mask_ref[...][..., None]).sum(axis=1)
     # aggregation MLP (residual); a_w1k/a_b1w centered
-    u = jax.nn.silu(
-        jnp.dot(gr, a_wrk[...], preferred_element_type=f32)
-        + jnp.dot(agg, a_wak[...], preferred_element_type=f32)
-        + a_b0w[...]
-    )
-    u = jnp.dot(u, a_w1k[...], preferred_element_type=f32) + a_b1w[...]
-    rec_out = gr + _group_ln_cent_f32(u, ones, a_lsw[...], a_lbw[...])
-    # output map (no LN)
-    y = jax.nn.silu(jnp.dot(rec_out, o_w0k[...], preferred_element_type=f32)
-                    + o_b0w[...])
+    u = jax.nn.silu(_bdot(gr, a_wrk, h) + _bdot(agg, a_wak, h) + a_b0w[...])
+    u = _bdot(u, a_w1k, h) + a_b1w[...]
+    rec_out = gr + _group_ln_cent_f32(u, ones, a_lsw[...], a_lbw[...], h)
+    # output map (no LN; o_w1k is lane-padded non-square -> full dot)
+    y = jax.nn.silu(_bdot(rec_out, o_w0k, h) + o_b0w[...])
     out = jnp.dot(y, o_w1k[...], preferred_element_type=f32) + o_b1w[...]
     out_ref[...] = out.astype(out_ref.dtype)
 
@@ -633,37 +632,34 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     ones = ones_k[...]
     ge = ge_ref[...].astype(f32)
     tile_v, W = ge.shape
+    h = ew_ref.shape[-1]
 
     # ---- forward recompute (mirrors _grid_update_kernel; the three
-    # LN-feeding weights are centered, so the cent variants apply) ----
-    t1p = jnp.dot(ge, enc_w0k[...], preferred_element_type=f32) + enc_b0w[...]
+    # LN-feeding weights are centered, so the cent variants apply;
+    # square kron-widened consts multiply per 128-lane group) ----
+    t1p = _bdot(ge, enc_w0k, h) + enc_b0w[...]
     t1 = jax.nn.silu(t1p)
-    t2 = jnp.dot(t1, enc_w1k[...], preferred_element_type=f32) + enc_b1w[...]
-    chat_e, inv_e = _group_ln_cent_parts(t2, ones)
+    t2 = _bdot(t1, enc_w1k, h) + enc_b1w[...]
+    chat_e, inv_e = _group_ln_cent_parts(t2, ones, h)
     gr = ge + chat_e * enc_lsw[...] + enc_lbw[...]
-    rec = jnp.dot(gr, w_ik[...], preferred_element_type=f32)
+    rec = _bdot(gr, w_ik, h)
     rec_rep = jnp.broadcast_to(rec[:, None, :], (tile_v, K, W)).reshape(
         tile_v * K, W
     )
     ew_w = _lane_tile(ew_ref[...].astype(f32), B)
     x0 = g + ew_w + rec_rep
     x1 = jax.nn.silu(x0)
-    x2 = jnp.dot(x1, w2k[...], preferred_element_type=f32) + b2w[...]
-    chat_x, inv_x = _group_ln_cent_parts(x2, ones)
+    x2 = _bdot(x1, w2k, h) + b2w[...]
+    chat_x, inv_x = _group_ln_cent_parts(x2, ones, h)
     msg = chat_x * e_lsw[...] + e_lbw[...]
     mask = mask_ref[...]
     agg = (msg.reshape(tile_v, K, W) * mask[..., None]).sum(axis=1)
-    u0p = (
-        jnp.dot(gr, a_wrk[...], preferred_element_type=f32)
-        + jnp.dot(agg, a_wak[...], preferred_element_type=f32)
-        + a_b0w[...]
-    )
+    u0p = _bdot(gr, a_wrk, h) + _bdot(agg, a_wak, h) + a_b0w[...]
     u1 = jax.nn.silu(u0p)
-    u2 = jnp.dot(u1, a_w1k[...], preferred_element_type=f32) + a_b1w[...]
-    chat_u, inv_u = _group_ln_cent_parts(u2, ones)
+    u2 = _bdot(u1, a_w1k, h) + a_b1w[...]
+    chat_u, inv_u = _group_ln_cent_parts(u2, ones, h)
     rec_out = gr + chat_u * a_lsw[...] + a_lbw[...]
-    y0p = jnp.dot(rec_out, o_w0k[...], preferred_element_type=f32) \
-        + o_b0w[...]
+    y0p = _bdot(rec_out, o_w0k, h) + o_b0w[...]
     y = jax.nn.silu(y0p)
 
     # ---- backward chain ----
@@ -675,22 +671,22 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     acc["o_w1"] = _dotT(y, d_out)
     bias["o_b1"] = d_out.sum(axis=0, keepdims=True)
     d_y0p = d_y * _silu_grad(y0p)
-    d_rec_out = jnp.dot(d_y0p, o_w0kT[...], preferred_element_type=f32)
-    acc["o_w0"] = _dotT(rec_out, d_y0p)
+    d_rec_out = _bdot(d_y0p, o_w0kT, h)
+    acc["o_w0"] = _accT(rec_out, d_y0p, h)
     bias["o_b0"] = d_y0p.sum(axis=0, keepdims=True)
     d_gr = d_rec_out
     d_ln_u = d_rec_out
     bias["a_ls"] = (d_ln_u * chat_u).sum(axis=0, keepdims=True)
     bias["a_lb"] = d_ln_u.sum(axis=0, keepdims=True)
-    d_u2 = _group_ln_cent_bwd(d_ln_u * a_lsw[...], chat_u, inv_u, ones)
-    d_u1 = jnp.dot(d_u2, a_w1kT[...], preferred_element_type=f32)
-    acc["a_w1"] = _dotT(u1, d_u2)
+    d_u2 = _group_ln_cent_bwd(d_ln_u * a_lsw[...], chat_u, inv_u, ones, h)
+    d_u1 = _bdot(d_u2, a_w1kT, h)
+    acc["a_w1"] = _accT(u1, d_u2, h)
     bias["a_b1"] = d_u2.sum(axis=0, keepdims=True)
     d_u0p = d_u1 * _silu_grad(u0p)
-    d_gr = d_gr + jnp.dot(d_u0p, a_wrkT[...], preferred_element_type=f32)
-    d_agg = jnp.dot(d_u0p, a_wakT[...], preferred_element_type=f32)
-    acc["a_wr"] = _dotT(gr, d_u0p)
-    acc["a_wa"] = _dotT(agg, d_u0p)
+    d_gr = d_gr + _bdot(d_u0p, a_wrkT, h)
+    d_agg = _bdot(d_u0p, a_wakT, h)
+    acc["a_wr"] = _accT(gr, d_u0p, h)
+    acc["a_wa"] = _accT(agg, d_u0p, h)
     bias["a_b0"] = d_u0p.sum(axis=0, keepdims=True)
     d_msg = (
         jnp.broadcast_to(d_agg[:, None, :], (tile_v, K, W))
@@ -698,26 +694,26 @@ def _grid_update_bwd_chain(K, B, g, ew_ref, ge_ref, mask_ref, dout_ref,
     ).reshape(tile_v * K, W)
     bias["e_ls"] = (d_msg * chat_x).sum(axis=0, keepdims=True)
     bias["e_lb"] = d_msg.sum(axis=0, keepdims=True)
-    d_x2 = _group_ln_cent_bwd(d_msg * e_lsw[...], chat_x, inv_x, ones)
-    d_x1 = jnp.dot(d_x2, w2kT[...], preferred_element_type=f32)
-    acc["w2"] = _dotT(x1, d_x2)
+    d_x2 = _group_ln_cent_bwd(d_msg * e_lsw[...], chat_x, inv_x, ones, h)
+    d_x1 = _bdot(d_x2, w2kT, h)
+    acc["w2"] = _accT(x1, d_x2, h)
     bias["b2"] = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
     d_ew = jnp.dot(d_x0, fold_eye[...], preferred_element_type=f32)
     d_rec = d_x0.reshape(tile_v, K, W).sum(axis=1)
-    d_gr = d_gr + jnp.dot(d_rec, w_ikT[...], preferred_element_type=f32)
-    acc["w_i"] = _dotT(gr, d_rec)
+    d_gr = d_gr + _bdot(d_rec, w_ikT, h)
+    acc["w_i"] = _accT(gr, d_rec, h)
     d_ge = d_gr
     d_ln_e = d_gr
     bias["enc_ls"] = (d_ln_e * chat_e).sum(axis=0, keepdims=True)
     bias["enc_lb"] = d_ln_e.sum(axis=0, keepdims=True)
-    d_t2 = _group_ln_cent_bwd(d_ln_e * enc_lsw[...], chat_e, inv_e, ones)
-    d_t1 = jnp.dot(d_t2, enc_w1kT[...], preferred_element_type=f32)
-    acc["enc_w1"] = _dotT(t1, d_t2)
+    d_t2 = _group_ln_cent_bwd(d_ln_e * enc_lsw[...], chat_e, inv_e, ones, h)
+    d_t1 = _bdot(d_t2, enc_w1kT, h)
+    acc["enc_w1"] = _accT(t1, d_t2, h)
     bias["enc_b1"] = d_t2.sum(axis=0, keepdims=True)
     d_t1p = d_t1 * _silu_grad(t1p)
-    d_ge = d_ge + jnp.dot(d_t1p, enc_w0kT[...], preferred_element_type=f32)
-    acc["enc_w0"] = _dotT(ge, d_t1p)
+    d_ge = d_ge + _bdot(d_t1p, enc_w0kT, h)
+    acc["enc_w0"] = _accT(ge, d_t1p, h)
     bias["enc_b0"] = d_t1p.sum(axis=0, keepdims=True)
     return d_x0, d_ew, d_ge, acc, bias
 
@@ -839,9 +835,11 @@ def _grid_update_bwd(K, interpret, res, g_out):
                                       memory_space=pltpu.VMEM)
     const_specs = [full(consts[n].shape) for n in _CONST_NAMES]
     tr_specs = [full(tr[n].shape) for n in _TR_NAMES]
+    AC = _acc_cols(W, h)
     wacc_shapes = {
-        "enc_w0": (W, W), "enc_w1": (W, W), "w_i": (W, W), "w2": (W, W),
-        "a_wr": (W, W), "a_wa": (W, W), "a_w1": (W, W), "o_w0": (W, W),
+        "enc_w0": (AC, AC), "enc_w1": (AC, AC), "w_i": (AC, AC),
+        "w2": (AC, AC), "a_wr": (AC, AC), "a_wa": (AC, AC),
+        "a_w1": (AC, AC), "o_w0": (AC, AC),
         "o_w1": (W, w_out),
     }
     outs = pl.pallas_call(
@@ -953,9 +951,11 @@ def grid_update_flat_win_bwd(table_f, ew, grid_emb_f, mask_p, pp, K,
                                       memory_space=pltpu.VMEM)
     const_specs = [full(consts[n].shape) for n in _CONST_NAMES]
     tr_specs = [full(tr[n].shape) for n in _TR_NAMES]
+    AC = _acc_cols(W, h)
     wacc_shapes = {
-        "enc_w0": (W, W), "enc_w1": (W, W), "w_i": (W, W), "w2": (W, W),
-        "a_wr": (W, W), "a_wa": (W, W), "a_w1": (W, W), "o_w0": (W, W),
+        "enc_w0": (AC, AC), "enc_w1": (AC, AC), "w_i": (AC, AC),
+        "w2": (AC, AC), "a_wr": (AC, AC), "a_wa": (AC, AC),
+        "a_w1": (AC, AC), "o_w0": (AC, AC),
         "o_w1": (W, w_out),
     }
     outs = pl.pallas_call(
