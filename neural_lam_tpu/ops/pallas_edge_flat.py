@@ -324,12 +324,17 @@ def _split_bf16x2(x):
     return hi_f.astype(jnp.bfloat16), x - hi_f
 
 
-def _win_transpose_ct(oh_b, d_x0):
+def _win_transpose_ct(oh_b, d_x0, out_dtype=None):
     """d_window = onehot^T @ d_x0 with a bf16x2 split on the cotangent
-    (same ~1e-6 accuracy and fold-proofing as `_win_reconstruct`)."""
+    (same ~1e-6 accuracy and fold-proofing as `_win_reconstruct`).
+    When the result is stored in bf16 anyway (out_dtype), the lo
+    correction is below the storage rounding — one matmul suffices."""
     f32 = jnp.float32
-    dhi, dlo = _split_bf16x2(d_x0)
     contract_0 = (((0,), (0,)), ((), ()))
+    if out_dtype == jnp.bfloat16:
+        return jax.lax.dot_general(oh_b, d_x0.astype(jnp.bfloat16),
+                                   contract_0, preferred_element_type=f32)
+    dhi, dlo = _split_bf16x2(d_x0)
     return (
         jax.lax.dot_general(oh_b, dhi, contract_0,
                             preferred_element_type=f32)
@@ -1126,7 +1131,8 @@ def _layer_bwd_win_kernel(K, B, wrows, win_ref, sl_ref, e_ref, rec_ref,
     w2_acc = _accT(x1, d_x2, h)
     bias_b2 = d_x2.sum(axis=0, keepdims=True)
     d_x0 = d_x1 * _silu_grad(x0)
-    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0).astype(dwin_ref.dtype)
+    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0, dwin_ref.dtype).astype(
+        dwin_ref.dtype)
     drec_ref[...] = d_x0.reshape(tile_v, K, W).sum(axis=1).astype(
         drec_ref.dtype
     )
@@ -1224,7 +1230,10 @@ def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, W), dt),
-            jax.ShapeDtypeStruct((n_tiles * wrows, W), jnp.float32),
+            # d_win rides the table's dtype (bf16 in the bf16 path:
+            # the fold promotes to f32 via the mask multiply, so the
+            # accumulation stays f32; only the storage rounds)
+            jax.ShapeDtypeStruct((n_tiles * wrows, W), table_f.dtype),
             jax.ShapeDtypeStruct((n_virt, W), rec_rows.dtype),
             jax.ShapeDtypeStruct((8, W), jnp.float32),
             jax.ShapeDtypeStruct((AC, AC), jnp.float32),

@@ -778,7 +778,8 @@ def _grid_update_win_bwd_kernel(K, B, wrows, win_ref, sl_ref, ew_ref,
     d_x0, d_ew, d_ge, acc, bias = _grid_update_bwd_chain(
         K, B, g, ew_ref, ge_ref, mask_ref, dout_ref, *consts_tr,
     )
-    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0).astype(dwin_ref.dtype)
+    dwin_ref[...] = _win_transpose_ct(oh_b, d_x0, dwin_ref.dtype).astype(
+        dwin_ref.dtype)
     dew_ref[...] = d_ew.astype(dew_ref.dtype)
     dge_ref[...] = d_ge.astype(dge_ref.dtype)
     W = dge_ref.shape[-1]
@@ -990,7 +991,10 @@ def grid_update_flat_win_bwd(table_f, ew, grid_emb_f, mask_p, pp, K,
             for n in _W_ACCS
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * wrows, W), jnp.float32),
+            # d_win rides the table's dtype (bf16 in the bf16 path:
+            # the fold promotes to f32 via the mask multiply, so the
+            # accumulation stays f32; only the storage rounds)
+            jax.ShapeDtypeStruct((n_tiles * wrows, W), table_f.dtype),
             jax.ShapeDtypeStruct((n_virt * K, h), ew.dtype),
             jax.ShapeDtypeStruct((n_virt, W), grid_emb_f.dtype),
             jax.ShapeDtypeStruct((n_bias_rows, W), jnp.float32),
