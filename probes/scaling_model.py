@@ -53,10 +53,13 @@ BYTES = 4  # fp32
 # matrix, fp32): predict step + full train step (fwd+bwd+AdamW).
 # train ratio ~3.4x measured for graph_lam (probes/train_step.py: 26.1);
 # hi families use the same measured ratio.
+# round-5 single-chip fp32 (predict_ms, train_ms) at the MEPS bench
+# config, after the windowed gathers + per-group kron matmuls
+# (bench.py / probes dated 2026-08-20)
 FAMILY_MS = {
-    "graph_lam": (7.67, 26.1),
-    "hi_lam": (10.97, 37.3),
-    "hi_lam_parallel": (8.77, 29.8),
+    "graph_lam": (6.02, 25.3),
+    "hi_lam": (8.91, 36.1),
+    "hi_lam_parallel": (6.90, 28.6),
 }
 
 # measured stage decomposition, graph_lam fp32 (probes/stage_decomp.py):
