@@ -1187,3 +1187,38 @@ def test_win_bwd_fast_path_engages_at_bench_shape(monkeypatch):
         "m2m training at bench shape fell back to the un-windowed VJP "
         "(check fold_slots/tile_v guards in edge_layer_flat_win_bwd)"
     )
+
+
+@pytest.mark.parametrize("h,B", [(32, 4), (64, 4), (64, 2), (128, 2),
+                                 (48, 4)])
+def test_bdot_group_matmul_matches_full(h, B):
+    """_bdot / _accT (per-128-lane-group kron matmuls) match the full
+    widened dot exactly for every (h, B) the flat layout admits —
+    including h=48 where 128 % h != 0 and both must fall back to the
+    full product."""
+    from neural_lam_tpu.ops.pallas_edge_flat import (
+        _accT,
+        _acc_cols,
+        _bdot,
+        _block_diag_sum,
+        _dotT,
+    )
+
+    rng = np.random.default_rng(0)
+    W = B * h
+    x = jnp.asarray(rng.standard_normal((64, W)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((64, W)), jnp.float32)
+    wk = jnp.asarray(
+        np.kron(np.eye(B), rng.standard_normal((h, h))), jnp.float32
+    )
+    full = jnp.dot(x, wk, preferred_element_type=jnp.float32)
+    grouped = _bdot(x, wk, h)
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(full))
+
+    acc_full = _dotT(x, d)
+    acc_grp = _accT(x, d, h)
+    assert acc_grp.shape == (_acc_cols(W, h),) * 2
+    r_full = _block_diag_sum(acc_full, B, h, h)
+    r_grp = _block_diag_sum(acc_grp, B, h, h)
+    np.testing.assert_allclose(np.asarray(r_grp), np.asarray(r_full),
+                               rtol=1e-6, atol=1e-5)
