@@ -567,13 +567,13 @@ def gather_send_flat(table, edges: "EdgeSet"):
 DECODE_BWD_PATH = {"last": None, "analytic": 0, "fallback": 0}
 
 
-def _decode_win_impl(K, wrows, tile_v, interp, ops):
+def _decode_win_impl(K, wrows, tile_v, interp, ops, windows=None):
     from .pallas_grid_update import grid_update_flat_win
 
     return grid_update_flat_win(
         ops["send_tf"], ops["ew"], ops["ge_f"], ops["mask_p"], ops["pp"],
         K, ops["win"], wrows, tile_v, interpret=interp,
-        consts=ops["consts"],
+        consts=ops["consts"], windows=windows,
     )
 
 
@@ -583,10 +583,15 @@ def _decode_win_vjp(K, wrows, tile_v, interp, ops):
 
 
 def _decode_win_fwd(K, wrows, tile_v, interp, ops):
-    return _decode_win_impl(K, wrows, tile_v, interp, ops), ops
+    # gather the per-tile windows ONCE; the backward reuses them as a
+    # residual instead of re-running the take (the windowed backward
+    # reconstructs the primal from the same windows, so this is exact)
+    windows = jnp.take(ops["send_tf"], ops["win"]["win_rows"], axis=0)
+    out = _decode_win_impl(K, wrows, tile_v, interp, ops, windows)
+    return out, (ops, windows)
 
 
-def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
+def _decode_win_bwd(K, wrows, tile_v, interp, res, d_out):
     """Backward of the windowed fused decoder.
 
     Fast path: the analytic windowed backward kernel
@@ -601,6 +606,7 @@ def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
     inconsistency we accept."""
     from .pallas_grid_update import grid_update_flat, grid_update_flat_win_bwd
 
+    ops, windows = res
     edges = ops["edges"]
     mask_p = ops["mask_p"]
     consts = ops["consts"]
@@ -608,6 +614,7 @@ def _decode_win_bwd(K, wrows, tile_v, interp, ops, d_out):
     grads = grid_update_flat_win_bwd(
         ops["send_tf"], ops["ew"], ops["ge_f"], mask_p, ops["pp"], K,
         ops["win"], wrows, tile_v, d_out, interpret=interp, consts=consts,
+        windows=windows,
     )
     # trace-time telemetry: the analytic-vs-fallback decision is made in
     # Python during VJP tracing, so tests can assert the fast path engages
@@ -686,14 +693,14 @@ def window_layout_ok(edges: "EdgeSet", win_arrays, win_static) -> bool:
     )
 
 
-def _edge_win_impl(K, wrows, tile_v, interp, ops):
+def _edge_win_impl(K, wrows, tile_v, interp, ops, windows=None):
     from .pallas_edge_flat import edge_layer_flat_win
 
     return edge_layer_flat_win(
         ops["edge_rep"], ops["send_tf"], ops["rec_rows"], ops["mask_p"],
         ops["w_e"], ops["b0"], ops["w2"], ops["b2"], ops["ls"], ops["lb"],
         K, ops["win"], wrows, tile_v, interpret=interp,
-        consts=ops["consts"],
+        consts=ops["consts"], windows=windows,
     )
 
 
@@ -703,10 +710,13 @@ def _edge_win_vjp(K, wrows, tile_v, interp, ops):
 
 
 def _edge_win_fwd(K, wrows, tile_v, interp, ops):
-    return _edge_win_impl(K, wrows, tile_v, interp, ops), ops
+    # windows gathered once, reused by the backward (see _decode_win_fwd)
+    windows = jnp.take(ops["send_tf"], ops["win"]["win_rows"], axis=0)
+    out = _edge_win_impl(K, wrows, tile_v, interp, ops, windows)
+    return out, (ops, windows)
 
 
-def _edge_win_bwd(K, wrows, tile_v, interp, ops, grads):
+def _edge_win_bwd(K, wrows, tile_v, interp, res, grads):
     """Backward of the windowed fused edge layer.
 
     Fast path: the analytic windowed backward kernel
@@ -718,12 +728,13 @@ def _edge_win_bwd(K, wrows, tile_v, interp, ops, grads):
     relative), the same accepted inconsistency as `_decode_win_bwd`."""
     from .pallas_edge_flat import edge_layer_flat, edge_layer_flat_win_bwd
 
+    ops, windows = res
     edges = ops["edges"]
     out = edge_layer_flat_win_bwd(
         ops["edge_rep"], ops["send_tf"], ops["rec_rows"], ops["mask_p"],
         ops["w_e"], ops["b0"], ops["w2"], ops["b2"], ops["ls"], ops["lb"],
         K, ops["win"], wrows, tile_v, grads, interpret=interp,
-        consts=ops["consts"],
+        consts=ops["consts"], windows=windows,
     )
     EDGE_WIN_BWD_PATH["analytic" if out is not None else "fallback"] += 1
     EDGE_WIN_BWD_PATH["last"] = "analytic" if out is not None else "fallback"

@@ -1021,7 +1021,7 @@ _edge_layer_flat_vjp.defvjp(_edge_layer_flat_fwd, _edge_layer_flat_bwd)
 
 def edge_layer_flat_win(edge_rep, table_f, rec_rows, mask_p, w_e, b0, w2,
                         b2, ln_scale, ln_bias, K, win_arrays, wrows, tile_v,
-                        interpret=False, consts=None):
+                        interpret=False, consts=None, windows=None):
     """Fused residual edge layer with the sender gather inside the kernel.
 
     Forward-only building block — `edge_layer_fused_win` in
@@ -1052,7 +1052,8 @@ def edge_layer_flat_win(edge_rep, table_f, rec_rows, mask_p, w_e, b0, w2,
     n_tiles = n_virt // tile_v
     TILE_E = tile_v * K
     dt = edge_rep.dtype
-    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+    if windows is None:
+        windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
     cw = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
                                     memory_space=pltpu.VMEM)
     edge_out, virt = pl.pallas_call(
@@ -1161,7 +1162,8 @@ def _layer_bwd_win_kernel(K, B, wrows, win_ref, sl_ref, e_ref, rec_ref,
 
 def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
                             w2, b2, ln_scale, ln_bias, K, win_arrays, wrows,
-                            tile_v, grads, interpret=False, consts=None):
+                            tile_v, grads, interpret=False, consts=None,
+                            windows=None):
     """Analytic backward of `edge_layer_flat_win` with the gather and its
     transpose fused in-kernel (see `_layer_bwd_win_kernel`).
 
@@ -1200,7 +1202,8 @@ def edge_layer_flat_win_bwd(edge_rep, table_f, rec_rows, mask_p, w_e, b0,
     TILE_E = tile_v * K
     dt = edge_rep.dtype
     AC = _acc_cols(W, h)
-    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+    if windows is None:
+        windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
     tile_e_spec = pl.BlockSpec((TILE_E, W), lambda v: (v, 0),
                                memory_space=pltpu.VMEM)
     tile_v_spec = pl.BlockSpec((tile_v, W), lambda v: (v, 0),

@@ -462,7 +462,8 @@ def prep_window_gather(senders, mask, num_virt, K, num_send,
 
 
 def grid_update_flat_win(table_f, ew, grid_emb_f, mask_p, pp, K, win_arrays,
-                         wrows, tile_v, interpret=False, consts=None):
+                         wrows, tile_v, interpret=False, consts=None,
+                         windows=None):
     """Fused decoder with the sender gather inside the kernel (see
     `_grid_update_win_kernel`). `table_f` is the (num_send, W) flat
     sender-transform table; windows are gathered by one small XLA take.
@@ -489,8 +490,9 @@ def grid_update_flat_win(table_f, ew, grid_emb_f, mask_p, pp, K, win_arrays,
     n_tiles = n_virt // tile_v
     TILE_E = tile_v * K
     dt = table_f.dtype
-    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0,
-                       indices_are_sorted=False, unique_indices=False)
+    if windows is None:
+        windows = jnp.take(table_f, win_arrays["win_rows"], axis=0,
+                           indices_are_sorted=False, unique_indices=False)
     full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),
                                       memory_space=pltpu.VMEM)
     const_specs = [full(consts[name].shape) for name in _CONST_NAMES]
@@ -901,7 +903,7 @@ _grid_update_vjp.defvjp(_grid_update_fwd, _grid_update_bwd)
 
 def grid_update_flat_win_bwd(table_f, ew, grid_emb_f, mask_p, pp, K,
                              win_arrays, wrows, tile_v, g_out,
-                             interpret=False, consts=None):
+                             interpret=False, consts=None, windows=None):
     """Analytic backward of `grid_update_flat_win` with the sender gather
     AND its transpose fused in-kernel.
 
@@ -945,7 +947,8 @@ def grid_update_flat_win_bwd(table_f, ew, grid_emb_f, mask_p, pp, K,
     ge = grid_emb_f
     if n_rows < n_virt:
         ge = jnp.pad(ge, ((0, n_virt - n_rows), (0, 0)))
-    windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
+    if windows is None:
+        windows = jnp.take(table_f, win_arrays["win_rows"], axis=0)
 
     n_bias_rows = _round_up(len(_BIAS_ROWS), 8)
     full = lambda shape: pl.BlockSpec(shape, lambda v: (0, 0),

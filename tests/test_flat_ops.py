@@ -1030,11 +1030,11 @@ def test_m2m_fused_gather_matches(monkeypatch, tmp_path):
     # route the wrapper through the spied symbol
     monkeypatch.setattr(
         mp, "_edge_win_impl",
-        lambda K, wrows, tile_v, interp, ops: spy(
+        lambda K, wrows, tile_v, interp, ops, windows=None: spy(
             ops["edge_rep"], ops["send_tf"], ops["rec_rows"],
             ops["mask_p"], ops["w_e"], ops["b0"], ops["w2"], ops["b2"],
             ops["ls"], ops["lb"], K, ops["win"], wrows, tile_v,
-            interpret=interp, consts=ops["consts"],
+            interpret=interp, consts=ops["consts"], windows=windows,
         ),
     )
 
