@@ -311,6 +311,20 @@ class BaseGraphModel(ARModelBase):
                 mlp["ln"]["scale"], mlp["ln"]["bias"], B,
             ))
 
+        from ..ops.pallas_embed import embed_applicable, embed_consts
+
+        emb_p = params["grid_embedder"]
+        if embed_applicable(emb_p, B, h) and 128 % B == 0:
+            import math
+
+            m = 128 // math.gcd(B, 128)
+            d_in = emb_p["layers"][0]["w"].shape[0]
+            d_pad = -(-d_in // m) * m
+            ctx["embed_consts"] = sg(embed_consts(
+                emb_p["layers"][0]["w"], emb_p["layers"][0]["b"],
+                emb_p["layers"][1]["w"], emb_p["layers"][1]["b"],
+                emb_p["ln"]["scale"], emb_p["ln"]["bias"], B, d_pad,
+            ))
         if "ew" in ctx["g2m"] and tail_ok(params["g2m_gnn"], self.graph.g2m):
             ctx["g2m"]["consts"] = tail_of(params["g2m_gnn"])
         if "ew" in ctx["m2g"]:
@@ -378,6 +392,50 @@ class BaseGraphModel(ARModelBase):
         )
         return prev_state + rescaled_delta_mean, pred_std
 
+    def _embed_grid_f(self, params, prev_state, prev_prev_state, forcing,
+                      ctx, B):
+        """Flat (N, B*h) grid embedding; fused Pallas kernel when
+        eligible (ops/pallas_embed.py), else the XLA flat path."""
+        import math
+
+        from ..ops.message_passing import (
+            _pallas_mode,
+            apply_mlp_concat_flat,
+            flatten_nodes,
+        )
+        from ..ops.pallas_embed import embed_applicable, embed_grid_flat
+
+        cd = self.compute_dtype
+        h = self.args.hidden_dim
+        emb_p = params["grid_embedder"]
+        stat = self.statics.grid_static_features
+        parts = [prev_state, prev_prev_state, forcing]
+        d_cat = sum(p.shape[-1] for p in parts) + stat.shape[-1]
+        if (_pallas_mode() != "off" and embed_applicable(emb_p, B, h)
+                and 128 % B == 0
+                and d_cat == emb_p["layers"][0]["w"].shape[0]):
+            # pack once into the flat-lane layout (feature pad -> one
+            # XLA transpose), then one fused kernel pass fwd and one bwd
+            d_pad = -(-d_cat // (128 // math.gcd(B, 128))) \
+                * (128 // math.gcd(B, 128))
+            xb = jnp.concatenate(
+                parts + [jnp.broadcast_to(stat[None], (B,) + stat.shape)],
+                axis=-1,
+            )
+            if cd is not None:
+                # same input rounding as the XLA path's _einsum_f32acc
+                xb = xb.astype(cd)
+            xb = jnp.pad(xb, ((0, 0), (0, 0), (0, d_pad - d_cat)))
+            return embed_grid_flat(
+                flatten_nodes(xb), emb_p, B, d_pad,
+                interpret=_pallas_mode() == "interpret",
+                consts=ctx.get("embed_consts") if ctx else None,
+                out_dtype=cd,
+            )
+        return apply_mlp_concat_flat(
+            emb_p, parts + [stat], compute_dtype=cd,
+        )
+
     def _predict_step_flat_grid(self, params, prev_state, prev_prev_state,
                                 forcing, ctx, batch_size):
         """Fused flat-grid predict step: the grid side lives in flat
@@ -401,12 +459,8 @@ class BaseGraphModel(ARModelBase):
         cd = self.compute_dtype
         B = batch_size
         h = self.args.hidden_dim
-        ge_f = apply_mlp_concat_flat(
-            params["grid_embedder"],
-            [prev_state, prev_prev_state, forcing,
-             self.statics.grid_static_features],
-            compute_dtype=cd,
-        )  # (N_grid, B*h)
+        ge_f = self._embed_grid_f(params, prev_state, prev_prev_state,
+                                  forcing, ctx, B)  # (N_grid, B*h)
 
         mesh_rep = _apply_inet_flat(
             params["g2m_gnn"], self.graph.g2m, ge_f,

@@ -1222,3 +1222,53 @@ def test_bdot_group_matmul_matches_full(h, B):
     r_grp = _block_diag_sum(acc_grp, B, h, h)
     np.testing.assert_allclose(np.asarray(r_grp), np.asarray(r_full),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_fused_embed_engages_and_matches(monkeypatch, tmp_path):
+    """The fused Pallas grid embedder engages on the flat path and the
+    full predict step (values + grads) matches the model with the XLA
+    embed (kernel disabled via a non-reference MLP guard bypass)."""
+    monkeypatch.setattr(mp, "_PALLAS_MODE", "interpret")
+    monkeypatch.setattr(mp, "_FLAT_MIN_VIRT", 1)
+    model, params, datastore = _small_model(tmp_path)
+
+    from neural_lam_tpu.ops import pallas_embed as pe
+
+    calls = []
+    orig = pe.embed_grid_flat
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pe, "embed_grid_flat", spy)
+    # the model imports the symbol at call time from the module
+
+    B, n = 2, datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    d_f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    prevprev = jnp.asarray(rng.standard_normal((B, n, d)), jnp.float32)
+    forcing = jnp.asarray(rng.standard_normal((B, n, d_f)), jnp.float32)
+
+    def loss(p):
+        out, _ = model.predict_step(p, prev, prevprev, forcing)
+        return (out ** 2).mean()
+
+    l1, g1 = jax.value_and_grad(loss)(params)
+    assert calls, "fused embed kernel did not engage"
+
+    # reference: same model with the kernel path disabled
+    monkeypatch.setattr(pe, "embed_applicable", lambda *a: False)
+    l2, g2 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
+                                   err_msg=str(p1))
